@@ -1,0 +1,435 @@
+"""put_model / make_data: build TPU pytrees from a compiled reference model.
+
+Strategy per SURVEY.md §7.1 and the reference's own layering (MJX sits on the
+C compiler via put_model, /root/reference/mjx/mujoco/mjx/_src/io.py): v0
+consumes a compiled ``mujoco.MjModel`` from the pip package, converting it
+into our static/dynamic pytree split plus precomputed dense topology masks,
+a fixed contact-slot layout, and a fixed constraint-row layout. A native
+MJCF compiler is a later layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import (ConeType, Contact, ContactMeta, Data,
+                                     DisableBit, EfcMeta, EqType, GeomType,
+                                     JointType, Model, Option, TreeTopology)
+
+# Contact capacity per (type1, type2) pair — the static slot budget each
+# candidate geom pair owns. Sized to the reference narrowphase's maximums
+# (mjCOLLISIONFUNC table, /root/reference/src/engine/engine_collision_driver.c:45).
+_PAIR_NCON = {
+    (GeomType.PLANE, GeomType.SPHERE): 1,
+    (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
+    (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.SPHERE, GeomType.SPHERE): 1,
+    (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
+    (GeomType.SPHERE, GeomType.CYLINDER): 1,
+    (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.CAPSULE, GeomType.CAPSULE): 2,
+    (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,
+    (GeomType.CAPSULE, GeomType.CYLINDER): 2,
+    (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 1,
+    (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.CYLINDER, GeomType.BOX): 4,
+    (GeomType.CYLINDER, GeomType.CYLINDER): 4,
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): 1,
+    (GeomType.ELLIPSOID, GeomType.BOX): 1,
+}
+
+
+def _tree_topology(parentid: np.ndarray, dof_bodyid: np.ndarray,
+                   dof_parentid: np.ndarray, body_dofadr: np.ndarray,
+                   body_dofnum: np.ndarray, nv: int,
+                   dof_jntid: np.ndarray, jnt_type: np.ndarray,
+                   jnt_dofadr: np.ndarray) -> TreeTopology:
+  nbody = len(parentid)
+  depth = np.zeros(nbody, dtype=np.int32)
+  for b in range(1, nbody):
+    depth[b] = depth[parentid[b]] + 1
+  levels = tuple(
+      np.nonzero(depth == lev)[0].astype(np.int32)
+      for lev in range(1, depth.max() + 1 if nbody > 1 else 1))
+
+  # ancestor_mask[b, v]: dof v is on the path from the root to body b.
+  ancestor_mask = np.zeros((nbody, nv), dtype=bool)
+  for b in range(1, nbody):
+    p = b
+    while p != 0:
+      adr, num = body_dofadr[p], body_dofnum[p]
+      if num > 0:
+        ancestor_mask[b, adr:adr + num] = True
+      p = parentid[p]
+
+  subtree_mask = np.zeros((nbody, nbody), dtype=bool)
+  for b in range(nbody - 1, -1, -1):
+    subtree_mask[b, b] = True
+    if b > 0:
+      subtree_mask[parentid[b]] |= subtree_mask[b]
+
+  # dof_ancestor_mask[i, j]: dof j is an ancestor of dof i or i itself —
+  # exactly the sparsity pattern of the reference's sparse M (dof_parentid
+  # chains, engine_core_smooth.c mj_crb).
+  dof_anc = np.zeros((nv, nv), dtype=bool)
+  for i in range(nv):
+    j = i
+    while j >= 0:
+      dof_anc[i, j] = True
+      j = dof_parentid[j]
+
+  # cdofdot_mask: which dof velocities rotate dof j's motion axis — see
+  # TreeTopology docstring; reproduces mj_comVel's accumulation order.
+  cdofdot_mask = np.zeros((nv, nv), dtype=bool)
+  for j in range(nv):
+    jid = dof_jntid[j]
+    jtype = int(jnt_type[jid])
+    off = j - jnt_dofadr[jid]  # dof index within its joint
+    if jtype == JointType.FREE and off < 3:
+      continue  # translation dofs: cdofdot identically zero
+    k = dof_parentid[j]
+    while k >= 0:
+      cdofdot_mask[j, k] = True
+      k = dof_parentid[k]
+    if jtype == JointType.BALL:
+      cdofdot_mask[j, jnt_dofadr[jid]:jnt_dofadr[jid] + 3] = False
+    elif jtype == JointType.FREE:
+      # exclude sibling rotations, keep own translations
+      cdofdot_mask[j, jnt_dofadr[jid] + 3:jnt_dofadr[jid] + 6] = False
+
+  return TreeTopology(ancestor_mask=ancestor_mask, subtree_mask=subtree_mask,
+                      levels=levels, dof_ancestor_mask=dof_anc,
+                      cdofdot_mask=cdofdot_mask)
+
+
+def _contact_meta(mjm: Any) -> ContactMeta:
+  """Enumerate candidate geom pairs, mirroring mj_collision's filtering
+  (/root/reference/src/engine/engine_collision_driver.c:595-681):
+  contype/conaffinity compatibility, same-weld exclusion, parent-child weld
+  filtering (mjDSBL_FILTERPARENT), <exclude> signatures, explicit <pair>s.
+  """
+  filterparent = not (mjm.opt.disableflags & DisableBit.FILTERPARENT)
+  exclude_sigs = set()
+  for i in range(mjm.nexclude):
+    exclude_sigs.add(int(mjm.exclude_signature[i]))
+
+  weld = mjm.body_weldid
+  weldparent = np.array([weld[mjm.body_parentid[weld[b]]]
+                         for b in range(mjm.nbody)])
+
+  pairs = []  # (g1, g2, pairid)
+  explicit = set()
+  for p in range(mjm.npair):
+    g1, g2 = int(mjm.pair_geom1[p]), int(mjm.pair_geom2[p])
+    if mjm.geom_type[g1] > mjm.geom_type[g2]:
+      g1, g2 = g2, g1
+    pairs.append((g1, g2, p))
+    explicit.add((min(g1, g2), max(g1, g2)))
+
+  for g1 in range(mjm.ngeom):
+    for g2 in range(g1 + 1, mjm.ngeom):
+      if (min(g1, g2), max(g1, g2)) in explicit:
+        continue
+      b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
+      w1, w2 = int(weld[b1]), int(weld[b2])
+      if w1 == w2:
+        continue
+      if filterparent and w1 != 0 and w2 != 0 and (
+          weldparent[b1] == w2 or weldparent[b2] == w1):
+        continue
+      con1 = mjm.geom_contype[g1] & mjm.geom_conaffinity[g2]
+      con2 = mjm.geom_contype[g2] & mjm.geom_conaffinity[g1]
+      if not (con1 or con2):
+        continue
+      sig = ((w1) << 16) + w2 if w1 < w2 else ((w2) << 16) + w1
+      body_sig = (min(b1, b2) << 16) + max(b1, b2)
+      if body_sig in exclude_sigs:
+        continue
+      a, b = (g1, g2) if mjm.geom_type[g1] <= mjm.geom_type[g2] else (g2, g1)
+      pairs.append((a, b, -1))
+
+  slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
+  for g1, g2, pid in pairs:
+    t1, t2 = GeomType(mjm.geom_type[g1]), GeomType(mjm.geom_type[g2])
+    key = (t1, t2)
+    if key not in _PAIR_NCON:
+      raise NotImplementedError(
+          f"collision pair {t1.name}-{t2.name} (geoms {g1},{g2}) not yet "
+          "supported")
+    n = _PAIR_NCON[key]
+    if pid >= 0:
+      condim = int(mjm.pair_dim[pid])
+    else:
+      p1, p2 = int(mjm.geom_priority[g1]), int(mjm.geom_priority[g2])
+      if p1 != p2:
+        condim = int(mjm.geom_condim[g1 if p1 > p2 else g2])
+      else:
+        condim = int(max(mjm.geom_condim[g1], mjm.geom_condim[g2]))
+    for _ in range(n):
+      slot_g1.append(g1)
+      slot_g2.append(g2)
+      slot_types.append((int(t1), int(t2)))
+      slot_condim.append(condim)
+      slot_pairid.append(pid)
+
+  return ContactMeta(
+      ncon=len(slot_g1),
+      geom1=np.array(slot_g1, dtype=np.int32).reshape(-1),
+      geom2=np.array(slot_g2, dtype=np.int32).reshape(-1),
+      pair_type=np.array(slot_types, dtype=np.int32).reshape(-1, 2),
+      condim=np.array(slot_condim, dtype=np.int32).reshape(-1),
+      pairid=np.array(slot_pairid, dtype=np.int32).reshape(-1),
+  )
+
+
+def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
+  """Fixed constraint-row layout, mirroring the row taxonomy of
+  mj_makeConstraint (/root/reference/src/engine/engine_core_constraint.c):
+  equality → dof friction → limits → contacts, with compile-time counts."""
+  ne = 0
+  for i in range(mjm.neq):
+    t = EqType(mjm.eq_type[i])
+    ne += {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
+           EqType.TENDON: 1}.get(t, 0)
+
+  friction_dof = [i for i in range(mjm.nv) if mjm.dof_frictionloss[i] > 0]
+  friction_ten = [i for i in range(mjm.ntendon)
+                  if mjm.tendon_frictionloss[i] > 0]
+  nf = len(friction_dof) + len(friction_ten)
+
+  limit_jnt = [i for i in range(mjm.njnt) if mjm.jnt_limited[i]]
+  limit_ten = [i for i in range(mjm.ntendon) if mjm.tendon_limited[i]]
+  nl = len(limit_jnt) + len(limit_ten)
+
+  con_id, con_row, con_efcadr, con_nrow = [], [], [], []
+  adr = ne + nf + nl
+  for c in range(con.ncon):
+    dim = int(con.condim[c])
+    if dim == 1:
+      nrow = 1
+    elif cone == ConeType.PYRAMIDAL:
+      nrow = 2 * (dim - 1)
+    else:
+      nrow = dim
+    con_efcadr.append(adr)
+    con_nrow.append(nrow)
+    for r in range(nrow):
+      con_id.append(c)
+      con_row.append(r)
+    adr += nrow
+
+  ncon_rows = len(con_id)
+  pad = lambda x: np.array(x, dtype=np.int32).reshape(-1)
+  return EfcMeta(
+      nefc=ne + nf + nl + ncon_rows,
+      ne=ne, nf=nf, nl=nl, ncon_rows=ncon_rows,
+      friction_dof=pad(friction_dof + [-1] * len(friction_ten)),
+      friction_ten=pad([-1] * len(friction_dof) + friction_ten),
+      limit_jnt=pad(limit_jnt + [-1] * len(limit_ten)),
+      limit_ten=pad([-1] * len(limit_jnt) + limit_ten),
+      con_id=pad(con_id), con_row=pad(con_row),
+      con_efcadr=pad(con_efcadr), con_nrow=pad(con_nrow),
+  )
+
+
+def put_model(mjm: Any, dtype=None) -> Model:
+  """Convert a compiled ``mujoco.MjModel`` into a TPU Model pytree."""
+  dtype = dtype or jnp.zeros(0).dtype
+  jx = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+  si = lambda x: np.array(x, dtype=np.int32)
+
+  unsupported = set(np.asarray(mjm.geom_type)) - {
+      int(t) for t in GeomType}
+  if unsupported:
+    raise NotImplementedError(f"geom types {unsupported}")
+
+  tree = _tree_topology(mjm.body_parentid, mjm.dof_bodyid, mjm.dof_parentid,
+                        mjm.body_dofadr, mjm.body_dofnum, mjm.nv,
+                        mjm.dof_jntid, mjm.jnt_type, mjm.jnt_dofadr)
+  con = _contact_meta(mjm)
+  efc = _efc_meta(mjm, con, int(mjm.opt.cone))
+
+  opt = Option(
+      timestep=jx(mjm.opt.timestep),
+      gravity=jx(mjm.opt.gravity),
+      wind=jx(mjm.opt.wind),
+      magnetic=jx(mjm.opt.magnetic),
+      density=jx(mjm.opt.density),
+      viscosity=jx(mjm.opt.viscosity),
+      impratio=jx(mjm.opt.impratio),
+      tolerance=jx(mjm.opt.tolerance),
+      ls_tolerance=jx(mjm.opt.ls_tolerance),
+      integrator=int(mjm.opt.integrator),
+      cone=int(mjm.opt.cone),
+      solver=int(mjm.opt.solver),
+      iterations=int(mjm.opt.iterations),
+      ls_iterations=int(mjm.opt.ls_iterations),
+      disableflags=int(mjm.opt.disableflags),
+      enableflags=int(mjm.opt.enableflags),
+  )
+
+  return Model(
+      nq=int(mjm.nq), nv=int(mjm.nv), nu=int(mjm.nu), na=int(mjm.na),
+      nbody=int(mjm.nbody), njnt=int(mjm.njnt), ngeom=int(mjm.ngeom),
+      nsite=int(mjm.nsite), neq=int(mjm.neq), ntendon=int(mjm.ntendon),
+      nwrap=int(mjm.nwrap), nsensor=int(mjm.nsensor),
+      nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
+      opt=opt, tree=tree, con=con, efc=efc,
+      qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
+      body_parentid=si(mjm.body_parentid),
+      body_rootid=si(mjm.body_rootid),
+      body_weldid=si(mjm.body_weldid),
+      body_jntnum=si(mjm.body_jntnum), body_jntadr=si(mjm.body_jntadr),
+      body_dofnum=si(mjm.body_dofnum), body_dofadr=si(mjm.body_dofadr),
+      body_geomnum=si(mjm.body_geomnum), body_geomadr=si(mjm.body_geomadr),
+      body_mocapid=si(mjm.body_mocapid),
+      body_pos=jx(mjm.body_pos), body_quat=jx(mjm.body_quat),
+      body_ipos=jx(mjm.body_ipos), body_iquat=jx(mjm.body_iquat),
+      body_mass=jx(mjm.body_mass), body_subtreemass=jx(mjm.body_subtreemass),
+      body_inertia=jx(mjm.body_inertia),
+      body_invweight0=jx(mjm.body_invweight0),
+      body_gravcomp=jx(mjm.body_gravcomp),
+      jnt_type=si(mjm.jnt_type), jnt_qposadr=si(mjm.jnt_qposadr),
+      jnt_dofadr=si(mjm.jnt_dofadr), jnt_bodyid=si(mjm.jnt_bodyid),
+      jnt_limited=si(mjm.jnt_limited),
+      jnt_actfrclimited=si(mjm.jnt_actfrclimited),
+      jnt_solref=jx(mjm.jnt_solref), jnt_solimp=jx(mjm.jnt_solimp),
+      jnt_pos=jx(mjm.jnt_pos), jnt_axis=jx(mjm.jnt_axis),
+      jnt_stiffness=jx(mjm.jnt_stiffness), jnt_range=jx(mjm.jnt_range),
+      jnt_actfrcrange=jx(mjm.jnt_actfrcrange), jnt_margin=jx(mjm.jnt_margin),
+      dof_bodyid=si(mjm.dof_bodyid), dof_jntid=si(mjm.dof_jntid),
+      dof_parentid=si(mjm.dof_parentid),
+      dof_armature=jx(mjm.dof_armature), dof_damping=jx(mjm.dof_damping),
+      dof_invweight0=jx(mjm.dof_invweight0),
+      dof_frictionloss=jx(mjm.dof_frictionloss),
+      dof_solref=jx(mjm.dof_solref), dof_solimp=jx(mjm.dof_solimp),
+      geom_type=si(mjm.geom_type), geom_contype=si(mjm.geom_contype),
+      geom_conaffinity=si(mjm.geom_conaffinity),
+      geom_condim=si(mjm.geom_condim), geom_bodyid=si(mjm.geom_bodyid),
+      geom_dataid=si(mjm.geom_dataid), geom_priority=si(mjm.geom_priority),
+      geom_solmix=jx(mjm.geom_solmix), geom_solref=jx(mjm.geom_solref),
+      geom_solimp=jx(mjm.geom_solimp), geom_size=jx(mjm.geom_size),
+      geom_rbound=jx(mjm.geom_rbound), geom_pos=jx(mjm.geom_pos),
+      geom_quat=jx(mjm.geom_quat), geom_friction=jx(mjm.geom_friction),
+      geom_margin=jx(mjm.geom_margin), geom_gap=jx(mjm.geom_gap),
+      site_bodyid=si(mjm.site_bodyid),
+      site_pos=jx(mjm.site_pos), site_quat=jx(mjm.site_quat),
+      eq_type=si(mjm.eq_type), eq_obj1id=si(mjm.eq_obj1id),
+      eq_obj2id=si(mjm.eq_obj2id), eq_objtype=si(mjm.eq_objtype),
+      eq_active0=np.array(mjm.eq_active0, dtype=bool),
+      eq_solref=jx(mjm.eq_solref), eq_solimp=jx(mjm.eq_solimp),
+      eq_data=jx(mjm.eq_data),
+      tendon_adr=si(mjm.tendon_adr), tendon_num=si(mjm.tendon_num),
+      tendon_limited=si(mjm.tendon_limited),
+      tendon_solref_lim=jx(mjm.tendon_solref_lim),
+      tendon_solimp_lim=jx(mjm.tendon_solimp_lim),
+      tendon_range=jx(mjm.tendon_range), tendon_margin=jx(mjm.tendon_margin),
+      tendon_stiffness=jx(mjm.tendon_stiffness),
+      tendon_damping=jx(mjm.tendon_damping),
+      tendon_frictionloss=jx(mjm.tendon_frictionloss),
+      tendon_lengthspring=jx(mjm.tendon_lengthspring),
+      tendon_length0=jx(mjm.tendon_length0),
+      tendon_invweight0=jx(mjm.tendon_invweight0),
+      wrap_type=si(mjm.wrap_type), wrap_objid=si(mjm.wrap_objid),
+      wrap_prm=jx(mjm.wrap_prm),
+      actuator_trntype=si(mjm.actuator_trntype),
+      actuator_dyntype=si(mjm.actuator_dyntype),
+      actuator_gaintype=si(mjm.actuator_gaintype),
+      actuator_biastype=si(mjm.actuator_biastype),
+      actuator_trnid=si(mjm.actuator_trnid),
+      actuator_actadr=si(mjm.actuator_actadr),
+      actuator_actnum=si(mjm.actuator_actnum),
+      actuator_ctrllimited=si(mjm.actuator_ctrllimited),
+      actuator_forcelimited=si(mjm.actuator_forcelimited),
+      actuator_actlimited=si(mjm.actuator_actlimited),
+      actuator_actearly=si(mjm.actuator_actearly),
+      actuator_dynprm=jx(mjm.actuator_dynprm),
+      actuator_gainprm=jx(mjm.actuator_gainprm),
+      actuator_biasprm=jx(mjm.actuator_biasprm),
+      actuator_ctrlrange=jx(mjm.actuator_ctrlrange),
+      actuator_forcerange=jx(mjm.actuator_forcerange),
+      actuator_actrange=jx(mjm.actuator_actrange),
+      actuator_gear=jx(mjm.actuator_gear),
+      actuator_cranklength=jx(mjm.actuator_cranklength),
+      actuator_acc0=jx(mjm.actuator_acc0),
+      actuator_lengthrange=jx(mjm.actuator_lengthrange),
+      sensor_type=si(mjm.sensor_type),
+      sensor_datatype=si(mjm.sensor_datatype),
+      sensor_needstage=si(mjm.sensor_needstage),
+      sensor_objtype=si(mjm.sensor_objtype),
+      sensor_objid=si(mjm.sensor_objid),
+      sensor_reftype=si(mjm.sensor_reftype),
+      sensor_refid=si(mjm.sensor_refid),
+      sensor_dim=si(mjm.sensor_dim), sensor_adr=si(mjm.sensor_adr),
+      sensor_cutoff=jx(mjm.sensor_cutoff),
+  )
+
+
+def make_data(m: Model, dtype=None) -> Data:
+  """Allocate a zero-initialized Data at qpos0 (counterpart of mj_makeData,
+  /root/reference/src/engine/engine_io.c:227 — no arena needed, XLA owns
+  buffers)."""
+  dtype = dtype or m.qpos0.dtype
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  nb, nv, nq = m.nbody, m.nv, m.nq
+  ncon, nefc = m.con.ncon, m.efc.nefc
+
+  eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nb, 3, 3))
+  quat0 = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
+
+  contact = Contact(
+      dist=jnp.full((ncon,), 1e10, dtype=dtype),
+      pos=z(ncon, 3),
+      frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ncon, 3, 3)),
+      includemargin=z(ncon),
+      friction=jnp.tile(jnp.array([1, 1, 0.005, 0.0001, 0.0001],
+                                  dtype=dtype), (ncon, 1)),
+      solref=jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (ncon, 1)),
+      solreffriction=z(ncon, 2),
+      solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
+                      (ncon, 1)),
+  )
+
+  return Data(
+      time=z(), qpos=jnp.array(m.qpos0, dtype=dtype), qvel=z(nv),
+      act=z(m.na), ctrl=z(m.nu), qfrc_applied=z(nv),
+      xfrc_applied=z(nb, 6),
+      eq_active=jnp.asarray(m.eq_active0),
+      mocap_pos=z(m.nmocap, 3),
+      mocap_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype),
+                          (m.nmocap, 1)),
+      qacc_warmstart=z(nv),
+      xpos=z(nb, 3), xquat=quat0, xmat=eye3,
+      xipos=z(nb, 3), ximat=eye3,
+      xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+      subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
+      crb=z(nb, 6, 6), qM=z(nv, nv), qLD=z(nv, nv), qLDiagInv=z(nv),
+      ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
+      actuator_length=z(m.nu), actuator_moment=z(m.nu, nv),
+      contact=contact,
+      cvel=z(nb, 6), cdof_dot=z(nv, 6), qfrc_bias=z(nv),
+      ten_velocity=z(m.ntendon), actuator_velocity=z(m.nu),
+      qfrc_spring=z(nv), qfrc_damper=z(nv), qfrc_gravcomp=z(nv),
+      qfrc_fluid=z(nv), qfrc_passive=z(nv),
+      act_dot=z(m.na), actuator_force=z(m.nu), qfrc_actuator=z(nv),
+      qfrc_smooth=z(nv), qacc_smooth=z(nv),
+      efc_J=z(nefc, nv), efc_pos=z(nefc), efc_margin=z(nefc),
+      efc_D=z(nefc), efc_R=z(nefc), efc_aref=z(nefc),
+      efc_frictionloss=z(nefc),
+      efc_active=jnp.zeros((nefc,), dtype=bool),
+      efc_force=z(nefc), qfrc_constraint=z(nv), qacc=z(nv),
+      sensordata=z(m.nsensordata),
+      energy=z(2),
+      solver_niter=jnp.zeros((), dtype=jnp.int32),
+  )

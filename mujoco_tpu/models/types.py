@@ -1,0 +1,570 @@
+"""Model and Data pytrees — the two flat structures everything operates on.
+
+Mirrors the reference's architectural invariant: an immutable model (sizes +
+constant arrays, /root/reference/include/mujoco/mjmodel.h:242) and a mutable
+state+workspace struct (/root/reference/include/mujoco/mjdata.h:99), reshaped
+for TPU:
+
+  * structural fields (sizes, types, topology, index tables) are numpy and
+    live in static pytree aux data → recompile when they change;
+  * numeric fields are jax leaves → traced, vmappable for per-env domain
+    randomization (reference precedent: per-env models in rollout,
+    /root/reference/python/mujoco/rollout.cc:242);
+  * instead of sparse index chasing, topology is exposed as *dense masks*
+    (ancestor/subtree) so tree algorithms become MXU matmuls.
+
+Field names follow the reference's public naming (body_parentid, jnt_type,
+...) so users of the reference find the same API surface.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+from mujoco_tpu.utils.struct import field, pytree_dataclass, static_field
+
+
+# ---------------------------------------------------------------------------
+# Enums (values match the reference public API, include/mujoco/mjtype.h)
+# ---------------------------------------------------------------------------
+
+
+class JointType(enum.IntEnum):
+  FREE = 0
+  BALL = 1
+  SLIDE = 2
+  HINGE = 3
+
+
+class GeomType(enum.IntEnum):
+  PLANE = 0
+  HFIELD = 1
+  SPHERE = 2
+  CAPSULE = 3
+  ELLIPSOID = 4
+  CYLINDER = 5
+  BOX = 6
+  MESH = 7
+
+
+class Integrator(enum.IntEnum):
+  EULER = 0
+  RK4 = 1
+  IMPLICIT = 2
+  IMPLICITFAST = 3
+
+
+class ConeType(enum.IntEnum):
+  PYRAMIDAL = 0
+  ELLIPTIC = 1
+
+
+class SolverType(enum.IntEnum):
+  PGS = 0
+  CG = 1
+  NEWTON = 2
+
+
+class EqType(enum.IntEnum):
+  CONNECT = 0
+  WELD = 1
+  JOINT = 2
+  TENDON = 3
+  FLEX = 4
+
+
+class TrnType(enum.IntEnum):
+  JOINT = 0
+  JOINTINPARENT = 1
+  SLIDERCRANK = 2
+  TENDON = 3
+  SITE = 4
+  BODY = 5
+
+
+class DynType(enum.IntEnum):
+  NONE = 0
+  INTEGRATOR = 1
+  FILTER = 2
+  FILTEREXACT = 3
+  MUSCLE = 4
+  USER = 5
+
+
+class GainType(enum.IntEnum):
+  FIXED = 0
+  AFFINE = 1
+  MUSCLE = 2
+  USER = 3
+
+
+class BiasType(enum.IntEnum):
+  NONE = 0
+  AFFINE = 1
+  MUSCLE = 2
+  USER = 3
+
+
+class WrapType(enum.IntEnum):
+  JOINT = 1
+  PULLEY = 2
+  SITE = 3
+  SPHERE = 4
+  CYLINDER = 5
+
+
+class DisableBit(enum.IntFlag):
+  """Disable flags, matching mjtDisableBit (mjtype.h)."""
+  CONSTRAINT = 1 << 0
+  EQUALITY = 1 << 1
+  FRICTIONLOSS = 1 << 2
+  LIMIT = 1 << 3
+  CONTACT = 1 << 4
+  PASSIVE = 1 << 5
+  GRAVITY = 1 << 6
+  CLAMPCTRL = 1 << 7
+  WARMSTART = 1 << 8
+  FILTERPARENT = 1 << 9
+  ACTUATION = 1 << 10
+  REFSAFE = 1 << 11
+  SENSOR = 1 << 12
+
+
+class SensorType(enum.IntEnum):
+  """Subset of mjtSensor implemented so far (mjtype.h:326-399)."""
+  TOUCH = 0
+  ACCELEROMETER = 1
+  VELOCIMETER = 2
+  GYRO = 3
+  FORCE = 4
+  TORQUE = 5
+  MAGNETOMETER = 6
+  RANGEFINDER = 7
+  JOINTPOS = 8
+  JOINTVEL = 9
+  TENDONPOS = 10
+  TENDONVEL = 11
+  ACTUATORPOS = 12
+  ACTUATORVEL = 13
+  ACTUATORFRC = 14
+  BALLQUAT = 15
+  BALLANGVEL = 16
+  JOINTLIMITPOS = 17
+  JOINTLIMITVEL = 18
+  JOINTLIMITFRC = 19
+  TENDONLIMITPOS = 20
+  TENDONLIMITVEL = 21
+  TENDONLIMITFRC = 22
+  FRAMEPOS = 23
+  FRAMEQUAT = 24
+  FRAMEXAXIS = 25
+  FRAMEYAXIS = 26
+  FRAMEZAXIS = 27
+  FRAMELINVEL = 28
+  FRAMEANGVEL = 29
+  FRAMELINACC = 30
+  FRAMEANGACC = 31
+  SUBTREECOM = 32
+  SUBTREELINVEL = 33
+  SUBTREEANGMOM = 34
+  ACTUATORACTIVATION = 36
+  JOINTACTFRC = 40
+  CLOCK = 44
+
+
+# ---------------------------------------------------------------------------
+# Option
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Option:
+  """Physics options, mirroring mjOption (mjmodel.h:83-129).
+
+  Scalars that select code paths (integrator, cone, solver, flags, iteration
+  budgets) are static; continuous parameters are traced leaves.
+  """
+  # numeric (traced)
+  timestep: jax.Array
+  gravity: jax.Array           # (3,)
+  wind: jax.Array              # (3,)
+  magnetic: jax.Array          # (3,)
+  density: jax.Array
+  viscosity: jax.Array
+  impratio: jax.Array
+  tolerance: jax.Array
+  ls_tolerance: jax.Array
+  # static (structural)
+  integrator: int = static_field(default=int(Integrator.EULER))
+  cone: int = static_field(default=int(ConeType.PYRAMIDAL))
+  solver: int = static_field(default=int(SolverType.NEWTON))
+  iterations: int = static_field(default=100)
+  ls_iterations: int = static_field(default=50)
+  disableflags: int = static_field(default=0)
+  enableflags: int = static_field(default=0)
+
+
+# ---------------------------------------------------------------------------
+# Static metadata computed at put_model time
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class TreeTopology:
+  """Dense topology masks + per-level tables derived from body_parentid.
+
+  These replace the reference's sparse tree recursions with masked dense
+  linear algebra (TPU-first redesign of engine_core_smooth.c's loops):
+
+    ancestor_mask[b, v] = 1 iff dof v supports body b (v on path root→b)
+    subtree_mask[b, c]  = 1 iff body c is in the subtree of body b
+    levels: tuple of numpy index arrays, bodies grouped by tree depth
+  """
+  ancestor_mask: np.ndarray = static_field()     # (nbody, nv) bool
+  subtree_mask: np.ndarray = static_field()      # (nbody, nbody) bool
+  levels: Tuple[np.ndarray, ...] = static_field()
+  dof_ancestor_mask: np.ndarray = static_field() # (nv, nv) bool: j anc-or-self of i
+  # cdofdot_mask[j, k]: dof k's velocity contributes to d/dt cdof_j, matching
+  # the accumulation order of mj_comVel (engine_core_smooth.c:2179): strict
+  # tree-predecessors, excluding same-joint dofs for ball/free rotations
+  # (which all use the pre-joint velocity) but including same-joint free
+  # translations; all-false rows for free translation dofs (cdofdot = 0).
+  cdofdot_mask: np.ndarray = static_field()      # (nv, nv) bool
+
+
+@pytree_dataclass
+class ContactMeta:
+  """Static contact slot layout (computed once from geom pair filtering).
+
+  Fixed-shape contact output is the TPU analog of the reference's dynamic
+  contact array; precedent: MJX's static type-grouped dispatch and
+  max_contact_points (/root/reference/mjx/mujoco/mjx/_src/collision_driver.py).
+  Every potential geom pair owns fixed contact slots; inactive slots carry
+  dist > 0 and are masked out of the solver.
+  """
+  ncon: int = static_field()                 # total contact slots
+  geom1: np.ndarray = static_field()         # (ncon,) geom id per slot
+  geom2: np.ndarray = static_field()
+  pair_type: np.ndarray = static_field()     # (ncon, 2) geom types
+  condim: np.ndarray = static_field()        # (ncon,)
+  # explicit <pair> overrides: -1 = combine from geoms, else pair index
+  pairid: np.ndarray = static_field()
+
+
+@pytree_dataclass
+class EfcMeta:
+  """Static constraint-row layout (fixed-shape efc arrays).
+
+  Mirrors the row taxonomy of mj_makeConstraint
+  (/root/reference/src/engine/engine_core_constraint.c) with compile-time
+  sizes: equality, dof friction, limits, contacts.
+  """
+  nefc: int = static_field()
+  # row type per efc row: 0=equality, 1=friction, 2=limit, 3=contact-normal,
+  # 4=contact-friction (elliptic) / pyramid edge
+  ne: int = static_field()     # equality rows
+  nf: int = static_field()     # friction rows
+  nl: int = static_field()     # limit rows
+  ncon_rows: int = static_field()  # contact rows
+  # friction rows: dof index per row (-1 if tendon), tendon idx
+  friction_dof: np.ndarray = static_field()
+  friction_ten: np.ndarray = static_field()
+  # limit rows: jnt idx (-1 if tendon row), tendon idx
+  limit_jnt: np.ndarray = static_field()
+  limit_ten: np.ndarray = static_field()
+  # contact rows: which contact slot each row belongs to, and row-within-slot
+  con_id: np.ndarray = static_field()
+  con_row: np.ndarray = static_field()
+  # per contact slot: address of its first row, number of rows
+  con_efcadr: np.ndarray = static_field()
+  con_nrow: np.ndarray = static_field()
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Model:
+  """Immutable model: sizes + topology (static) and parameters (traced).
+
+  Counterpart of mjModel (mjmodel.h:242). Numeric leaves may carry a leading
+  batch dimension under vmap for domain randomization.
+  """
+  # ----- sizes (static)
+  nq: int = static_field()
+  nv: int = static_field()
+  nu: int = static_field()
+  na: int = static_field()
+  nbody: int = static_field()
+  njnt: int = static_field()
+  ngeom: int = static_field()
+  nsite: int = static_field()
+  neq: int = static_field()
+  ntendon: int = static_field()
+  nwrap: int = static_field()
+  nsensor: int = static_field()
+  nsensordata: int = static_field()
+  nmocap: int = static_field()
+
+  opt: Option = field()
+
+  # ----- derived static metadata
+  tree: TreeTopology = field()
+  con: ContactMeta = field()
+  efc: EfcMeta = field()
+
+  # ----- qpos defaults
+  qpos0: jax.Array = field()
+  qpos_spring: jax.Array = field()
+
+  # ----- bodies
+  body_parentid: np.ndarray = static_field()
+  body_rootid: np.ndarray = static_field()
+  body_weldid: np.ndarray = static_field()
+  body_jntnum: np.ndarray = static_field()
+  body_jntadr: np.ndarray = static_field()
+  body_dofnum: np.ndarray = static_field()
+  body_dofadr: np.ndarray = static_field()
+  body_geomnum: np.ndarray = static_field()
+  body_geomadr: np.ndarray = static_field()
+  body_mocapid: np.ndarray = static_field()
+  body_pos: jax.Array = field()
+  body_quat: jax.Array = field()
+  body_ipos: jax.Array = field()
+  body_iquat: jax.Array = field()
+  body_mass: jax.Array = field()
+  body_subtreemass: jax.Array = field()
+  body_inertia: jax.Array = field()
+  body_invweight0: jax.Array = field()
+  body_gravcomp: jax.Array = field()
+
+  # ----- joints
+  jnt_type: np.ndarray = static_field()
+  jnt_qposadr: np.ndarray = static_field()
+  jnt_dofadr: np.ndarray = static_field()
+  jnt_bodyid: np.ndarray = static_field()
+  jnt_limited: np.ndarray = static_field()
+  jnt_actfrclimited: np.ndarray = static_field()
+  jnt_solref: jax.Array = field()
+  jnt_solimp: jax.Array = field()
+  jnt_pos: jax.Array = field()
+  jnt_axis: jax.Array = field()
+  jnt_stiffness: jax.Array = field()
+  jnt_range: jax.Array = field()
+  jnt_actfrcrange: jax.Array = field()
+  jnt_margin: jax.Array = field()
+
+  # ----- dofs
+  dof_bodyid: np.ndarray = static_field()
+  dof_jntid: np.ndarray = static_field()
+  dof_parentid: np.ndarray = static_field()
+  dof_armature: jax.Array = field()
+  dof_damping: jax.Array = field()
+  dof_invweight0: jax.Array = field()
+  dof_frictionloss: jax.Array = field()
+  dof_solref: jax.Array = field()
+  dof_solimp: jax.Array = field()
+
+  # ----- geoms
+  geom_type: np.ndarray = static_field()
+  geom_contype: np.ndarray = static_field()
+  geom_conaffinity: np.ndarray = static_field()
+  geom_condim: np.ndarray = static_field()
+  geom_bodyid: np.ndarray = static_field()
+  geom_dataid: np.ndarray = static_field()
+  geom_priority: np.ndarray = static_field()
+  geom_solmix: jax.Array = field()
+  geom_solref: jax.Array = field()
+  geom_solimp: jax.Array = field()
+  geom_size: jax.Array = field()
+  geom_rbound: jax.Array = field()
+  geom_pos: jax.Array = field()
+  geom_quat: jax.Array = field()
+  geom_friction: jax.Array = field()
+  geom_margin: jax.Array = field()
+  geom_gap: jax.Array = field()
+
+  # ----- sites
+  site_bodyid: np.ndarray = static_field()
+  site_pos: jax.Array = field()
+  site_quat: jax.Array = field()
+
+  # ----- equality constraints
+  eq_type: np.ndarray = static_field()
+  eq_obj1id: np.ndarray = static_field()
+  eq_obj2id: np.ndarray = static_field()
+  eq_objtype: np.ndarray = static_field()
+  eq_active0: np.ndarray = static_field()
+  eq_solref: jax.Array = field()
+  eq_solimp: jax.Array = field()
+  eq_data: jax.Array = field()
+
+  # ----- tendons
+  tendon_adr: np.ndarray = static_field()
+  tendon_num: np.ndarray = static_field()
+  tendon_limited: np.ndarray = static_field()
+  tendon_solref_lim: jax.Array = field()
+  tendon_solimp_lim: jax.Array = field()
+  tendon_range: jax.Array = field()
+  tendon_margin: jax.Array = field()
+  tendon_stiffness: jax.Array = field()
+  tendon_damping: jax.Array = field()
+  tendon_frictionloss: jax.Array = field()
+  tendon_lengthspring: jax.Array = field()
+  tendon_length0: jax.Array = field()
+  tendon_invweight0: jax.Array = field()
+  wrap_type: np.ndarray = static_field()
+  wrap_objid: np.ndarray = static_field()
+  wrap_prm: jax.Array = field()
+
+  # ----- actuators
+  actuator_trntype: np.ndarray = static_field()
+  actuator_dyntype: np.ndarray = static_field()
+  actuator_gaintype: np.ndarray = static_field()
+  actuator_biastype: np.ndarray = static_field()
+  actuator_trnid: np.ndarray = static_field()
+  actuator_actadr: np.ndarray = static_field()
+  actuator_actnum: np.ndarray = static_field()
+  actuator_ctrllimited: np.ndarray = static_field()
+  actuator_forcelimited: np.ndarray = static_field()
+  actuator_actlimited: np.ndarray = static_field()
+  actuator_actearly: np.ndarray = static_field()
+  actuator_dynprm: jax.Array = field()
+  actuator_gainprm: jax.Array = field()
+  actuator_biasprm: jax.Array = field()
+  actuator_ctrlrange: jax.Array = field()
+  actuator_forcerange: jax.Array = field()
+  actuator_actrange: jax.Array = field()
+  actuator_gear: jax.Array = field()
+  actuator_cranklength: jax.Array = field()
+  actuator_acc0: jax.Array = field()
+  actuator_lengthrange: jax.Array = field()
+
+  # ----- sensors
+  sensor_type: np.ndarray = static_field()
+  sensor_datatype: np.ndarray = static_field()
+  sensor_needstage: np.ndarray = static_field()
+  sensor_objtype: np.ndarray = static_field()
+  sensor_objid: np.ndarray = static_field()
+  sensor_reftype: np.ndarray = static_field()
+  sensor_refid: np.ndarray = static_field()
+  sensor_dim: np.ndarray = static_field()
+  sensor_adr: np.ndarray = static_field()
+  sensor_cutoff: jax.Array = field()
+
+  def disabled(self, bit: DisableBit) -> bool:
+    return bool(self.opt.disableflags & bit)
+
+
+# ---------------------------------------------------------------------------
+# Contact + Data
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Contact:
+  """Fixed-shape contact arrays; slot layout is in Model.con.
+
+  Counterpart of mjContact (mjdata.h:37). ``dist > includemargin`` marks a
+  slot inactive. frame[..., 0, :] is the contact normal (c1→c2), rows 1-2 the
+  tangents, matching the reference's frame convention.
+  """
+  dist: jax.Array          # (ncon,)
+  pos: jax.Array           # (ncon, 3)
+  frame: jax.Array         # (ncon, 3, 3)
+  includemargin: jax.Array # (ncon,)
+  friction: jax.Array      # (ncon, 5)
+  solref: jax.Array        # (ncon, 2)
+  solreffriction: jax.Array  # (ncon, 2)
+  solimp: jax.Array        # (ncon, 5)
+
+
+@pytree_dataclass
+class Data:
+  """State + computed quantities for one env; vmap for batches.
+
+  Counterpart of mjData (mjdata.h:99); the arena/stack allocator disappears —
+  XLA owns buffers. Every stage of forward() consumes and produces a Data.
+  """
+  # state (mjSTATE_INTEGRATION analog, mjtype.h:501-526)
+  time: jax.Array
+  qpos: jax.Array
+  qvel: jax.Array
+  act: jax.Array
+  ctrl: jax.Array
+  qfrc_applied: jax.Array
+  xfrc_applied: jax.Array      # (nbody, 6)
+  eq_active: jax.Array         # (neq,) bool
+  mocap_pos: jax.Array         # (nmocap, 3)
+  mocap_quat: jax.Array        # (nmocap, 4)
+  qacc_warmstart: jax.Array
+
+  # position-stage products
+  xpos: jax.Array              # (nbody, 3)
+  xquat: jax.Array             # (nbody, 4)
+  xmat: jax.Array              # (nbody, 3, 3)
+  xipos: jax.Array             # (nbody, 3)
+  ximat: jax.Array             # (nbody, 3, 3)
+  xanchor: jax.Array           # (njnt, 3)
+  xaxis: jax.Array             # (njnt, 3)
+  geom_xpos: jax.Array         # (ngeom, 3)
+  geom_xmat: jax.Array         # (ngeom, 3, 3)
+  site_xpos: jax.Array         # (nsite, 3)
+  site_xmat: jax.Array         # (nsite, 3, 3)
+  subtree_com: jax.Array       # (nbody, 3)
+  cinert: jax.Array            # (nbody, 6, 6) spatial inertia, c-frame
+  cdof: jax.Array              # (nv, 6) motion axes, c-frame
+  crb: jax.Array               # (nbody, 6, 6) composite rigid body inertia
+  qM: jax.Array                # (nv, nv) dense joint-space inertia
+  qLD: jax.Array               # (nv, nv) Cholesky factor of qM
+  qLDiagInv: jax.Array         # (nv,) unused in dense mode; kept for parity
+  ten_length: jax.Array        # (ntendon,)
+  ten_J: jax.Array             # (ntendon, nv)
+  actuator_length: jax.Array   # (nu,)
+  actuator_moment: jax.Array   # (nu, nv)
+  contact: Contact = field()
+
+  # velocity-stage products
+  cvel: jax.Array              # (nbody, 6)
+  cdof_dot: jax.Array          # (nv, 6)
+  qfrc_bias: jax.Array         # (nv,)
+  ten_velocity: jax.Array      # (ntendon,)
+  actuator_velocity: jax.Array # (nu,)
+  qfrc_spring: jax.Array
+  qfrc_damper: jax.Array
+  qfrc_gravcomp: jax.Array
+  qfrc_fluid: jax.Array
+  qfrc_passive: jax.Array
+
+  # actuation-stage products
+  act_dot: jax.Array
+  actuator_force: jax.Array    # (nu,)
+  qfrc_actuator: jax.Array
+
+  # acceleration-stage products
+  qfrc_smooth: jax.Array
+  qacc_smooth: jax.Array
+
+  # constraint-stage products (fixed-shape rows; layout in Model.efc)
+  efc_J: jax.Array             # (nefc, nv)
+  efc_pos: jax.Array           # (nefc,)
+  efc_margin: jax.Array
+  efc_D: jax.Array             # (nefc,) inverse regularizer
+  efc_R: jax.Array             # (nefc,)
+  efc_aref: jax.Array
+  efc_frictionloss: jax.Array
+  efc_active: jax.Array        # (nefc,) bool: row exists this step
+  efc_force: jax.Array
+  qfrc_constraint: jax.Array
+  qacc: jax.Array
+
+  # sensors & diagnostics
+  sensordata: jax.Array
+  energy: jax.Array            # (2,) potential, kinetic
+  solver_niter: jax.Array      # iterations taken by the constraint solver

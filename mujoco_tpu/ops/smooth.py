@@ -1,0 +1,300 @@
+"""Smooth (unconstrained) dynamics: FK, CoM frames, CRB inertia, RNE.
+
+TPU-first redesign of /root/reference/src/engine/engine_core_smooth.c.
+Instead of the reference's per-body tree recursions and sparse L'DL', tree
+structure is baked into *static dense masks* (Model.tree) so that every
+downstream quantity is a masked dense contraction the MXU can eat:
+
+  cvel      = (ancestor_mask ⊙ qvel) @ cdof                (nbody,6)
+  qM        = mask ⊙ (cdof crb cdofᵀ), one (nv,6)x(6,nv) matmul
+  cdof_dot  = (cdofdot_mask ⊙ qvel) @ cdof, crossed with cdof
+  rne       = two masked (nbody,6)-contractions
+
+Only forward kinematics itself remains level-sequential (it is a prefix
+product down the tree); levels are static python loops over numpy index
+tables, so each level is one fused vectorized block under jit.
+
+All functions are single-env; batch via vmap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import Data, DisableBit, JointType, Model
+from mujoco_tpu.utils import math as mjm
+
+
+def _take_qpos(qpos, qadr: np.ndarray, width: int, nq: int):
+  """Gather fixed-width qpos windows at static addresses (clipped)."""
+  idx = np.minimum(qadr[:, None] + np.arange(width)[None, :], nq - 1)
+  return qpos[idx]
+
+
+def normalize_qpos(m: Model, qpos):
+  """Normalize ball/free quaternions in qpos (mj_normalizeQuat analog)."""
+  quat_adr = []
+  for j in range(m.njnt):
+    if m.jnt_type[j] == JointType.BALL:
+      quat_adr.append(m.jnt_qposadr[j])
+    elif m.jnt_type[j] == JointType.FREE:
+      quat_adr.append(m.jnt_qposadr[j] + 3)
+  if not quat_adr:
+    return qpos
+  idx = np.array(quat_adr, dtype=np.int32)[:, None] + np.arange(4)[None, :]
+  quats = mjm.normalize(qpos[idx])
+  return qpos.at[idx.ravel()].set(quats.ravel())
+
+
+def kinematics(m: Model, d: Data) -> Data:
+  """Forward kinematics (mj_kinematics, engine_core_smooth.c).
+
+  Level-synchronous: bodies grouped by tree depth; within a level all bodies
+  are processed as one vectorized block, folding each body's joints with a
+  static inner loop and branchless type selection.
+  """
+  dtype = d.qpos.dtype
+  qpos = normalize_qpos(m, d.qpos)
+  qpos0 = m.qpos0
+
+  nb = m.nbody
+  xpos = jnp.zeros((nb, 3), dtype=dtype)
+  xquat = jnp.zeros((nb, 4), dtype=dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype=dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype=dtype)
+
+  for bids in m.tree.levels:
+    pid = m.body_parentid[bids]
+    pq = xquat[pid]
+    pp = xpos[pid]
+
+    # body reference frame composed with parent
+    body_pos = m.body_pos[bids]
+    body_quat = m.body_quat[bids]
+    # mocap override (body_mocapid >= 0): positions come from d.mocap_*
+    mocapid = m.body_mocapid[bids]
+    if (mocapid >= 0).any():
+      is_mocap = jnp.asarray(mocapid >= 0)
+      midx = np.maximum(mocapid, 0)
+      body_pos = jnp.where(is_mocap[:, None], d.mocap_pos[midx], body_pos)
+      body_quat = jnp.where(is_mocap[:, None],
+                            mjm.normalize(d.mocap_quat[midx]), body_quat)
+
+    bq = mjm.normalize(mjm.mul_quat(pq, body_quat))
+    bp = pp + mjm.rot_vec_quat(body_pos, pq)
+
+    jnum = m.body_jntnum[bids]
+    jadr = m.body_jntadr[bids]
+    for k in range(int(jnum.max()) if len(jnum) else 0):
+      has = k < jnum                      # static numpy bool per body
+      jid = np.where(has, jadr + k, 0)
+      jt = np.where(has, m.jnt_type[jid], -1)
+      qadr = m.jnt_qposadr[jid]
+
+      axis_w = mjm.rot_vec_quat(m.jnt_axis[jid], bq)
+      anchor = bp + mjm.rot_vec_quat(m.jnt_pos[jid], bq)
+
+      q1 = qpos[np.minimum(qadr, m.nq - 1)]
+
+      # slide
+      slide_p = bp + axis_w * (q1 - qpos0[np.minimum(qadr, m.nq - 1)])[:, None]
+
+      # hinge
+      qloc_h = mjm.axis_angle_to_quat(
+          m.jnt_axis[jid], q1 - qpos0[np.minimum(qadr, m.nq - 1)])
+      # ball
+      qloc_b = mjm.normalize(_take_qpos(qpos, qadr, 4, m.nq))
+      is_ball = jnp.asarray(jt == JointType.BALL)
+      qloc = jnp.where(is_ball[:, None], qloc_b, qloc_h)
+      rot_q = mjm.mul_quat(bq, qloc)
+      rot_p = anchor - mjm.rot_vec_quat(m.jnt_pos[jid], rot_q)
+
+      # free
+      q7 = _take_qpos(qpos, qadr, 7, m.nq)
+      free_p = q7[:, :3]
+      free_q = mjm.normalize(q7[:, 3:7])
+      free_anchor = free_p
+
+      is_rot = jnp.asarray((jt == JointType.BALL) | (jt == JointType.HINGE))
+      is_slide = jnp.asarray(jt == JointType.SLIDE)
+      is_free = jnp.asarray(jt == JointType.FREE)
+
+      bp = jnp.where(is_slide[:, None], slide_p, bp)
+      bp = jnp.where(is_rot[:, None], rot_p, bp)
+      bp = jnp.where(is_free[:, None], free_p, bp)
+      bq = jnp.where(is_rot[:, None], rot_q, bq)
+      bq = jnp.where(is_free[:, None], free_q, bq)
+
+      anchor = jnp.where(is_free[:, None], free_anchor, anchor)
+      axis_out = jnp.where(is_free[:, None], m.jnt_axis[jid], axis_w)
+
+      sel = np.nonzero(has)[0]
+      if len(sel):
+        xanchor = xanchor.at[jid[sel]].set(anchor[sel])
+        xaxis = xaxis.at[jid[sel]].set(axis_out[sel])
+
+    bq = mjm.normalize(bq)
+    xpos = xpos.at[bids].set(bp)
+    xquat = xquat.at[bids].set(bq)
+
+  xmat = mjm.quat_to_mat(xquat)
+  xipos = xpos + mjm.rot_vec_quat(m.body_ipos, xquat)
+  ximat = mjm.quat_to_mat(mjm.mul_quat(xquat, m.body_iquat))
+
+  gb = m.geom_bodyid
+  geom_xpos = xpos[gb] + mjm.rot_vec_quat(m.geom_pos, xquat[gb])
+  geom_xmat = mjm.quat_to_mat(mjm.mul_quat(xquat[gb], m.geom_quat))
+  sb = m.site_bodyid
+  site_xpos = xpos[sb] + mjm.rot_vec_quat(m.site_pos, xquat[sb])
+  site_xmat = mjm.quat_to_mat(mjm.mul_quat(xquat[sb], m.site_quat))
+
+  return d.replace(qpos=qpos, xpos=xpos, xquat=xquat, xmat=xmat,
+                   xipos=xipos, ximat=ximat, xanchor=xanchor, xaxis=xaxis,
+                   geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+                   site_xpos=site_xpos, site_xmat=site_xmat)
+
+
+def com_pos(m: Model, d: Data) -> Data:
+  """Subtree CoM, c-frame spatial inertias, and dof motion axes (mj_comPos).
+
+  The backward accumulation becomes one subtree-mask matmul; cinert is stored
+  as a full 6x6 spatial inertia (vs the reference's packed 10-vector) so CRB
+  and RNE are straight matmuls.
+  """
+  dtype = d.qpos.dtype
+  sub = jnp.asarray(m.tree.subtree_mask, dtype=dtype)      # (nbody, nbody)
+  moment = m.body_mass[:, None] * d.xipos                  # (nbody, 3)
+  subtree_com = sub @ moment / jnp.maximum(
+      m.body_subtreemass, mjm.MINVAL)[:, None]
+  subtree_com = jnp.where((m.body_subtreemass > mjm.MINVAL)[:, None],
+                          subtree_com, d.xipos)
+
+  root_com = subtree_com[m.body_rootid]                    # (nbody, 3)
+  offset = d.xipos - root_com
+  cinert = mjm.spatial_inertia(m.body_mass, m.body_inertia, d.ximat, offset)
+  cinert = cinert.at[0].set(0.0)
+
+  # cdof per dof: axes depend on joint type (static per dof)
+  jnt_of_dof = m.dof_jntid
+  jtype = m.jnt_type[jnt_of_dof]                           # static numpy (nv,)
+  bodyid = m.dof_bodyid
+  anchor = d.xanchor[jnt_of_dof]
+  off_ca = subtree_com[m.body_rootid[bodyid]] - anchor     # com - anchor
+
+  # within-joint dof offset (static)
+  dof_in_jnt = np.arange(m.nv) - m.jnt_dofadr[jnt_of_dof]
+
+  # rotational axis candidates: xaxis for hinge, child-frame axes for
+  # ball/free-rotation (xmat columns)
+  axis_col = np.where(jtype == JointType.FREE, dof_in_jnt - 3, dof_in_jnt)
+  axis_col = np.clip(axis_col, 0, 2)
+  frame_axis = d.xmat[bodyid][np.arange(m.nv), :, axis_col]   # (nv, 3)
+  hinge_axis = d.xaxis[jnt_of_dof]
+
+  is_hinge = jnp.asarray(jtype == JointType.HINGE)
+  is_slide = jnp.asarray(jtype == JointType.SLIDE)
+  is_free_trans = jnp.asarray((jtype == JointType.FREE) & (dof_in_jnt < 3))
+
+  rot_axis = jnp.where(is_hinge[:, None], hinge_axis, frame_axis)
+  cdof_rot = jnp.concatenate([rot_axis, jnp.cross(rot_axis, off_ca)], axis=-1)
+
+  world_axes = jnp.eye(3, dtype=dtype)[np.clip(dof_in_jnt, 0, 2)]
+  slide_lin = jnp.where(is_free_trans[:, None], world_axes, hinge_axis)
+  cdof_lin = jnp.concatenate([jnp.zeros_like(slide_lin), slide_lin], axis=-1)
+
+  use_lin = is_slide | is_free_trans
+  cdof = jnp.where(use_lin[:, None], cdof_lin, cdof_rot)
+
+  return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
+
+
+def crb(m: Model, d: Data) -> Data:
+  """Composite rigid-body inertia and dense joint-space inertia matrix.
+
+  mj_crb + mj_makeM (engine_core_smooth.c) reduced to masked matmuls:
+  crb[b] = Σ_subtree cinert; M[i,j] = cdof_jᵀ crb[body_i] cdof_i on the
+  dof-ancestor sparsity pattern, computed dense and symmetrized.
+  """
+  dtype = d.qpos.dtype
+  sub = jnp.asarray(m.tree.subtree_mask, dtype=dtype)
+  crb_ = jnp.einsum('bc,cij->bij', sub, d.cinert)
+
+  u = jnp.einsum('vij,vj->vi', crb_[m.dof_bodyid], d.cdof)  # (nv, 6)
+  p = u @ d.cdof.T                                          # (nv, nv)
+  danc = jnp.asarray(m.tree.dof_ancestor_mask, dtype=bool)
+  qm = jnp.where(danc, p, 0.0)
+  qm = qm + qm.T - jnp.diag(jnp.diag(p))
+  qm = qm + jnp.diag(m.dof_armature)
+  return d.replace(crb=crb_, qM=qm)
+
+
+def factor_m(m: Model, d: Data) -> Data:
+  """Dense Cholesky of qM (replaces the reference's sparse L'DL',
+  mj_factorM). TPUs prefer dense at humanoid scale (nv≲64); see SURVEY §7."""
+  qld = jnp.linalg.cholesky(d.qM)
+  return d.replace(qLD=qld)
+
+
+def solve_m(m: Model, d: Data, y):
+  """M⁻¹ y via the cached Cholesky factor (mj_solveM). y: (..., nv)."""
+  sol = jax.scipy.linalg.cho_solve((d.qLD, True), y[..., None])
+  return sol[..., 0]
+
+
+def com_vel(m: Model, d: Data) -> Data:
+  """Body spatial velocities + cdof time-derivatives (mj_comVel).
+
+  Dense form: cvel = (anc ⊙ qvel) @ cdof; cdof_dot_j = v_pred(j) × cdof_j
+  with v_pred the masked predecessor velocity (Model.tree.cdofdot_mask
+  encodes mj_comVel's exact accumulation order — see engine_core_smooth.c:2179).
+  """
+  dtype = d.qpos.dtype
+  anc = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+  cvel = (anc * d.qvel[None, :]) @ d.cdof                  # (nbody, 6)
+
+  pred = jnp.asarray(m.tree.cdofdot_mask, dtype=dtype)
+  v_pred = (pred * d.qvel[None, :]) @ d.cdof               # (nv, 6)
+  cdof_dot = mjm.motion_cross(v_pred, d.cdof)
+  return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+def rne(m: Model, d: Data, flg_acc: bool = False):
+  """Recursive Newton-Euler → qfrc_bias (mj_rne, engine_core_smooth.c:2328),
+  as three masked dense contractions (no tree recursion):
+
+    cacc[b]  = base + Σ_anc (cdof_dot qvel [+ cdof qacc]),  base = (0; −g)
+    f[b]     = I_b cacc_b + v_b ×* (I_b v_b)
+    result_v = Σ_{b ∈ subtree(body_v)} cdof_v · f_b
+  """
+  dtype = d.qpos.dtype
+  anc = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+
+  base = jnp.zeros((6,), dtype=dtype)
+  if not m.disabled(DisableBit.GRAVITY):
+    base = base.at[3:].set(-m.opt.gravity)
+
+  cacc = base[None, :] + (anc * d.qvel[None, :]) @ d.cdof_dot
+  if flg_acc:
+    cacc = cacc + (anc * d.qacc[None, :]) @ d.cdof
+
+  icvel = jnp.einsum('bij,bj->bi', d.cinert, d.cvel)
+  f = jnp.einsum('bij,bj->bi', d.cinert, cacc) + mjm.force_cross(d.cvel, icvel)
+
+  # accumulate subtree forces onto each dof's body, then project on cdof
+  tmp = anc.T @ f                                          # (nv, 6)
+  return jnp.sum(tmp * d.cdof, axis=-1)
+
+
+def com_acc(m: Model, d: Data):
+  """Body spatial accelerations given qacc (used by acc-stage sensors and
+  rnePostConstraint analog)."""
+  dtype = d.qpos.dtype
+  anc = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+  base = jnp.zeros((6,), dtype=dtype)
+  if not m.disabled(DisableBit.GRAVITY):
+    base = base.at[3:].set(-m.opt.gravity)
+  cacc = (base[None, :] + (anc * d.qvel[None, :]) @ d.cdof_dot
+          + (anc * d.qacc[None, :]) @ d.cdof)
+  return cacc

@@ -1,0 +1,194 @@
+"""Quaternion and spatial (6D) algebra.
+
+Conventions follow the reference engine so intermediate quantities can be
+diff-tested against it (/root/reference/src/engine/engine_util_spatial.c):
+
+  * quaternions are (w, x, y, z), unit norm;
+  * spatial motion/force vectors are 6D with the ANGULAR part first:
+    v = (omega; v_lin), f = (torque; force);
+  * spatial inertia is a 6x6 symmetric matrix in the same ordering.
+
+Everything is shape-polymorphic over leading batch dims where noted and works
+under vmap. No data-dependent control flow anywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Universal small-denominator clamp, mirroring mjMINVAL
+# (/root/reference/include/mujoco/mjtype.h).
+MINVAL = 1e-15
+
+
+def norm_safe(x, axis=-1, keepdims=False):
+  """L2 norm, safe to differentiate at 0."""
+  sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+  return jnp.sqrt(jnp.maximum(sq, MINVAL * MINVAL))
+
+
+def normalize(x, axis=-1):
+  return x / norm_safe(x, axis=axis, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Quaternions
+# ---------------------------------------------------------------------------
+
+
+def cos_accurate(x):
+  """cos via 1 − 2·sin²(x/2).
+
+  Works around an XLA CPU backend defect (jax 0.9.0): f64 cos on scalars /
+  size-1 arrays goes through a path with only f32 accuracy (~1.5e-8 error),
+  while sin is exact at every shape. The identity keeps full f64 precision
+  and costs one extra multiply.
+  """
+  s = jnp.sin(0.5 * x)
+  return 1.0 - 2.0 * s * s
+
+
+def mul_quat(q1, q2):
+  """Hamilton product q1 ⊗ q2 (mju_mulQuat)."""
+  w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+  w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+  return jnp.stack(
+      [
+          w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+          w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+          w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+          w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+      ],
+      axis=-1,
+  )
+
+
+def conj_quat(q):
+  return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def rot_vec_quat(v, q):
+  """Rotate 3-vector v by quaternion q (mju_rotVecQuat)."""
+  # v' = v + 2*r x (r x v + w*v) with q = (w, r)
+  w = q[..., :1]
+  r = q[..., 1:]
+  cross1 = jnp.cross(r, v) + w * v
+  return v + 2.0 * jnp.cross(r, cross1)
+
+
+def quat_to_mat(q):
+  """Quaternion to 3x3 rotation matrix (mju_quat2Mat)."""
+  w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+  xx, yy, zz = x * x, y * y, z * z
+  xy, xz, yz = x * y, x * z, y * z
+  wx, wy, wz = w * x, w * y, w * z
+  m = jnp.stack(
+      [
+          1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+          2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+          2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+      ],
+      axis=-1,
+  )
+  return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def axis_angle_to_quat(axis, angle):
+  """Unit axis + angle to quaternion (mju_axisAngle2Quat)."""
+  half = 0.5 * angle
+  s = jnp.sin(half)
+  return jnp.concatenate(
+      [cos_accurate(half)[..., None], axis * s[..., None]], axis=-1)
+
+
+def quat_integrate(q, omega, dt):
+  """Integrate quaternion by local-frame angular velocity over dt.
+
+  Mirrors mju_quatIntegrate (/root/reference/src/engine/engine_util_spatial.c):
+  q' = q ⊗ exp(omega * dt / 2), exact exponential map.
+  """
+  angle = norm_safe(omega) * dt
+  axis = normalize(omega)
+  dq = axis_angle_to_quat(axis, angle)
+  return normalize(mul_quat(q, dq))
+
+
+def quat_sub(qa, qb):
+  """Velocity-space difference: 3D rotation taking qb to qa (mju_subQuat)."""
+  qd = mul_quat(conj_quat(qb), qa)
+  # log map: axis * 2*atan2(|r|, w)
+  sin_half = norm_safe(qd[..., 1:])
+  angle = 2.0 * jnp.arctan2(sin_half, qd[..., 0])
+  # wrap to [-pi, pi] branch of the exp map
+  angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+  return normalize(qd[..., 1:]) * angle[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Spatial algebra (angular-first 6D vectors)
+# ---------------------------------------------------------------------------
+
+
+def motion_cross(v, m):
+  """Spatial cross product of motion vectors: v x m (mju_crossMotion)."""
+  w, u = v[..., :3], v[..., 3:]
+  mw, mu = m[..., :3], m[..., 3:]
+  return jnp.concatenate(
+      [jnp.cross(w, mw), jnp.cross(w, mu) + jnp.cross(u, mw)], axis=-1)
+
+
+def force_cross(v, f):
+  """Spatial cross product applied to a force: v x* f (mju_crossForce)."""
+  w, u = v[..., :3], v[..., 3:]
+  n, g = f[..., :3], f[..., 3:]
+  return jnp.concatenate(
+      [jnp.cross(w, n) + jnp.cross(u, g), jnp.cross(w, g)], axis=-1)
+
+
+def skew(v):
+  """3-vector to skew-symmetric matrix so that skew(a) @ b = a x b."""
+  z = jnp.zeros_like(v[..., 0])
+  m = jnp.stack(
+      [z, -v[..., 2], v[..., 1],
+       v[..., 2], z, -v[..., 0],
+       -v[..., 1], v[..., 0], z], axis=-1)
+  return m.reshape(v.shape[:-1] + (3, 3))
+
+
+def spatial_inertia(mass, inertia_diag, imat, offset):
+  """6x6 spatial inertia of a body in a frame displaced by ``offset``.
+
+  ``inertia_diag`` is the principal-axis diagonal inertia, ``imat`` the
+  rotation from the inertia principal frame to the target frame orientation,
+  ``offset`` the vector from the target frame origin to the body COM.
+
+  I = [[ I_com + m CxCx^T,  m Cx ],
+       [ m Cx^T,            m 1  ]]     (angular-first ordering)
+
+  This is the frame MuJoCo's cinert lives in (mju_inertCom,
+  /root/reference/src/engine/engine_core_smooth.c).
+  """
+  icom = imat @ (inertia_diag[..., None] * jnp.swapaxes(imat, -1, -2))
+  cx = skew(offset)
+  m = mass[..., None, None]
+  eye = jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
+  top_left = icom + m * (cx @ jnp.swapaxes(cx, -1, -2))
+  top_right = m * cx
+  bot_left = m * jnp.swapaxes(cx, -1, -2)
+  bot_right = m * eye
+  top = jnp.concatenate([top_left, top_right], axis=-1)
+  bot = jnp.concatenate([bot_left, bot_right], axis=-1)
+  return jnp.concatenate([top, bot], axis=-2)
+
+
+def transform_motion(v, offset):
+  """Translate a motion vector to a frame displaced by ``offset``.
+
+  new_lin = lin + omega x (-offset)? We use: moving the reference point from
+  p to p' = p + offset: v_lin' = v_lin - offset x omega ... defined so that
+  cdof-style vectors about different origins are related by
+  v' = (w, u + w x r) with r = old_origin - new_origin.
+  """
+  w, u = v[..., :3], v[..., 3:]
+  return jnp.concatenate([w, u + jnp.cross(w, offset)], axis=-1)

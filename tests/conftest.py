@@ -1,0 +1,18 @@
+"""Test configuration: virtual 8-device CPU mesh + f64 for oracle matching.
+
+Must set XLA/JAX env vars before jax is imported anywhere (see task spec and
+SURVEY.md §4: differential testing vs the C engine at f64 is the reference's
+single most important pattern).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)

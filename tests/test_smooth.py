@@ -1,0 +1,95 @@
+"""Differential tests: smooth dynamics vs the C oracle at f64.
+
+Mirrors the reference's test strategy (SURVEY.md §4): same model through
+both engines, per-stage allclose on FK, CoM frames, mass matrix, bias force.
+"""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mujoco_tpu.models import io
+from mujoco_tpu.ops import smooth
+
+from tests import models as zoo
+
+MODELS = {
+    "pendulum": zoo.PENDULUM,
+    "cartpole": zoo.CARTPOLE,
+    "chain3d": zoo.CHAIN_3D,
+    "balls": zoo.BALLS,
+}
+
+
+def _randomize(mjm, seed):
+  """Random but valid state on the oracle; returns (mjd, qpos, qvel)."""
+  rng = np.random.RandomState(seed)
+  mjd = mujoco.MjData(mjm)
+  qpos = mjm.qpos0 + 0.3 * rng.randn(mjm.nq)
+  # re-normalize quaternions
+  for j in range(mjm.njnt):
+    adr = mjm.jnt_qposadr[j]
+    if mjm.jnt_type[j] == mujoco.mjtJoint.mjJNT_BALL:
+      qpos[adr:adr + 4] /= np.linalg.norm(qpos[adr:adr + 4])
+    elif mjm.jnt_type[j] == mujoco.mjtJoint.mjJNT_FREE:
+      qpos[adr + 3:adr + 7] /= np.linalg.norm(qpos[adr + 3:adr + 7])
+  qvel = 0.5 * rng.randn(mjm.nv)
+  mjd.qpos[:] = qpos
+  mjd.qvel[:] = qvel
+  mujoco.mj_forward(mjm, mjd)
+  return mjd, qpos, qvel
+
+
+def _dense_m(mjm, mjd):
+  out = np.zeros((mjm.nv, mjm.nv))
+  mujoco.mj_fullM(mjm, mjd, out)
+  return out
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_smooth_stages(name, seed):
+  mjm = zoo.load(MODELS[name])
+  mjd, qpos, qvel = _randomize(mjm, seed)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+
+  d = smooth.kinematics(m, d)
+  np.testing.assert_allclose(d.xpos, mjd.xpos, atol=1e-12, err_msg="xpos")
+  # quaternions match up to sign
+  qd = np.abs(np.sum(np.asarray(d.xquat) * mjd.xquat, axis=-1))
+  np.testing.assert_allclose(qd, 1.0, atol=1e-12, err_msg="xquat")
+  np.testing.assert_allclose(d.xipos, mjd.xipos, atol=1e-12, err_msg="xipos")
+  np.testing.assert_allclose(
+      np.asarray(d.ximat), mjd.ximat.reshape(-1, 3, 3), atol=1e-12)
+  np.testing.assert_allclose(d.xanchor, mjd.xanchor, atol=1e-12)
+  np.testing.assert_allclose(d.xaxis, mjd.xaxis, atol=1e-12)
+  np.testing.assert_allclose(d.geom_xpos, mjd.geom_xpos, atol=1e-12)
+
+  d = smooth.com_pos(m, d)
+  np.testing.assert_allclose(d.subtree_com, mjd.subtree_com, atol=1e-12)
+  np.testing.assert_allclose(d.cdof, mjd.cdof, atol=1e-12, err_msg="cdof")
+
+  d = smooth.crb(m, d)
+  np.testing.assert_allclose(np.asarray(d.qM), _dense_m(mjm, mjd),
+                             atol=1e-10, err_msg="qM")
+
+  d = smooth.com_vel(m, d)
+  np.testing.assert_allclose(d.cvel, mjd.cvel, atol=1e-12, err_msg="cvel")
+  np.testing.assert_allclose(d.cdof_dot, mjd.cdof_dot, atol=1e-12,
+                             err_msg="cdof_dot")
+
+  bias = smooth.rne(m, d)
+  np.testing.assert_allclose(np.asarray(bias), mjd.qfrc_bias, atol=1e-10,
+                             err_msg="qfrc_bias")
+
+  # M-solve roundtrip
+  d = smooth.factor_m(m, d)
+  rng = np.random.RandomState(seed + 100)
+  y = rng.randn(mjm.nv)
+  x = smooth.solve_m(m, d, jnp.asarray(y))
+  np.testing.assert_allclose(np.asarray(d.qM) @ np.asarray(x), y, atol=1e-9)
