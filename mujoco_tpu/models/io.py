@@ -281,6 +281,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nsite=int(mjm.nsite), neq=int(mjm.neq), ntendon=int(mjm.ntendon),
       nwrap=int(mjm.nwrap), nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
+      has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
       opt=opt, tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
       body_parentid=si(mjm.body_parentid),

@@ -124,14 +124,21 @@ class DisableBit(enum.IntFlag):
   FRICTIONLOSS = 1 << 2
   LIMIT = 1 << 3
   CONTACT = 1 << 4
-  PASSIVE = 1 << 5
-  GRAVITY = 1 << 6
-  CLAMPCTRL = 1 << 7
-  WARMSTART = 1 << 8
-  FILTERPARENT = 1 << 9
-  ACTUATION = 1 << 10
-  REFSAFE = 1 << 11
-  SENSOR = 1 << 12
+  SPRING = 1 << 5
+  DAMPER = 1 << 6
+  GRAVITY = 1 << 7
+  CLAMPCTRL = 1 << 8
+  WARMSTART = 1 << 9
+  FILTERPARENT = 1 << 10
+  ACTUATION = 1 << 11
+  REFSAFE = 1 << 12
+  SENSOR = 1 << 13
+  MIDPHASE = 1 << 14
+  EULERDAMP = 1 << 15
+  AUTORESET = 1 << 16
+  NATIVECCD = 1 << 17
+  ISLAND = 1 << 18
+  MULTICCD = 1 << 19
 
 
 class SensorType(enum.IntEnum):
@@ -311,6 +318,8 @@ class Model:
   nsensor: int = static_field()
   nsensordata: int = static_field()
   nmocap: int = static_field()
+  # static algorithm-selection flags derived at put_model time
+  has_dof_damping: bool = static_field()
 
   opt: Option = field()
 

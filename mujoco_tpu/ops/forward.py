@@ -1,0 +1,267 @@
+"""Forward dynamics pipeline and integrators.
+
+Stage-for-stage counterpart of mj_step / mj_forward
+(/root/reference/src/engine/engine_forward.c:1849,1843 and SURVEY.md §3.1),
+as pure Data→Data transforms under jit:
+
+  fwd_position:  FK → CoM frames → tendons → CRB → factor → collision →
+                 constraint assembly → transmission
+  fwd_velocity:  actuator/tendon velocities → com_vel → passive → RNE
+  fwd_actuation: activation dynamics → gain/bias forces
+  fwd_acceleration: qfrc_smooth → qacc_smooth
+  fwd_constraint: solver → qacc
+  integrators:   Euler (implicit joint damping), RK4, implicitfast
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import (Data, DisableBit, DynType, Integrator,
+                                     JointType, Model)
+from mujoco_tpu.ops import actuation, passive as passive_mod, smooth, support
+from mujoco_tpu.utils import math as mjm
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  """Position-dependent computations (mj_fwdPosition, engine_forward.c:131)."""
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.tendon(m, d)
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  if m.con.ncon or m.efc.nefc:
+    from mujoco_tpu.ops import collision_driver, constraint
+    d = collision_driver.collision(m, d)
+    d = constraint.make_constraint(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  """Velocity-dependent computations (mj_fwdVelocity, engine_forward.c:181)."""
+  d = d.replace(
+      actuator_velocity=d.actuator_moment @ d.qvel,
+      ten_velocity=d.ten_J @ d.qvel if m.ntendon else d.ten_velocity,
+  )
+  d = smooth.com_vel(m, d)
+  d = passive_mod.passive(m, d)
+  d = d.replace(qfrc_bias=smooth.rne(m, d))
+  if m.efc.nefc:
+    from mujoco_tpu.ops import constraint
+    d = constraint.reference_acceleration(m, d)
+  return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  return actuation.fwd_actuation(m, d)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  """Smooth (unconstrained) acceleration (mj_fwdAcceleration,
+  engine_forward.c:1010)."""
+  qfrc = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator + d.qfrc_applied
+          + support.xfrc_accumulate(m, d))
+  qacc_smooth = smooth.solve_m(m, d, qfrc)
+  return d.replace(qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+  """Constraint solve → qacc (mj_fwdConstraint, engine_forward.c:1151)."""
+  if not m.efc.nefc or m.disabled(DisableBit.CONSTRAINT):
+    return d.replace(qacc=d.qacc_smooth,
+                     qfrc_constraint=jnp.zeros_like(d.qfrc_constraint),
+                     efc_force=jnp.zeros_like(d.efc_force))
+  from mujoco_tpu.ops import solver
+  return solver.solve(m, d)
+
+
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics (mj_forward, engine_forward.c:1843)."""
+  d = fwd_position(m, d)
+  d = sensor_pos(m, d)
+  d = fwd_velocity(m, d)
+  d = sensor_vel(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = fwd_constraint(m, d)
+  d = sensor_acc(m, d)
+  return d
+
+
+def sensor_pos(m: Model, d: Data) -> Data:
+  if m.nsensor:
+    from mujoco_tpu.ops import sensor
+    return sensor.sensor_pos(m, d)
+  return d
+
+
+def sensor_vel(m: Model, d: Data) -> Data:
+  if m.nsensor:
+    from mujoco_tpu.ops import sensor
+    return sensor.sensor_vel(m, d)
+  return d
+
+
+def sensor_acc(m: Model, d: Data) -> Data:
+  if m.nsensor:
+    from mujoco_tpu.ops import sensor
+    return sensor.sensor_acc(m, d)
+  return d
+
+
+# ---------------------------------------------------------------------------
+# Integration
+# ---------------------------------------------------------------------------
+
+
+def integrate_pos(m: Model, qpos, qvel, dt):
+  """Manifold-aware position integration (mj_integratePos): quaternions via
+  the exponential map, everything else linear."""
+  out = qpos + 0.0
+  lin_mask = np.ones(m.nq, dtype=bool)
+  for j in range(m.njnt):
+    jt = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    if jt == JointType.BALL:
+      lin_mask[qadr:qadr + 4] = False
+      q = mjm.quat_integrate(mjm.normalize(qpos[qadr:qadr + 4]),
+                             qvel[dadr:dadr + 3], dt)
+      out = out.at[qadr:qadr + 4].set(q)
+    elif jt == JointType.FREE:
+      lin_mask[qadr + 3:qadr + 7] = False
+      q = mjm.quat_integrate(mjm.normalize(qpos[qadr + 3:qadr + 7]),
+                             qvel[dadr + 3:dadr + 6], dt)
+      out = out.at[qadr + 3:qadr + 7].set(q)
+  # linear dofs: qpos[qadr_of_dof] += dt * qvel. Build static scatter map.
+  dof_to_q = _dof_to_qpos_map(m)
+  valid = dof_to_q >= 0
+  idx = dof_to_q[valid]
+  out = out.at[idx].add(dt * qvel[np.nonzero(valid)[0]])
+  return out
+
+
+def _dof_to_qpos_map(m: Model) -> np.ndarray:
+  """dof index → qpos index for linear (non-quaternion) dofs, -1 otherwise."""
+  mp = np.full(m.nv, -1, dtype=np.int64)
+  for j in range(m.njnt):
+    jt = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      mp[dadr] = qadr
+    elif jt == JointType.FREE:
+      mp[dadr:dadr + 3] = np.arange(qadr, qadr + 3)
+  return mp
+
+
+def next_activation(m: Model, d: Data, act_dot):
+  """Advance activations one step (mj_nextActivation): Euler except
+  FILTEREXACT (exact exponential), then actrange clamp."""
+  if m.na == 0:
+    return d.act
+  act = d.act + m.opt.timestep * act_dot
+  for i in range(m.nu):
+    adr, num = int(m.actuator_actadr[i]), int(m.actuator_actnum[i])
+    if num == 0:
+      continue
+    last = adr + num - 1
+    if m.actuator_dyntype[i] == DynType.FILTEREXACT:
+      tau = jnp.maximum(m.actuator_dynprm[i, 0], mjm.MINVAL)
+      a = d.act[last] + act_dot[last] * tau * (
+          1.0 - jnp.exp(-m.opt.timestep / tau))
+      act = act.at[last].set(a)
+    if m.actuator_actlimited[i]:
+      act = act.at[last].set(
+          jnp.clip(act[last], m.actuator_actrange[i, 0],
+                   m.actuator_actrange[i, 1]))
+  return act
+
+
+def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
+  """State advance shared by all integrators (mj_advance,
+  engine_forward.c:1264)."""
+  act = next_activation(m, d, act_dot)
+  qvel = d.qvel + m.opt.timestep * qacc
+  qpos = integrate_pos(m, d.qpos, qvel_pos if qvel_pos is not None else qvel,
+                       m.opt.timestep)
+  return d.replace(act=act, qvel=qvel, qpos=qpos,
+                   time=d.time + m.opt.timestep,
+                   qacc_warmstart=d.qacc)
+
+
+def euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit joint damping (mj_Euler,
+  engine_forward.c:1401): with damping, integrate velocities with
+  (M + h·diag(damping))⁻¹ (qfrc_smooth + qfrc_constraint)."""
+  use_damp = (m.has_dof_damping
+              and not m.disabled(DisableBit.EULERDAMP)
+              and not m.disabled(DisableBit.DAMPER))
+  if use_damp:
+    qm = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
+    qh = jnp.linalg.cholesky(qm)
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    qacc = jax.scipy.linalg.cho_solve((qh, True), qfrc[:, None])[:, 0]
+  else:
+    qacc = d.qacc
+  return _advance(m, d, d.act_dot, qacc)
+
+
+_RK4_A = np.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]])
+_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
+
+def rungekutta4(m: Model, d: Data) -> Data:
+  """RK4 over (qpos, qvel, act) (mj_RungeKutta, engine_forward.c:1502).
+  Stage derivatives are (qvel_stage, qacc_stage, act_dot_stage)."""
+  d0 = d
+  h = m.opt.timestep
+  qpos0, qvel0, act0, time0 = d.qpos, d.qvel, d.act, d.time
+
+  qvels = [d.qvel]
+  qaccs = [d.qacc]
+  adots = [d.act_dot]
+  for i in range(3):
+    a = _RK4_A[i]
+    dqvel = sum(a[j] * qvels[j] for j in range(i + 1))
+    dqacc = sum(a[j] * qaccs[j] for j in range(i + 1))
+    dadot = sum(a[j] * adots[j] for j in range(i + 1))
+    qpos_i = integrate_pos(m, qpos0, dqvel, h)
+    qvel_i = qvel0 + h * dqacc
+    act_i = act0 + h * dadot
+    di = d0.replace(qpos=qpos_i, qvel=qvel_i, act=act_i,
+                    time=time0 + h * float(np.sum(a)))
+    di = forward(m, di)
+    qvels.append(di.qvel)
+    qaccs.append(di.qacc)
+    adots.append(di.act_dot)
+
+  dqvel = sum(_RK4_B[j] * qvels[j] for j in range(4))
+  dqacc = sum(_RK4_B[j] * qaccs[j] for j in range(4))
+  dadot = sum(_RK4_B[j] * adots[j] for j in range(4))
+  qpos = integrate_pos(m, qpos0, dqvel, h)
+  qvel = qvel0 + h * dqacc
+  act = act0 + h * dadot if m.na else act0
+  return d0.replace(qpos=qpos, qvel=qvel, act=act, time=time0 + h,
+                    qacc_warmstart=d0.qacc)
+
+
+def implicit(m: Model, d: Data) -> Data:
+  """implicit-in-velocity integrators: pending the derivative milestone."""
+  raise NotImplementedError("implicit integrators: derivative milestone")
+
+
+def step(m: Model, d: Data) -> Data:
+  """One physics step (mj_step, engine_forward.c:1849)."""
+  d = forward(m, d)
+  integ = int(m.opt.integrator)
+  if integ == Integrator.EULER:
+    return euler(m, d)
+  if integ == Integrator.RK4:
+    return rungekutta4(m, d)
+  if integ in (Integrator.IMPLICIT, Integrator.IMPLICITFAST):
+    return implicit(m, d)
+  raise NotImplementedError(f"integrator {integ}")

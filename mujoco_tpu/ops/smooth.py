@@ -287,6 +287,81 @@ def rne(m: Model, d: Data, flg_acc: bool = False):
   return jnp.sum(tmp * d.cdof, axis=-1)
 
 
+def tendon(m: Model, d: Data) -> Data:
+  """Tendon lengths and Jacobians (mj_tendon, engine_core_smooth.c).
+
+  Fixed tendons (joint-coefficient sums) are fully supported; spatial tendons
+  (site paths with sphere/cylinder wrapping) land with the spatial-tendon
+  milestone.
+  """
+  if m.ntendon == 0:
+    return d
+  from mujoco_tpu.models.types import WrapType
+  dtype = d.qpos.dtype
+  lengths = []
+  rows = []
+  for t in range(m.ntendon):
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    wtypes = m.wrap_type[adr:adr + num]
+    if not np.all(wtypes == WrapType.JOINT):
+      raise NotImplementedError("spatial tendons not yet supported")
+    jids = m.wrap_objid[adr:adr + num]
+    coef = m.wrap_prm[adr:adr + num]
+    qadr = m.jnt_qposadr[jids]
+    dadr = m.jnt_dofadr[jids]
+    lengths.append(jnp.sum(coef * d.qpos[qadr]))
+    row = jnp.zeros((m.nv,), dtype=dtype).at[dadr].add(coef)
+    rows.append(row)
+  return d.replace(ten_length=jnp.stack(lengths), ten_J=jnp.stack(rows))
+
+
+def transmission(m: Model, d: Data) -> Data:
+  """Actuator lengths and moment arms (mj_transmission,
+  engine_core_smooth.c): JOINT/JOINTINPARENT for all 4 joint types, TENDON.
+  SITE/SLIDERCRANK/BODY transmissions land with the site-transmission
+  milestone. Static per-actuator unroll (nu is small and structure static).
+  """
+  if m.nu == 0:
+    return d
+  from mujoco_tpu.models.types import JointType, TrnType
+  dtype = d.qpos.dtype
+  length = jnp.zeros((m.nu,), dtype=dtype)
+  moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
+
+  for i in range(m.nu):
+    trn = int(m.actuator_trntype[i])
+    gear = m.actuator_gear[i]
+    tid = int(m.actuator_trnid[i, 0])
+    if trn in (TrnType.JOINT, TrnType.JOINTINPARENT):
+      jt = int(m.jnt_type[tid])
+      qadr = int(m.jnt_qposadr[tid])
+      dadr = int(m.jnt_dofadr[tid])
+      if jt in (JointType.SLIDE, JointType.HINGE):
+        length = length.at[i].set(d.qpos[qadr] * gear[0])
+        moment = moment.at[i, dadr].set(gear[0])
+      elif jt == JointType.BALL:
+        quat = mjm.normalize(d.qpos[qadr:qadr + 4])
+        axis = mjm.quat_to_vel(quat)
+        gear_axis = gear[:3]
+        if trn == TrnType.JOINTINPARENT:
+          gear_axis = mjm.rot_vec_quat(gear[:3], mjm.conj_quat(quat))
+        length = length.at[i].set(jnp.dot(axis, gear_axis))
+        moment = moment.at[i, dadr:dadr + 3].set(gear_axis)
+      else:  # FREE
+        gear_rot = gear[3:6]
+        if trn == TrnType.JOINTINPARENT:
+          quat = mjm.normalize(d.qpos[qadr + 3:qadr + 7])
+          gear_rot = mjm.rot_vec_quat(gear[3:6], mjm.conj_quat(quat))
+        moment = moment.at[i, dadr:dadr + 3].set(gear[:3])
+        moment = moment.at[i, dadr + 3:dadr + 6].set(gear_rot)
+    elif trn == TrnType.TENDON:
+      length = length.at[i].set(d.ten_length[tid] * gear[0])
+      moment = moment.at[i].set(d.ten_J[tid] * gear[0])
+    else:
+      raise NotImplementedError(f"transmission type {trn}")
+  return d.replace(actuator_length=length, actuator_moment=moment)
+
+
 def com_acc(m: Model, d: Data):
   """Body spatial accelerations given qacc (used by acc-stage sensors and
   rnePostConstraint analog)."""

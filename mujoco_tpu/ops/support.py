@@ -1,0 +1,69 @@
+"""Jacobians and force application (counterparts of engine_support.c).
+
+All Jacobians come directly from the c-frame dof axes: for a point p on body
+b, column v (for v in ancestors(b)) is
+
+  jacp[:, v] = cdof_lin_v + cdof_ang_v × (p − o_v),   jacr[:, v] = cdof_ang_v
+
+with o_v the c-frame origin (subtree_com of the body's tree root) — the same
+identity mj_jac uses (/root/reference/src/engine/engine_support.c). Dense
+ancestor masks replace the sparse chain walk.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import Data, Model
+
+
+def jac(m: Model, d: Data, point, bodyid):
+  """Point Jacobian (jacp, jacr), each (3, nv), for a world point on a body.
+
+  ``bodyid`` must be a static int (use vmap over bodies for batches).
+  """
+  mask = jnp.asarray(m.tree.ancestor_mask[bodyid], dtype=d.qpos.dtype)
+  offset = point - d.subtree_com[m.body_rootid[bodyid]]
+  ang = d.cdof[:, :3]
+  lin = d.cdof[:, 3:]
+  jacp = (lin + jnp.cross(ang, jnp.broadcast_to(offset, ang.shape))) * mask[:, None]
+  jacr = ang * mask[:, None]
+  return jacp.T, jacr.T
+
+
+def jac_all_bodies(m: Model, d: Data, points):
+  """Jacobians for one point per body, fully vectorized.
+
+  points: (nbody, 3). Returns jacp, jacr of shape (nbody, 3, nv).
+  """
+  mask = jnp.asarray(m.tree.ancestor_mask, dtype=d.qpos.dtype)  # (nbody, nv)
+  offset = points - d.subtree_com[m.body_rootid]                # (nbody, 3)
+  ang = d.cdof[:, :3][None]                                     # (1, nv, 3)
+  lin = d.cdof[:, 3:][None]
+  jacp = (lin + jnp.cross(ang, offset[:, None, :])) * mask[..., None]
+  jacr = jnp.broadcast_to(ang, jacp.shape) * mask[..., None]
+  return jnp.swapaxes(jacp, 1, 2), jnp.swapaxes(jacr, 1, 2)
+
+
+def apply_ft_all_bodies(m: Model, d: Data, force, torque, points):
+  """Project per-body world wrenches (applied at ``points``) into qfrc.
+
+  Batched mj_applyFT: spatial force at each tree's c-frame origin is
+  (t + (p − o) × f; f); projection is the same two masked contractions as
+  RNE's backward pass.
+  """
+  dtype = d.qpos.dtype
+  o = d.subtree_com[m.body_rootid]                 # (nbody, 3)
+  t_o = torque + jnp.cross(points - o, force)
+  f_spatial = jnp.concatenate([t_o, force], axis=-1)   # (nbody, 6)
+  anc = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+  tmp = anc.T @ f_spatial                           # (nv, 6)
+  return jnp.sum(tmp * d.cdof, axis=-1)
+
+
+def xfrc_accumulate(m: Model, d: Data):
+  """qfrc contribution of xfrc_applied (world-frame wrench at body CoM),
+  counterpart of mj_xfrcAccumulate."""
+  return apply_ft_all_bodies(m, d, d.xfrc_applied[:, :3],
+                             d.xfrc_applied[:, 3:], d.xipos)

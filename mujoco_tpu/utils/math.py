@@ -114,6 +114,15 @@ def quat_integrate(q, omega, dt):
   return normalize(mul_quat(q, dq))
 
 
+def quat_to_vel(q):
+  """Quaternion → 3D rotation-vector (log map), mirroring mju_quat2Vel with
+  dt=1: axis · angle, angle wrapped to (−π, π]."""
+  sin_half = norm_safe(q[..., 1:])
+  angle = 2.0 * jnp.arctan2(sin_half, q[..., 0])
+  angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+  return normalize(q[..., 1:]) * angle[..., None]
+
+
 def quat_sub(qa, qb):
   """Velocity-space difference: 3D rotation taking qb to qa (mju_subQuat)."""
   qd = mul_quat(conj_quat(qb), qa)
