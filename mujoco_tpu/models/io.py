@@ -22,27 +22,16 @@ from mujoco_tpu.models.types import (ConeType, Contact, ContactMeta, Data,
 # Contact capacity per (type1, type2) pair — the static slot budget each
 # candidate geom pair owns. Sized to the reference narrowphase's maximums
 # (mjCOLLISIONFUNC table, /root/reference/src/engine/engine_collision_driver.c:45).
+# Only pairs with an implemented collider are listed; others raise at
+# put_model time (ops/collision_driver._COLLIDERS is the matching registry).
 _PAIR_NCON = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
-    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
-    (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.PLANE, GeomType.BOX): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
-    (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
-    (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 2,
-    (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,
-    (GeomType.CAPSULE, GeomType.CYLINDER): 2,
-    (GeomType.CAPSULE, GeomType.BOX): 2,
-    (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 1,
-    (GeomType.BOX, GeomType.BOX): 8,
-    (GeomType.CYLINDER, GeomType.BOX): 4,
-    (GeomType.CYLINDER, GeomType.CYLINDER): 4,
-    (GeomType.ELLIPSOID, GeomType.CYLINDER): 1,
-    (GeomType.ELLIPSOID, GeomType.BOX): 1,
 }
 
 
@@ -156,6 +145,7 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       pairs.append((a, b, -1))
 
   slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
+  slot_first = []
   for g1, g2, pid in pairs:
     t1, t2 = GeomType(mjm.geom_type[g1]), GeomType(mjm.geom_type[g2])
     key = (t1, t2)
@@ -172,12 +162,13 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         condim = int(mjm.geom_condim[g1 if p1 > p2 else g2])
       else:
         condim = int(max(mjm.geom_condim[g1], mjm.geom_condim[g2]))
-    for _ in range(n):
+    for k in range(n):
       slot_g1.append(g1)
       slot_g2.append(g2)
       slot_types.append((int(t1), int(t2)))
       slot_condim.append(condim)
       slot_pairid.append(pid)
+      slot_first.append(k == 0)
 
   return ContactMeta(
       ncon=len(slot_g1),
@@ -186,6 +177,7 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       pair_type=np.array(slot_types, dtype=np.int32).reshape(-1, 2),
       condim=np.array(slot_condim, dtype=np.int32).reshape(-1),
       pairid=np.array(slot_pairid, dtype=np.int32).reshape(-1),
+      con_first=np.array(slot_first, dtype=bool).reshape(-1),
   )
 
 
@@ -193,20 +185,46 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
   """Fixed constraint-row layout, mirroring the row taxonomy of
   mj_makeConstraint (/root/reference/src/engine/engine_core_constraint.c):
   equality → dof friction → limits → contacts, with compile-time counts."""
-  ne = 0
+  eq_id, eq_row = [], []
   for i in range(mjm.neq):
     t = EqType(mjm.eq_type[i])
-    ne += {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
-           EqType.TENDON: 1}.get(t, 0)
+    nrow = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
+            EqType.TENDON: 1}.get(t)
+    if nrow is None:
+      raise NotImplementedError(f"equality type {t}")
+    for r in range(nrow):
+      eq_id.append(i)
+      eq_row.append(r)
+  ne = len(eq_id)
 
   friction_dof = [i for i in range(mjm.nv) if mjm.dof_frictionloss[i] > 0]
   friction_ten = [i for i in range(mjm.ntendon)
                   if mjm.tendon_frictionloss[i] > 0]
   nf = len(friction_dof) + len(friction_ten)
 
-  limit_jnt = [i for i in range(mjm.njnt) if mjm.jnt_limited[i]]
-  limit_ten = [i for i in range(mjm.ntendon) if mjm.tendon_limited[i]]
-  nl = len(limit_jnt) + len(limit_ten)
+  # limit rows: hinge/slide and tendon limits get one row per side (both can
+  # be simultaneously within margin, mj_instantiateLimit); ball gets one.
+  limit_jnt, limit_ten, limit_side = [], [], []
+  for i in range(mjm.njnt):
+    if not mjm.jnt_limited[i]:
+      continue
+    if mjm.jnt_type[i] == JointType.BALL:
+      limit_jnt.append(i)
+      limit_ten.append(-1)
+      limit_side.append(0)
+    else:
+      for side in (-1, 1):
+        limit_jnt.append(i)
+        limit_ten.append(-1)
+        limit_side.append(side)
+  for i in range(mjm.ntendon):
+    if not mjm.tendon_limited[i]:
+      continue
+    for side in (-1, 1):
+      limit_jnt.append(-1)
+      limit_ten.append(i)
+      limit_side.append(side)
+  nl = len(limit_jnt)
 
   con_id, con_row, con_efcadr, con_nrow = [], [], [], []
   adr = ne + nf + nl
@@ -230,10 +248,11 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
   return EfcMeta(
       nefc=ne + nf + nl + ncon_rows,
       ne=ne, nf=nf, nl=nl, ncon_rows=ncon_rows,
+      eq_id=pad(eq_id), eq_row=pad(eq_row),
       friction_dof=pad(friction_dof + [-1] * len(friction_ten)),
       friction_ten=pad([-1] * len(friction_dof) + friction_ten),
-      limit_jnt=pad(limit_jnt + [-1] * len(limit_ten)),
-      limit_ten=pad([-1] * len(limit_jnt) + limit_ten),
+      limit_jnt=pad(limit_jnt), limit_ten=pad(limit_ten),
+      limit_side=pad(limit_side),
       con_id=pad(con_id), con_row=pad(con_row),
       con_efcadr=pad(con_efcadr), con_nrow=pad(con_nrow),
   )
@@ -282,7 +301,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nwrap=int(mjm.nwrap), nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
       has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
-      opt=opt, tree=tree, con=con, efc=efc,
+      opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
+      tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
       body_parentid=si(mjm.body_parentid),
       body_rootid=si(mjm.body_rootid),
@@ -331,6 +351,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       tendon_limited=si(mjm.tendon_limited),
       tendon_solref_lim=jx(mjm.tendon_solref_lim),
       tendon_solimp_lim=jx(mjm.tendon_solimp_lim),
+      tendon_solref_fri=jx(mjm.tendon_solref_fri),
+      tendon_solimp_fri=jx(mjm.tendon_solimp_fri),
       tendon_range=jx(mjm.tendon_range), tendon_margin=jx(mjm.tendon_margin),
       tendon_stiffness=jx(mjm.tendon_stiffness),
       tendon_damping=jx(mjm.tendon_damping),
@@ -396,6 +418,7 @@ def make_data(m: Model, dtype=None) -> Data:
       solreffriction=z(ncon, 2),
       solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
                       (ncon, 1)),
+      mu=z(ncon),
   )
 
   return Data(
@@ -428,6 +451,7 @@ def make_data(m: Model, dtype=None) -> Data:
       efc_J=z(nefc, nv), efc_pos=z(nefc), efc_margin=z(nefc),
       efc_D=z(nefc), efc_R=z(nefc), efc_aref=z(nefc),
       efc_frictionloss=z(nefc),
+      efc_KBIP=z(nefc, 4),
       efc_active=jnp.zeros((nefc,), dtype=bool),
       efc_force=z(nefc), qfrc_constraint=z(nv), qacc=z(nv),
       sensordata=z(m.nsensordata),

@@ -260,6 +260,7 @@ class ContactMeta:
   condim: np.ndarray = static_field()        # (ncon,)
   # explicit <pair> overrides: -1 = combine from geoms, else pair index
   pairid: np.ndarray = static_field()
+  con_first: np.ndarray = static_field()     # (ncon,) bool: first slot of pair
 
 
 @pytree_dataclass
@@ -271,18 +272,21 @@ class EfcMeta:
   sizes: equality, dof friction, limits, contacts.
   """
   nefc: int = static_field()
-  # row type per efc row: 0=equality, 1=friction, 2=limit, 3=contact-normal,
-  # 4=contact-friction (elliptic) / pyramid edge
   ne: int = static_field()     # equality rows
   nf: int = static_field()     # friction rows
   nl: int = static_field()     # limit rows
   ncon_rows: int = static_field()  # contact rows
+  # equality rows: eq index and row-within-constraint per row
+  eq_id: np.ndarray = static_field()
+  eq_row: np.ndarray = static_field()
   # friction rows: dof index per row (-1 if tendon), tendon idx
   friction_dof: np.ndarray = static_field()
   friction_ten: np.ndarray = static_field()
-  # limit rows: jnt idx (-1 if tendon row), tendon idx
+  # limit rows: jnt idx (-1 if tendon row), tendon idx, side (-1 lower /
+  # +1 upper / 0 ball-norm)
   limit_jnt: np.ndarray = static_field()
   limit_ten: np.ndarray = static_field()
+  limit_side: np.ndarray = static_field()
   # contact rows: which contact slot each row belongs to, and row-within-slot
   con_id: np.ndarray = static_field()
   con_row: np.ndarray = static_field()
@@ -322,6 +326,9 @@ class Model:
   has_dof_damping: bool = static_field()
 
   opt: Option = field()
+
+  # model statistics (mjStatistic): solver scaling reference
+  stat_meaninertia: jax.Array = field()
 
   # ----- derived static metadata
   tree: TreeTopology = field()
@@ -420,6 +427,8 @@ class Model:
   tendon_limited: np.ndarray = static_field()
   tendon_solref_lim: jax.Array = field()
   tendon_solimp_lim: jax.Array = field()
+  tendon_solref_fri: jax.Array = field()
+  tendon_solimp_fri: jax.Array = field()
   tendon_range: jax.Array = field()
   tendon_margin: jax.Array = field()
   tendon_stiffness: jax.Array = field()
@@ -492,6 +501,8 @@ class Contact:
   solref: jax.Array        # (ncon, 2)
   solreffriction: jax.Array  # (ncon, 2)
   solimp: jax.Array        # (ncon, 5)
+  mu: jax.Array            # (ncon,) regularized-cone friction (set by
+                           # make_constraint, mj_makeImpedance semantics)
 
 
 @pytree_dataclass
@@ -568,6 +579,7 @@ class Data:
   efc_R: jax.Array             # (nefc,)
   efc_aref: jax.Array
   efc_frictionloss: jax.Array
+  efc_KBIP: jax.Array          # (nefc, 4) stiffness/damping/impedance/imp'
   efc_active: jax.Array        # (nefc,) bool: row exists this step
   efc_force: jax.Array
   qfrc_constraint: jax.Array

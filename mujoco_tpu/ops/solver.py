@@ -1,0 +1,348 @@
+"""Constraint solvers: primal Newton (flagship) and CG, fully batched.
+
+Counterpart of mj_solNewton / mj_solCG (/root/reference/src/engine/engine_solver.c),
+solving the convex primal problem over qacc (doc/computation eq:primal):
+
+  min_x  0.5 (x − a_s)ᵀ M (x − a_s) + Σ_i s_i(jar_i),   jar = J x − aref
+
+with s_i the per-row penalty from the reference's constraint state machine
+(mj_constraintUpdate_impl, engine_core_constraint.c:3275): quadratic for
+equality, huber-like for friction rows, one-sided quadratic for
+limits/contacts (pyramidal), and the elliptic cone's three-zone
+(satisfied/middle/bottom) penalty with its dense cone Hessian.
+
+Everything is fixed-shape: inactive rows carry D = 0 so they vanish from
+cost, gradient and Hessian. The Newton iteration (Hessian assembly +
+Cholesky + exact linesearch) is the per-env hot loop the MXU eats: H is
+nv×nv dense, assembled as M + (J ⊙ w)ᵀ J in one matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import ConeType, Data, DisableBit, Model, SolverType
+from mujoco_tpu.utils import math as mjm
+
+
+class _Ctx(NamedTuple):
+  force: jax.Array       # (nefc,)
+  cost: jax.Array        # ()
+  quad_w: jax.Array      # (nefc,) diagonal Hessian weights (D for quadratic)
+  cone_mid: jax.Array    # (ncon,) bool: elliptic middle zone
+
+
+def _update(m: Model, d: Data, jar):
+  """Constraint state machine → (force, cost, Hessian weights, cone state).
+
+  Mirrors mj_constraintUpdate_impl exactly; all-where, no branches.
+  """
+  meta = m.efc
+  dtype = jar.dtype
+  D = d.efc_D
+  R = d.efc_R
+  fl = d.efc_frictionloss
+
+  ne, nf = meta.ne, meta.nf
+  is_eq = np.zeros(meta.nefc, dtype=bool)
+  is_eq[:ne] = True
+  is_fric = np.zeros(meta.nefc, dtype=bool)
+  is_fric[ne:ne + nf] = True
+  is_con = np.zeros(meta.nefc, dtype=bool)
+  is_con[ne + nf + meta.nl:] = True
+  is_eq = jnp.asarray(is_eq)
+  is_fric = jnp.asarray(is_fric)
+
+  force = -D * jar
+  quad_cost = 0.5 * D * jar * jar
+  quad_w = D
+
+  # friction rows: linear outside ±R·floss
+  lin_neg = is_fric & (jar <= -R * fl)
+  lin_pos = is_fric & (jar >= R * fl)
+  lin = lin_neg | lin_pos
+  fric_cost = -0.5 * R * fl * fl + fl * jnp.abs(jar)
+  force = jnp.where(lin_neg, fl, jnp.where(lin_pos, -fl, force))
+  cost_row = jnp.where(lin, fric_cost, quad_cost)
+  quad_w = jnp.where(lin, 0.0, quad_w)
+
+  # one-sided rows (limits + contacts under pyramidal; elliptic handled below)
+  one_sided = np.zeros(meta.nefc, dtype=bool)
+  one_sided[ne + nf:] = True
+  elliptic = int(m.opt.cone) == int(ConeType.ELLIPTIC)
+  if elliptic and meta.ncon_rows:
+    # frictional elliptic contacts use the cone zones; frictionless contact
+    # rows remain one-sided even under the elliptic cone
+    con_rows = np.arange(meta.ne + meta.nf + meta.nl, meta.nefc)
+    one_sided[con_rows] = m.con.condim[meta.con_id] == 1
+  one_sided = jnp.asarray(one_sided)
+  satisfied = one_sided & (jar >= 0)
+  force = jnp.where(satisfied, 0.0, force)
+  cost_row = jnp.where(satisfied, 0.0, cost_row)
+  quad_w = jnp.where(satisfied, 0.0, quad_w)
+
+  cone_mid = jnp.zeros((m.con.ncon,), dtype=bool)
+  if elliptic and meta.ncon_rows:
+    base = ne + nf + meta.nl
+    cid = meta.con_id
+    crow = meta.con_row
+    mu = d.contact.mu                                  # (ncon,)
+    fri = d.contact.friction                           # (ncon, 5)
+    # map rows to regularized cone space: U0 = jar_n·mu, Uj = jar_j·fri_j
+    scale = jnp.where(jnp.asarray(crow == 0), mu[jnp.asarray(cid)],
+                      fri[jnp.asarray(cid), np.clip(crow - 1, 0, 4)])
+    u = jar[base:] * scale
+    # per-slot N and T via segment reductions on static maps
+    ncon = m.con.ncon
+    seg = jnp.asarray(cid)
+    u0 = jnp.zeros((ncon,), dtype=dtype).at[seg].add(
+        jnp.where(jnp.asarray(crow == 0), u, 0.0))
+    t2 = jnp.zeros((ncon,), dtype=dtype).at[seg].add(
+        jnp.where(jnp.asarray(crow == 0), 0.0, u * u))
+    t_raw = jnp.sqrt(jnp.maximum(t2, mjm.MINVAL * mjm.MINVAL))
+    n_ = u0
+    active_slot = (d.contact.dist < d.contact.includemargin) & (
+        jnp.asarray(m.con.condim[np.arange(ncon)] > 1))
+    # zones
+    top = (n_ >= mu * t_raw) | ((t_raw <= mjm.MINVAL) & (n_ >= 0))
+    bottom = (mu * n_ + t_raw <= 0) | ((t_raw <= mjm.MINVAL) & (n_ < 0))
+    mid = ~top & ~bottom & active_slot
+    t = jnp.where(mid, t_raw, 1.0)  # safe denominator outside middle zone
+
+    d0 = d.efc_D[jnp.asarray(meta.con_efcadr)]          # D of normal rows
+    dm = d0 / jnp.maximum(mu * mu * (1 + mu * mu), mjm.MINVAL)
+    nmt = n_ - mu * t
+
+    # rows of frictionless contacts keep one-sided handling; frictional rows:
+    fric_row = jnp.asarray(m.con.condim[cid] > 1)
+    top_r = top[seg] & fric_row
+    mid_r = mid[seg] & fric_row
+    bot_r = bottom[seg] & fric_row
+
+    # bottom zone: quadratic (already computed); top: zero; middle: cone
+    f_mid_n = -dm * nmt * mu                            # per slot
+    # tangential: force_j = -f_n/T·U_j·fri_j
+    f_mid = jnp.where(jnp.asarray(crow == 0)[..., None] if False else
+                      jnp.asarray(crow == 0),
+                      f_mid_n[seg],
+                      -f_mid_n[seg] / t[seg] * u * scale)
+    force_con = force[base:]
+    force_con = jnp.where(top_r, 0.0, force_con)
+    force_con = jnp.where(mid_r, f_mid, force_con)
+    force = force.at[base:].set(force_con)
+
+    cost_con = cost_row[base:]
+    cost_con = jnp.where(top_r, 0.0, cost_con)
+    # middle-zone cost: assigned to the normal row only
+    cost_mid = 0.5 * dm * nmt * nmt
+    cost_con = jnp.where(mid_r, jnp.where(jnp.asarray(crow == 0),
+                                          cost_mid[seg], 0.0), cost_con)
+    cost_row = cost_row.at[base:].set(cost_con)
+
+    w_con = quad_w[base:]
+    w_con = jnp.where(top_r | mid_r, 0.0, w_con)  # middle handled via blocks
+    quad_w = quad_w.at[base:].set(w_con)
+    cone_mid = mid
+
+  # equality rows are always quadratic — force/cost/w already correct
+  cost = jnp.sum(cost_row)
+  return _Ctx(force=force, cost=cost, quad_w=quad_w, cone_mid=cone_mid)
+
+
+def _cone_hessian_blocks(m: Model, d: Data, jar, cone_mid):
+  """Elliptic middle-zone cone Hessian contribution Hx = Σ Jcᵀ Hc Jc.
+
+  Returns a function hvp(J) → (nv, nv) addition, implemented with static
+  per-slot slices (ncon is static and modest)."""
+  meta = m.efc
+  base = meta.ne + meta.nf + meta.nl
+  dtype = jar.dtype
+  h_add = jnp.zeros((m.nv, m.nv), dtype=dtype)
+  mu_all = d.contact.mu
+  for c in range(m.con.ncon):
+    dim = int(m.con.condim[c])
+    if dim == 1:
+      continue
+    adr = int(meta.con_efcadr[c])
+    jc = d.efc_J[adr:adr + dim]                       # (dim, nv)
+    mu = mu_all[c]
+    fri = d.contact.friction[c, :dim - 1]
+    scale = jnp.concatenate([mu[None], fri])
+    u = jar[adr:adr + dim] * scale
+    # safe denominator: outside the middle zone t is unused — replace with 1
+    # so t³ can't underflow into inf·0 = NaN under the where mask
+    t_raw = jnp.sqrt(jnp.maximum(jnp.sum(u[1:] ** 2), mjm.MINVAL ** 2))
+    t = jnp.where(cone_mid[c], t_raw, 1.0)
+    n_ = u[0]
+    d0 = d.efc_D[adr]
+    dm = d0 / jnp.maximum(mu * mu * (1 + mu * mu), mjm.MINVAL)
+
+    # cone Hessian in U space (mj_constraintUpdate_impl flg_coneHessian)
+    hc = jnp.zeros((dim, dim), dtype=dtype)
+    hc = hc.at[0, 0].set(1.0)
+    hc = hc.at[0, 1:].set(-mu / t * u[1:])
+    hc = hc.at[1:, 0].set(-mu / t * u[1:])
+    outer = (mu * n_ / t ** 3) * jnp.outer(u[1:], u[1:])
+    diag_add = (mu * mu - mu * n_ / t) * jnp.eye(dim - 1, dtype=dtype)
+    hc = hc.at[1:, 1:].set(outer + diag_add)
+    hc = dm * (scale[:, None] * hc * scale[None, :])
+
+    mask = cone_mid[c].astype(dtype)
+    h_add = h_add + mask * (jc.T @ hc @ jc)
+  return h_add
+
+
+def _eval_phi(m: Model, d: Data, jar0, jp, gx0, pmp, alpha):
+  """φ'(α), φ''(α) for the linesearch along direction p.
+
+  gx0 = pᵀM(x−a_s), pmp = pᵀMp, jp = J p, jar0 = J x − aref.
+  """
+  jar = jar0 + alpha * jp
+  ctx = _update(m, d, jar)
+  dphi = gx0 + alpha * pmp - jnp.dot(jp, ctx.force)
+  ddphi = pmp + jnp.sum(ctx.quad_w * jp * jp)
+  if int(m.opt.cone) == int(ConeType.ELLIPTIC) and m.con.ncon:
+    # add cone curvature along jp
+    meta = m.efc
+    for c in range(m.con.ncon):
+      dim = int(m.con.condim[c])
+      if dim == 1:
+        continue
+      adr = int(meta.con_efcadr[c])
+      mu = d.contact.mu[c]
+      fri = d.contact.friction[c, :dim - 1]
+      scale = jnp.concatenate([mu[None], fri])
+      u = jar[adr:adr + dim] * scale
+      du = jp[adr:adr + dim] * scale
+      t = jnp.where(ctx.cone_mid[c],
+                    jnp.sqrt(jnp.maximum(jnp.sum(u[1:] ** 2),
+                                         mjm.MINVAL ** 2)), 1.0)
+      n_ = u[0]
+      d0 = d.efc_D[adr]
+      dm = d0 / jnp.maximum(mu * mu * (1 + mu * mu), mjm.MINVAL)
+      dt = jnp.dot(u[1:], du[1:]) / t
+      dn = du[0]
+      nmt = n_ - mu * t
+      # second derivative of 0.5·Dm·(N−µT)² along du, incl. T curvature
+      dT2 = (jnp.sum(du[1:] ** 2) - dt * dt) / t
+      curv = dm * ((dn - mu * dt) ** 2 - nmt * mu * dT2)
+      mask = ctx.cone_mid[c].astype(jar.dtype)
+      ddphi = ddphi + mask * curv
+  return dphi, ddphi, ctx
+
+
+def _linesearch(m: Model, d: Data, jar0, jp, gx0, pmp):
+  """Exact-ish linesearch: safeguarded Newton on φ'(α) = 0
+  (counterpart of the primal linesearch in engine_solver.c)."""
+  dtype = jar0.dtype
+  ls_iter = max(int(m.opt.ls_iterations), 8)
+
+  def body(_, alpha):
+    dphi, ddphi, _ = _eval_phi(m, d, jar0, jp, gx0, pmp, alpha)
+    step = dphi / jnp.maximum(ddphi, mjm.MINVAL)
+    return alpha - step
+
+  alpha = jax.lax.fori_loop(0, ls_iter, body, jnp.zeros((), dtype=dtype))
+  return jnp.maximum(alpha, 0.0)
+
+
+def solve(m: Model, d: Data) -> Data:
+  """Newton/CG solve → qacc, qfrc_constraint, efc_force
+  (mj_fwdConstraint tail, engine_forward.c:1151)."""
+  dtype = d.qpos.dtype
+  nv = m.nv
+
+  aref = d.efc_aref
+  J = d.efc_J
+  a_s = d.qacc_smooth
+  M = d.qM
+
+  def cost_of(x):
+    return _update(m, d, J @ x - aref).cost + 0.5 * jnp.dot(
+        x - a_s, M @ (x - a_s))
+
+  # warmstart comparison (engine_forward.c:1167-1177)
+  if m.disabled(DisableBit.WARMSTART):
+    x0 = a_s
+  else:
+    c_warm = cost_of(d.qacc_warmstart)
+    c_smooth = cost_of(a_s)
+    x0 = jnp.where(c_warm < c_smooth, d.qacc_warmstart, a_s)
+
+  meaninertia = jnp.maximum(m.stat_meaninertia, mjm.MINVAL)
+  tol = m.opt.tolerance * meaninertia * max(1, nv)
+
+  use_newton = int(m.opt.solver) != int(SolverType.CG)
+
+  def newton_step(x):
+    jar = J @ x - aref
+    ctx = _update(m, d, jar)
+    grad = M @ (x - a_s) - J.T @ ctx.force
+    jw = J * ctx.quad_w[:, None]
+    h = M + jw.T @ J
+    if int(m.opt.cone) == int(ConeType.ELLIPTIC) and m.con.ncon:
+      h = h + _cone_hessian_blocks(m, d, jar, ctx.cone_mid)
+    # regularize lightly for f32 robustness
+    h = h + jnp.eye(nv, dtype=dtype) * (1e-12 if dtype == jnp.float64
+                                        else 1e-6) * meaninertia
+    chol = jnp.linalg.cholesky(h)
+    p = -jax.scipy.linalg.cho_solve((chol, True), grad[:, None])[:, 0]
+    jp = J @ p
+    gx0 = jnp.dot(p, M @ (x - a_s))
+    pmp = jnp.dot(p, M @ p)
+    alpha = _linesearch(m, d, jar, jp, gx0, pmp)
+    return x + alpha * p, ctx.cost, grad
+
+  def cg_step(carry):
+    x, g_prev, dir_prev, first = carry
+    jar = J @ x - aref
+    ctx = _update(m, d, jar)
+    grad = M @ (x - a_s) - J.T @ ctx.force
+    # preconditioned by M⁻¹ (Polak-Ribière)
+    mgrad = jax.scipy.linalg.cho_solve((d.qLD, True), grad[:, None])[:, 0]
+    beta = jnp.maximum(
+        0.0, jnp.dot(grad - g_prev, mgrad)
+        / jnp.maximum(jnp.dot(g_prev, jax.scipy.linalg.cho_solve(
+            (d.qLD, True), g_prev[:, None])[:, 0]), mjm.MINVAL))
+    p = jnp.where(first, -mgrad, -mgrad + beta * dir_prev)
+    jp = J @ p
+    gx0 = jnp.dot(p, M @ (x - a_s))
+    pmp = jnp.dot(p, M @ p)
+    alpha = _linesearch(m, d, jar, jp, gx0, pmp)
+    return x + alpha * p, grad, p, jnp.zeros((), dtype=bool)
+
+  iterations = int(m.opt.iterations)
+
+  def loop_body(carry):
+    x, prev_cost, _, it, g_prev, dir_prev, first = carry
+    if use_newton:
+      x_new, cost, grad = newton_step(x)
+      g_new, dir_new, first_new = g_prev, dir_prev, first
+    else:
+      x_new, g_new, dir_new, first_new = cg_step((x, g_prev, dir_prev, first))
+      cost = _update(m, d, J @ x_new - aref).cost + 0.5 * jnp.dot(
+          x_new - a_s, M @ (x_new - a_s))
+      grad = g_new
+    improvement = prev_cost - cost
+    return x_new, cost, improvement, it + 1, g_new, dir_new, first_new
+
+  def loop_cond(carry):
+    _, _, improvement, it, *_ = carry
+    return (it < iterations) & (improvement > tol)
+
+  init_cost = cost_of(x0)
+  big = jnp.asarray(jnp.inf, dtype=dtype)
+  carry = (x0, init_cost, big, jnp.zeros((), jnp.int32),
+           jnp.zeros((nv,), dtype=dtype), jnp.zeros((nv,), dtype=dtype),
+           jnp.ones((), dtype=bool))
+  x, cost, _, niter, *_ = jax.lax.while_loop(loop_cond, loop_body, carry)
+
+  jar = J @ x - aref
+  ctx = _update(m, d, jar)
+  qfrc = J.T @ ctx.force
+  return d.replace(qacc=x, efc_force=ctx.force, qfrc_constraint=qfrc,
+                   solver_niter=niter)
