@@ -15,4 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment's sitecustomize registers the TPU-tunnel PJRT plugin and
+# pins jax_platforms via config, which silently overrides the env var above —
+# re-pin to cpu at config level so tests stay local and fast.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
