@@ -341,6 +341,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       geom_quat=jx(mjm.geom_quat), geom_friction=jx(mjm.geom_friction),
       geom_margin=jx(mjm.geom_margin), geom_gap=jx(mjm.geom_gap),
       site_bodyid=si(mjm.site_bodyid),
+      site_type=si(mjm.site_type), site_size=jx(mjm.site_size),
       site_pos=jx(mjm.site_pos), site_quat=jx(mjm.site_quat),
       eq_type=si(mjm.eq_type), eq_obj1id=si(mjm.eq_obj1id),
       eq_obj2id=si(mjm.eq_obj2id), eq_objtype=si(mjm.eq_objtype),
@@ -454,6 +455,8 @@ def make_data(m: Model, dtype=None) -> Data:
       efc_KBIP=z(nefc, 4),
       efc_active=jnp.zeros((nefc,), dtype=bool),
       efc_force=z(nefc), qfrc_constraint=z(nv), qacc=z(nv),
+      cacc=z(nb, 6), cfrc_int=z(nb, 6), cfrc_ext=z(nb, 6),
+      subtree_linvel=z(nb, 3), subtree_angmom=z(nb, 3),
       sensordata=z(m.nsensordata),
       energy=z(2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),

@@ -141,8 +141,18 @@ class DisableBit(enum.IntFlag):
   MULTICCD = 1 << 19
 
 
+class EnableBit(enum.IntFlag):
+  """Enable flags, matching mjtEnableBit (mjtype.h:80-86)."""
+  OVERRIDE = 1 << 0
+  ENERGY = 1 << 1
+  FWDINV = 1 << 2
+  INVDISCRETE = 1 << 3
+  SLEEP = 1 << 4
+  DIAGEXACT = 1 << 5
+
+
 class SensorType(enum.IntEnum):
-  """Subset of mjtSensor implemented so far (mjtype.h:326-399)."""
+  """mjtSensor (mjtype.h:326-399); values match the reference exactly."""
   TOUCH = 0
   ACCELEROMETER = 1
   VELOCIMETER = 2
@@ -151,36 +161,69 @@ class SensorType(enum.IntEnum):
   TORQUE = 5
   MAGNETOMETER = 6
   RANGEFINDER = 7
-  JOINTPOS = 8
-  JOINTVEL = 9
-  TENDONPOS = 10
-  TENDONVEL = 11
-  ACTUATORPOS = 12
-  ACTUATORVEL = 13
-  ACTUATORFRC = 14
-  BALLQUAT = 15
-  BALLANGVEL = 16
-  JOINTLIMITPOS = 17
-  JOINTLIMITVEL = 18
-  JOINTLIMITFRC = 19
-  TENDONLIMITPOS = 20
-  TENDONLIMITVEL = 21
-  TENDONLIMITFRC = 22
-  FRAMEPOS = 23
-  FRAMEQUAT = 24
-  FRAMEXAXIS = 25
-  FRAMEYAXIS = 26
-  FRAMEZAXIS = 27
-  FRAMELINVEL = 28
-  FRAMEANGVEL = 29
-  FRAMELINACC = 30
-  FRAMEANGACC = 31
-  SUBTREECOM = 32
-  SUBTREELINVEL = 33
-  SUBTREEANGMOM = 34
-  ACTUATORACTIVATION = 36
-  JOINTACTFRC = 40
-  CLOCK = 44
+  CAMPROJECTION = 8
+  JOINTPOS = 9
+  JOINTVEL = 10
+  TENDONPOS = 11
+  TENDONVEL = 12
+  ACTUATORPOS = 13
+  ACTUATORVEL = 14
+  ACTUATORFRC = 15
+  JOINTACTFRC = 16
+  TENDONACTFRC = 17
+  BALLQUAT = 18
+  BALLANGVEL = 19
+  JOINTLIMITPOS = 20
+  JOINTLIMITVEL = 21
+  JOINTLIMITFRC = 22
+  TENDONLIMITPOS = 23
+  TENDONLIMITVEL = 24
+  TENDONLIMITFRC = 25
+  FRAMEPOS = 26
+  FRAMEQUAT = 27
+  FRAMEXAXIS = 28
+  FRAMEYAXIS = 29
+  FRAMEZAXIS = 30
+  FRAMELINVEL = 31
+  FRAMEANGVEL = 32
+  FRAMELINACC = 33
+  FRAMEANGACC = 34
+  SUBTREECOM = 35
+  SUBTREELINVEL = 36
+  SUBTREEANGMOM = 37
+  INSIDESITE = 38
+  GEOMDIST = 39
+  GEOMNORMAL = 40
+  GEOMFROMTO = 41
+  CONTACT = 42
+  E_POTENTIAL = 43
+  E_KINETIC = 44
+  CLOCK = 45
+  TACTILE = 46
+  PLUGIN = 47
+  USER = 48
+
+
+class ObjType(enum.IntEnum):
+  """mjtObj subset used by sensors/equality (mjtype.h:290-322)."""
+  UNKNOWN = 0
+  BODY = 1
+  XBODY = 2
+  JOINT = 3
+  DOF = 4
+  GEOM = 5
+  SITE = 6
+  CAMERA = 7
+  TENDON = 18
+  ACTUATOR = 19
+
+
+class DataType(enum.IntEnum):
+  """mjtDataType: sensor output semantics."""
+  REAL = 0
+  POSITIVE = 1
+  AXIS = 2
+  QUATERNION = 3
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +451,8 @@ class Model:
 
   # ----- sites
   site_bodyid: np.ndarray = static_field()
+  site_type: np.ndarray = static_field()
+  site_size: jax.Array = field()
   site_pos: jax.Array = field()
   site_quat: jax.Array = field()
 
@@ -584,6 +629,13 @@ class Data:
   efc_force: jax.Array
   qfrc_constraint: jax.Array
   qacc: jax.Array
+
+  # post-constraint body dynamics (mj_rnePostConstraint / mj_subtreeVel)
+  cacc: jax.Array              # (nbody, 6) body accelerations, c-frame
+  cfrc_int: jax.Array          # (nbody, 6) interaction force with parent
+  cfrc_ext: jax.Array          # (nbody, 6) external force on body
+  subtree_linvel: jax.Array    # (nbody, 3)
+  subtree_angmom: jax.Array    # (nbody, 3)
 
   # sensors & diagnostics
   sensordata: jax.Array

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_tpu.models.types import (Data, DisableBit, DynType, Integrator,
-                                     JointType, Model)
+from mujoco_tpu.models.types import (Data, DisableBit, DynType, EnableBit,
+                                     Integrator, JointType, Model)
 from mujoco_tpu.ops import actuation, passive as passive_mod, smooth, support
 from mujoco_tpu.utils import math as mjm
 
@@ -80,9 +80,16 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
 def forward(m: Model, d: Data) -> Data:
   """Full forward dynamics (mj_forward, engine_forward.c:1843)."""
+  energy_enabled = bool(m.opt.enableflags & EnableBit.ENERGY)
   d = fwd_position(m, d)
+  if energy_enabled:
+    from mujoco_tpu.ops import sensor
+    d = sensor.energy_pos(m, d)
   d = sensor_pos(m, d)
   d = fwd_velocity(m, d)
+  if energy_enabled:
+    from mujoco_tpu.ops import sensor
+    d = sensor.energy_vel(m, d)
   d = sensor_vel(m, d)
   d = fwd_actuation(m, d)
   d = fwd_acceleration(m, d)

@@ -1,0 +1,554 @@
+"""Sensors: staged pos/vel/acc evaluation, energy, post-constraint dynamics.
+
+Counterpart of /root/reference/src/engine/engine_sensor.c (mj_sensorPos:~600,
+mj_sensorVel:838, mj_sensorAcc:957, mj_energyPos:1659, mj_energyVel:1766)
+plus the supporting body-dynamics quantities from engine_core_smooth.c
+(mj_subtreeVel:2249, mj_rnePostConstraint:2394) and engine_core_util.c
+(mj_objectVelocity:835, mj_objectAcceleration:909).
+
+Sensor structure (type/objid/refid/adr/dim) is static model metadata, so the
+sensor sweep is a static python loop emitting one fused vectorized block of
+scatter-writes into sensordata under jit. Heavy shared quantities
+(subtree velocities, post-constraint accelerations) are computed at most once
+per stage, only when some sensor in that stage needs them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import (ConeType, Data, DataType, DisableBit,
+                                     EqType, JointType, Model, ObjType,
+                                     SensorType)
+from mujoco_tpu.ops import ray as ray_mod
+from mujoco_tpu.utils import math as mjm
+
+ST = SensorType
+
+
+# ---------------------------------------------------------------------------
+# object frame / velocity / acceleration resolvers
+# ---------------------------------------------------------------------------
+
+
+def object_pos_mat(m: Model, d: Data, objtype: int, objid: int):
+  """(xpos, xmat) of an object (get_xpos_xmat, engine_sensor.c:227)."""
+  t = ObjType(objtype)
+  if t == ObjType.XBODY:
+    return d.xpos[objid], d.xmat[objid]
+  if t == ObjType.BODY:
+    return d.xipos[objid], d.ximat[objid]
+  if t == ObjType.GEOM:
+    return d.geom_xpos[objid], d.geom_xmat[objid]
+  if t == ObjType.SITE:
+    return d.site_xpos[objid], d.site_xmat[objid]
+  raise NotImplementedError(f"object type {t} frame")
+
+
+def object_quat(m: Model, d: Data, objtype: int, objid: int):
+  """Global object quaternion (get_xquat, engine_sensor.c:257)."""
+  t = ObjType(objtype)
+  if t == ObjType.XBODY:
+    return d.xquat[objid]
+  if t == ObjType.BODY:
+    return mjm.mul_quat(d.xquat[objid], m.body_iquat[objid])
+  if t == ObjType.GEOM:
+    return mjm.mul_quat(d.xquat[m.geom_bodyid[objid]], m.geom_quat[objid])
+  if t == ObjType.SITE:
+    return mjm.mul_quat(d.xquat[m.site_bodyid[objid]], m.site_quat[objid])
+  raise NotImplementedError(f"object type {t} quat")
+
+
+def _object_body(m: Model, objtype: int, objid: int) -> int:
+  t = ObjType(objtype)
+  if t in (ObjType.BODY, ObjType.XBODY):
+    return int(objid)
+  if t == ObjType.GEOM:
+    return int(m.geom_bodyid[objid])
+  if t == ObjType.SITE:
+    return int(m.site_bodyid[objid])
+  raise NotImplementedError(f"object type {t} body")
+
+
+def object_velocity(m: Model, d: Data, objtype: int, objid: int,
+                    flg_local: bool):
+  """6D object velocity [ang; lin] (mj_objectVelocity,
+  engine_core_util.c:835)."""
+  bodyid = _object_body(m, objtype, objid)
+  pos, mat = object_pos_mat(m, d, objtype, objid)
+  if m.body_dofnum[m.body_weldid[bodyid]] == 0:
+    return jnp.zeros((6,), dtype=d.qpos.dtype)
+  com = d.subtree_com[m.body_rootid[bodyid]]
+  return mjm.transform_spatial(d.cvel[bodyid], False, pos, com,
+                               mat if flg_local else None)
+
+
+def object_acceleration(m: Model, d: Data, objtype: int, objid: int,
+                        flg_local: bool):
+  """6D object acceleration, incl. Coriolis correction
+  (mj_objectAcceleration, engine_core_util.c:909). Needs d.cacc."""
+  bodyid = _object_body(m, objtype, objid)
+  pos, mat = object_pos_mat(m, d, objtype, objid)
+  if m.body_dofnum[m.body_weldid[bodyid]] == 0:
+    return jnp.zeros((6,), dtype=d.qpos.dtype)
+  com = d.subtree_com[m.body_rootid[bodyid]]
+  rot = mat if flg_local else None
+  acc = mjm.transform_spatial(d.cacc[bodyid], False, pos, com, rot)
+  vel = mjm.transform_spatial(d.cvel[bodyid], False, pos, com, rot)
+  corr = jnp.cross(vel[:3], vel[3:])
+  return acc.at[3:].add(corr)
+
+
+# ---------------------------------------------------------------------------
+# contact force decode
+# ---------------------------------------------------------------------------
+
+
+def contact_force(m: Model, d: Data):
+  """Per-slot contact wrench [force3; torque3] in the contact frame
+  (mj_contactForce + mju_decodePyramid, engine_util_misc.c:1584).
+  Inactive slots return zeros. Shape (ncon, 6)."""
+  dtype = d.qpos.dtype
+  ncon = m.con.ncon
+  out = jnp.zeros((ncon, 6), dtype=dtype)
+  if ncon == 0 or m.efc.ncon_rows == 0:
+    return out
+  pyramidal = int(m.opt.cone) == int(ConeType.PYRAMIDAL)
+  active = d.contact.dist < d.contact.includemargin
+  for c in range(ncon):
+    dim = int(m.con.condim[c])
+    adr = int(m.efc.con_efcadr[c])
+    nrow = int(m.efc.con_nrow[c])
+    f = d.efc_force[adr:adr + nrow]
+    if dim == 1:
+      w = jnp.zeros((6,), dtype=dtype).at[0].set(f[0])
+    elif pyramidal:
+      normal = jnp.sum(f)
+      pairs = f.reshape(dim - 1, 2)
+      tang = (pairs[:, 0] - pairs[:, 1]) * d.contact.friction[c, :dim - 1]
+      w = jnp.zeros((6,), dtype=dtype).at[0].set(normal)
+      w = w.at[1:dim].set(tang)
+    else:
+      w = jnp.zeros((6,), dtype=dtype).at[:dim].set(f)
+    out = out.at[c].set(jnp.where(active[c], w, 0.0))
+  return out
+
+
+# ---------------------------------------------------------------------------
+# subtree velocity / momentum
+# ---------------------------------------------------------------------------
+
+
+def subtree_vel(m: Model, d: Data) -> Data:
+  """Subtree linear velocity and angular momentum (mj_subtreeVel,
+  engine_core_smooth.c:2249), as dense subtree-mask contractions:
+
+    linvel_i = (Σ_{j∈sub(i)} m_j v_j) / M_i
+    angmom_i = Σ_{j∈sub(i)} [Iw_j ω_j + m_j x_j × v_j] − c_i × (M_i linvel_i)
+
+  (the reference's parallel-axis recursion telescopes to this closed form).
+  """
+  dtype = d.qpos.dtype
+  sub = jnp.asarray(m.tree.subtree_mask, dtype=dtype)
+
+  # body 6D velocity about own CoM, world-oriented
+  com = d.subtree_com[m.body_rootid]
+  vel = mjm.transform_spatial(d.cvel, False, d.xipos, com)  # (nbody, 6)
+  w, v = vel[:, :3], vel[:, 3:]
+
+  mom = m.body_mass[:, None] * v
+  p = sub @ mom                                              # (nbody, 3)
+  mass_sub = jnp.maximum(m.body_subtreemass, mjm.MINVAL)
+  linvel = p / mass_sub[:, None]
+
+  # world-frame rotational inertia times omega
+  iw = jnp.einsum('bij,bj->bi', d.ximat,
+                  m.body_inertia * jnp.einsum('bij,bi->bj', d.ximat, w))
+  s1 = sub @ (iw + m.body_mass[:, None] * jnp.cross(d.xipos, v))
+  angmom = s1 - jnp.cross(d.subtree_com, p)
+  return d.replace(subtree_linvel=linvel, subtree_angmom=angmom)
+
+
+# ---------------------------------------------------------------------------
+# post-constraint body accelerations and interaction forces
+# ---------------------------------------------------------------------------
+
+
+def rne_postconstraint(m: Model, d: Data) -> Data:
+  """cacc, cfrc_int, cfrc_ext (mj_rnePostConstraint,
+  engine_core_smooth.c:2394). External forces gather xfrc_applied, contact
+  forces and connect/weld equality forces; the body force recursion becomes
+  two masked dense contractions."""
+  dtype = d.qpos.dtype
+  nb = m.nbody
+  anc = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+  sub = jnp.asarray(m.tree.subtree_mask, dtype=dtype)
+  com_all = d.subtree_com[m.body_rootid]                    # (nbody, 3)
+
+  # ---- cfrc_ext = perturb (xfrc_applied is [force3; torque3] world at xipos)
+  xf = d.xfrc_applied
+  wrench = jnp.concatenate([xf[:, 3:], xf[:, :3]], axis=-1)  # torque:force
+  cfrc_ext = mjm.transform_spatial(wrench, True, com_all, d.xipos)
+  cfrc_ext = cfrc_ext.at[0].set(0.0)
+
+  # ---- cfrc_ext += contacts
+  if m.con.ncon:
+    cf = contact_force(m, d)                                 # (ncon, 6)
+    frames = d.contact.frame                                 # (ncon, 3, 3)
+    # world torque:force (rows of frame are axes → world = frame^T @ local)
+    f_w = jnp.einsum('cij,cj->ci', jnp.swapaxes(frames, -1, -2), cf[:, :3])
+    t_w = jnp.einsum('cij,cj->ci', jnp.swapaxes(frames, -1, -2), cf[:, 3:])
+    cfrc = jnp.concatenate([t_w, f_w], axis=-1)              # (ncon, 6)
+    for c in range(m.con.ncon):
+      for sgn, g in ((-1.0, int(m.con.geom1[c])), (1.0, int(m.con.geom2[c]))):
+        k = int(m.geom_bodyid[g])
+        if k == 0:
+          continue
+        v = mjm.transform_spatial(cfrc[c], True,
+                                  d.subtree_com[m.body_rootid[k]],
+                                  d.contact.pos[c])
+        cfrc_ext = cfrc_ext.at[k].add(sgn * v)
+
+  # ---- cfrc_ext += connect/weld equality forces
+  for e in range(m.neq):
+    et = int(m.eq_type[e])
+    if et not in (int(EqType.CONNECT), int(EqType.WELD)):
+      continue
+    rows = np.nonzero(m.efc.eq_id == e)[0]
+    adr = int(rows[0])
+    is_weld = et == int(EqType.WELD)
+    frc = d.efc_force[adr:adr + 3]
+    trq = d.efc_force[adr + 3:adr + 6] if is_weld else jnp.zeros(
+        (3,), dtype=dtype)
+    cfrc = jnp.concatenate([trq, frc])
+    body_sem = int(m.eq_objtype[e]) == int(ObjType.BODY)
+    for sgn, obj, off_idx in ((1.0, int(m.eq_obj1id[e]), 1 if is_weld else 0),
+                              (-1.0, int(m.eq_obj2id[e]),
+                               0 if is_weld else 1)):
+      k = obj if body_sem else int(m.site_bodyid[obj])
+      if k == 0:
+        continue
+      if body_sem:
+        offset = jax.lax.dynamic_slice(m.eq_data[e], (3 * off_idx,), (3,))
+      else:
+        offset = m.site_pos[obj]
+      pos = d.xmat[k] @ offset + d.xpos[k]
+      v = mjm.transform_spatial(cfrc, True,
+                                d.subtree_com[m.body_rootid[k]], pos)
+      cfrc_ext = cfrc_ext.at[k].add(sgn * v)
+
+  # ---- forward pass: cacc (dense, same contraction as smooth.com_acc)
+  base = jnp.zeros((6,), dtype=dtype)
+  if not m.disabled(DisableBit.GRAVITY):
+    base = base.at[3:].set(-m.opt.gravity)
+  cacc = (base[None, :] + (anc * d.qvel[None, :]) @ d.cdof_dot
+          + (anc * d.qacc[None, :]) @ d.cdof)
+  cacc = cacc.at[0].set(base)
+
+  # cfrc_body = cinert cacc + cvel ×* (cinert cvel)
+  icvel = jnp.einsum('bij,bj->bi', d.cinert, d.cvel)
+  cfrc_body = (jnp.einsum('bij,bj->bi', d.cinert, cacc)
+               + mjm.force_cross(d.cvel, icvel))
+
+  # cfrc_int = subtree sum of (cfrc_body − cfrc_ext)
+  cfrc_int = sub @ (cfrc_body - cfrc_ext)
+  cfrc_int = cfrc_int.at[0].set(0.0)
+  return d.replace(cacc=cacc, cfrc_ext=cfrc_ext, cfrc_int=cfrc_int)
+
+
+# ---------------------------------------------------------------------------
+# energy
+# ---------------------------------------------------------------------------
+
+
+def energy_pos(m: Model, d: Data) -> Data:
+  """Potential energy: gravity + joint/tendon springs (mj_energyPos,
+  engine_sensor.c:1659)."""
+  dtype = d.qpos.dtype
+  e = jnp.zeros((), dtype=dtype)
+  if not m.disabled(DisableBit.GRAVITY):
+    e = e - jnp.sum(m.body_mass[1:] * (d.xipos[1:] @ m.opt.gravity))
+  if not m.disabled(DisableBit.SPRING):
+    for j in range(m.njnt):
+      jt = int(m.jnt_type[j])
+      qadr = int(m.jnt_qposadr[j])
+      k = m.jnt_stiffness[j]
+      if jt == JointType.FREE:
+        dif = d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]
+        e = e + 0.5 * k * jnp.sum(dif * dif)
+        quat = mjm.normalize(d.qpos[qadr + 3:qadr + 7])
+        dq = mjm.quat_sub(quat, m.qpos_spring[qadr + 3:qadr + 7])
+        e = e + 0.5 * k * jnp.sum(dq * dq)
+      elif jt == JointType.BALL:
+        quat = mjm.normalize(d.qpos[qadr:qadr + 4])
+        dq = mjm.quat_sub(quat, m.qpos_spring[qadr:qadr + 4])
+        e = e + 0.5 * k * jnp.sum(dq * dq)
+      else:
+        x = d.qpos[qadr] - m.qpos_spring[qadr]
+        e = e + 0.5 * k * x * x
+    if m.ntendon:
+      lo = m.tendon_lengthspring[:, 0]
+      hi = m.tendon_lengthspring[:, 1]
+      x = jnp.where(d.ten_length > hi, d.ten_length - hi,
+                    jnp.where(d.ten_length < lo, d.ten_length - lo, 0.0))
+      e = e + 0.5 * jnp.sum(m.tendon_stiffness * x * x)
+  return d.replace(energy=d.energy.at[0].set(e))
+
+
+def energy_vel(m: Model, d: Data) -> Data:
+  """Kinetic energy 0.5 qvelᵀ M qvel (mj_energyVel, engine_sensor.c:1766)."""
+  ke = 0.5 * jnp.dot(d.qvel, d.qM @ d.qvel)
+  return d.replace(energy=d.energy.at[1].set(ke))
+
+
+# ---------------------------------------------------------------------------
+# cutoff + staged evaluation
+# ---------------------------------------------------------------------------
+
+
+def _apply_cutoff(m: Model, i: int, val):
+  """Sensor cutoff clamp (apply_cutoff, engine_sensor.c:198)."""
+  cutoff = m.sensor_cutoff[i]
+  datatype = int(m.sensor_datatype[i])
+  if datatype == int(DataType.REAL):
+    clamped = jnp.clip(val, -cutoff, cutoff)
+  elif datatype == int(DataType.POSITIVE):
+    clamped = jnp.minimum(val, cutoff)
+  else:
+    return val
+  return jnp.where(cutoff > 0, clamped, val)
+
+
+def _limit_row(m: Model, objid: int, is_tendon: bool) -> int:
+  """Static efc row index of a joint/tendon limit constraint, or -1."""
+  arr = m.efc.limit_ten if is_tendon else m.efc.limit_jnt
+  rows = np.nonzero(arr == objid)[0]
+  return int(rows[0]) + m.efc.ne + m.efc.nf if len(rows) else -1
+
+
+def _write(sensordata, adr, dim, val):
+  return sensordata.at[adr:adr + dim].set(jnp.ravel(val))
+
+
+def sensor_pos(m: Model, d: Data) -> Data:
+  """Position-stage sensors (mj_sensorPos, engine_sensor.c)."""
+  if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
+    return d
+  sd = d.sensordata
+  dtype = d.qpos.dtype
+  need_energy_pos = any(
+      int(t) == ST.E_POTENTIAL for t in m.sensor_type)
+  if need_energy_pos:
+    d = energy_pos(m, d)
+
+  for i in range(m.nsensor):
+    if int(m.sensor_needstage[i]) != 1:  # mjSTAGE_POS
+      continue
+    t = ST(int(m.sensor_type[i]))
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    refid = int(m.sensor_refid[i])
+    reftype = int(m.sensor_reftype[i])
+    adr = int(m.sensor_adr[i])
+    dim = int(m.sensor_dim[i])
+
+    if t == ST.MAGNETOMETER:
+      val = d.site_xmat[objid].T @ m.opt.magnetic
+    elif t == ST.RANGEFINDER:
+      pnt = d.site_xpos[objid]
+      vec = d.site_xmat[objid][:, 2]
+      dist, _ = ray_mod.ray(m, d, pnt, vec,
+                            bodyexclude=int(m.site_bodyid[objid]))
+      val = dist
+    elif t == ST.JOINTPOS:
+      val = d.qpos[m.jnt_qposadr[objid]]
+    elif t == ST.TENDONPOS:
+      val = d.ten_length[objid]
+    elif t == ST.ACTUATORPOS:
+      val = d.actuator_length[objid]
+    elif t == ST.BALLQUAT:
+      val = mjm.normalize(
+          jax.lax.dynamic_slice(d.qpos, (int(m.jnt_qposadr[objid]),), (4,)))
+    elif t in (ST.JOINTLIMITPOS, ST.TENDONLIMITPOS):
+      # up to two rows per limited joint (lower/upper); the reference reports
+      # the first instantiated one — replicate with reverse-order selects
+      arr = m.efc.limit_ten if t == ST.TENDONLIMITPOS else m.efc.limit_jnt
+      all_rows = np.nonzero(arr == objid)[0] + m.efc.ne + m.efc.nf
+      val = jnp.zeros((), dtype=dtype)
+      for r in reversed(list(all_rows)):
+        val = jnp.where(d.efc_active[r], d.efc_pos[r] - d.efc_margin[r], val)
+    elif t in (ST.FRAMEPOS, ST.FRAMEXAXIS, ST.FRAMEYAXIS, ST.FRAMEZAXIS):
+      xpos, xmat = object_pos_mat(m, d, objtype, objid)
+      if refid == -1:
+        if t == ST.FRAMEPOS:
+          val = xpos
+        else:
+          val = xmat[:, int(t) - int(ST.FRAMEXAXIS)]
+      else:
+        xpos_ref, xmat_ref = object_pos_mat(m, d, reftype, refid)
+        if t == ST.FRAMEPOS:
+          val = xmat_ref.T @ (xpos - xpos_ref)
+        else:
+          val = xmat_ref.T @ xmat[:, int(t) - int(ST.FRAMEXAXIS)]
+    elif t == ST.FRAMEQUAT:
+      q = object_quat(m, d, objtype, objid)
+      if refid == -1:
+        val = q
+      else:
+        qref = object_quat(m, d, reftype, refid)
+        val = mjm.mul_quat(mjm.conj_quat(qref), q)
+    elif t == ST.SUBTREECOM:
+      val = d.subtree_com[objid]
+    elif t == ST.E_POTENTIAL:
+      val = d.energy[0]
+    elif t == ST.E_KINETIC:
+      d = energy_vel(m, d)
+      val = d.energy[1]
+    elif t == ST.CLOCK:
+      val = d.time
+    else:
+      raise NotImplementedError(f"pos-stage sensor {t}")
+    sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  return d.replace(sensordata=sd)
+
+
+def sensor_vel(m: Model, d: Data) -> Data:
+  """Velocity-stage sensors (mj_sensorVel, engine_sensor.c:838)."""
+  if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
+    return d
+  dtype = d.qpos.dtype
+  need_subtree = any(int(t) in (ST.SUBTREELINVEL, ST.SUBTREEANGMOM)
+                     for t in m.sensor_type)
+  if need_subtree:
+    d = subtree_vel(m, d)
+  sd = d.sensordata
+
+  for i in range(m.nsensor):
+    if int(m.sensor_needstage[i]) != 2:  # mjSTAGE_VEL
+      continue
+    t = ST(int(m.sensor_type[i]))
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    refid = int(m.sensor_refid[i])
+    reftype = int(m.sensor_reftype[i])
+    adr = int(m.sensor_adr[i])
+    dim = int(m.sensor_dim[i])
+
+    if t == ST.VELOCIMETER:
+      val = object_velocity(m, d, int(ObjType.SITE), objid, True)[3:]
+    elif t == ST.GYRO:
+      val = object_velocity(m, d, int(ObjType.SITE), objid, True)[:3]
+    elif t == ST.JOINTVEL:
+      val = d.qvel[m.jnt_dofadr[objid]]
+    elif t == ST.TENDONVEL:
+      val = d.ten_velocity[objid]
+    elif t == ST.ACTUATORVEL:
+      val = d.actuator_velocity[objid]
+    elif t == ST.BALLANGVEL:
+      val = jax.lax.dynamic_slice(d.qvel, (int(m.jnt_dofadr[objid]),), (3,))
+    elif t in (ST.JOINTLIMITVEL, ST.TENDONLIMITVEL):
+      arr = m.efc.limit_ten if t == ST.TENDONLIMITVEL else m.efc.limit_jnt
+      all_rows = np.nonzero(arr == objid)[0] + m.efc.ne + m.efc.nf
+      val = jnp.zeros((), dtype=dtype)
+      for r in reversed(list(all_rows)):
+        val = jnp.where(d.efc_active[r], jnp.dot(d.efc_J[r], d.qvel), val)
+    elif t in (ST.FRAMELINVEL, ST.FRAMEANGVEL):
+      xvel = object_velocity(m, d, objtype, objid, False)
+      if refid > -1:
+        xpos, _ = object_pos_mat(m, d, objtype, objid)
+        xpos_ref, xmat_ref = object_pos_mat(m, d, reftype, refid)
+        xvel_ref = object_velocity(m, d, reftype, refid, False)
+        rel = xvel - xvel_ref
+        rvec = xpos - xpos_ref
+        rel = rel.at[3:].add(jnp.cross(rvec, xvel_ref[:3]))
+        xvel = jnp.concatenate([xmat_ref.T @ rel[:3], xmat_ref.T @ rel[3:]])
+      val = xvel[3:] if t == ST.FRAMELINVEL else xvel[:3]
+    elif t == ST.SUBTREELINVEL:
+      val = d.subtree_linvel[objid]
+    elif t == ST.SUBTREEANGMOM:
+      val = d.subtree_angmom[objid]
+    else:
+      raise NotImplementedError(f"vel-stage sensor {t}")
+    sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  return d.replace(sensordata=sd)
+
+
+def sensor_acc(m: Model, d: Data) -> Data:
+  """Acceleration-stage sensors (mj_sensorAcc, engine_sensor.c:957)."""
+  if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
+    return d
+  dtype = d.qpos.dtype
+  need_rnepost = any(
+      int(t) in (ST.ACCELEROMETER, ST.FORCE, ST.TORQUE, ST.FRAMELINACC,
+                 ST.FRAMEANGACC, ST.TOUCH)
+      for t in m.sensor_type)
+  if need_rnepost:
+    d = rne_postconstraint(m, d)
+  sd = d.sensordata
+
+  for i in range(m.nsensor):
+    if int(m.sensor_needstage[i]) != 3:  # mjSTAGE_ACC
+      continue
+    t = ST(int(m.sensor_type[i]))
+    objid = int(m.sensor_objid[i])
+    objtype = int(m.sensor_objtype[i])
+    adr = int(m.sensor_adr[i])
+    dim = int(m.sensor_dim[i])
+
+    if t == ST.TOUCH:
+      val = _touch(m, d, objid)
+    elif t == ST.ACCELEROMETER:
+      val = object_acceleration(m, d, int(ObjType.SITE), objid, True)[3:]
+    elif t in (ST.FORCE, ST.TORQUE):
+      bodyid = int(m.site_bodyid[objid])
+      rootid = int(m.body_rootid[bodyid])
+      w = mjm.transform_spatial(d.cfrc_int[bodyid], True,
+                                d.site_xpos[objid], d.subtree_com[rootid],
+                                d.site_xmat[objid])
+      val = w[3:] if t == ST.FORCE else w[:3]
+    elif t == ST.ACTUATORFRC:
+      val = d.actuator_force[objid]
+    elif t == ST.JOINTACTFRC:
+      val = d.qfrc_actuator[m.jnt_dofadr[objid]]
+    elif t in (ST.JOINTLIMITFRC, ST.TENDONLIMITFRC):
+      arr = m.efc.limit_ten if t == ST.TENDONLIMITFRC else m.efc.limit_jnt
+      all_rows = np.nonzero(arr == objid)[0] + m.efc.ne + m.efc.nf
+      val = jnp.zeros((), dtype=dtype)
+      for r in reversed(list(all_rows)):
+        val = jnp.where(d.efc_active[r], d.efc_force[r], val)
+    elif t in (ST.FRAMELINACC, ST.FRAMEANGACC):
+      acc = object_acceleration(m, d, objtype, objid, False)
+      val = acc[3:] if t == ST.FRAMELINACC else acc[:3]
+    else:
+      raise NotImplementedError(f"acc-stage sensor {t}")
+    sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  return d.replace(sensordata=sd)
+
+
+def _touch(m: Model, d: Data, siteid: int):
+  """Touch sensor: sum normal forces of contacts whose force ray intersects
+  the site zone (mjSENS_TOUCH, engine_sensor.c:980)."""
+  dtype = d.qpos.dtype
+  bodyid = int(m.site_bodyid[siteid])
+  total = jnp.zeros((), dtype=dtype)
+  if m.con.ncon == 0:
+    return total
+  cf = contact_force(m, d)
+  active = d.contact.dist < d.contact.includemargin
+  site_type = int(m.site_type[siteid])
+  for c in range(m.con.ncon):
+    b1 = int(m.geom_bodyid[m.con.geom1[c]])
+    b2 = int(m.geom_bodyid[m.con.geom2[c]])
+    if bodyid not in (b1, b2):
+      continue
+    fn = cf[c, 0]
+    # normal force direction in world, flipped if sensor body is body2
+    ray_dir = d.contact.frame[c, 0] * (1.0 if bodyid == b1 else -1.0)
+    hit = ray_mod.ray_geom(d.site_xpos[siteid], d.site_xmat[siteid],
+                           m.site_size[siteid], d.contact.pos[c], ray_dir,
+                           site_type)
+    ok = active[c] & (fn > 0) & jnp.isfinite(hit)
+    total = total + jnp.where(ok, fn, 0.0)
+  return total

@@ -201,3 +201,20 @@ def transform_motion(v, offset):
   """
   w, u = v[..., :3], v[..., 3:]
   return jnp.concatenate([w, u + jnp.cross(w, offset)], axis=-1)
+
+
+def transform_spatial(vec, flg_force, newpos, oldpos, rotnew2old=None):
+  """Transform a spatial motion/force vector to a new frame
+  (mju_transformSpatial, engine_util_spatial.c). vec is (..., 6) in
+  [angular; linear] order; rotnew2old rotates new-frame coords to old."""
+  dif = newpos - oldpos
+  ang, lin = vec[..., :3], vec[..., 3:]
+  if flg_force:
+    ang = ang - jnp.cross(dif, lin)
+  else:
+    lin = lin - jnp.cross(dif, ang)
+  if rotnew2old is not None:
+    rt = jnp.swapaxes(rotnew2old, -1, -2)
+    ang = (rt @ ang[..., None])[..., 0]
+    lin = (rt @ lin[..., None])[..., 0]
+  return jnp.concatenate([ang, lin], axis=-1)
