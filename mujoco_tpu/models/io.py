@@ -455,6 +455,7 @@ def make_data(m: Model, dtype=None) -> Data:
       efc_KBIP=z(nefc, 4),
       efc_active=jnp.zeros((nefc,), dtype=bool),
       efc_force=z(nefc), qfrc_constraint=z(nv), qacc=z(nv),
+      qfrc_inverse=z(nv),
       cacc=z(nb, 6), cfrc_int=z(nb, 6), cfrc_ext=z(nb, 6),
       subtree_linvel=z(nb, 3), subtree_angmom=z(nb, 3),
       sensordata=z(m.nsensordata),

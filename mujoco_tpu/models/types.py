@@ -629,6 +629,7 @@ class Data:
   efc_force: jax.Array
   qfrc_constraint: jax.Array
   qacc: jax.Array
+  qfrc_inverse: jax.Array
 
   # post-constraint body dynamics (mj_rnePostConstraint / mj_subtreeVel)
   cacc: jax.Array              # (nbody, 6) body accelerations, c-frame

@@ -257,8 +257,45 @@ def rungekutta4(m: Model, d: Data) -> Data:
 
 
 def implicit(m: Model, d: Data) -> Data:
-  """implicit-in-velocity integrators: pending the derivative milestone."""
-  raise NotImplementedError("implicit integrators: derivative milestone")
+  """Implicit-in-velocity integrators (mj_implicitSkip,
+  engine_forward.c:1652): solve (M − h·qDeriv) qacc = qfrc_smooth +
+  qfrc_constraint, with qDeriv = ∂(actuator+passive[−bias])/∂qvel.
+
+  IMPLICIT keeps the RNE bias derivative (unsymmetric → LU); IMPLICITFAST
+  drops it from the global symmetric solve and restores it per standalone
+  free body via a local 6×6 solve (mjd_freeMhat). qDeriv is masked to the
+  tree-coupling sparsity, matching the reference's sparse D-pattern scatter.
+  """
+  from mujoco_tpu.ops import derivative
+  dtype = d.qpos.dtype
+  h = m.opt.timestep
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  sym = np.asarray(m.tree.dof_ancestor_mask)
+  sym = jnp.asarray(sym | sym.T)
+
+  if int(m.opt.integrator) == Integrator.IMPLICIT:
+    qderiv = derivative.smooth_vel(m, d, flg_bias=True)
+    qlu = d.qM - h * jnp.where(sym, qderiv, 0.0)
+    qacc = jnp.linalg.solve(qlu, qfrc)
+  else:  # IMPLICITFAST
+    qderiv0 = jnp.where(sym, derivative.smooth_vel(m, d, flg_bias=False), 0.0)
+    free_jnts = derivative.free_body_joints(m)
+    # standalone free bodies: reset their rows to M in the global symmetric
+    # factorization (their block is decoupled; handled locally below)
+    qderiv = qderiv0
+    for j in free_jnts:
+      adr = int(m.jnt_dofadr[j])
+      qderiv = qderiv.at[adr:adr + 6, :].set(0.0)
+      qderiv = qderiv.at[:, adr:adr + 6].set(0.0)
+    qh = d.qM - h * qderiv
+    chol = jnp.linalg.cholesky(qh)
+    qacc = jax.scipy.linalg.cho_solve((chol, True), qfrc[:, None])[:, 0]
+    for j in free_jnts:
+      adr = int(m.jnt_dofadr[j])
+      a = derivative.free_mhat(m, d, j, qderiv0)
+      qacc = qacc.at[adr:adr + 6].set(
+          jnp.linalg.solve(a, qfrc[adr:adr + 6]))
+  return _advance(m, d, d.act_dot, qacc)
 
 
 def step(m: Model, d: Data) -> Data:
