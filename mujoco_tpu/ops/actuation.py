@@ -18,10 +18,6 @@ from mujoco_tpu.utils import math as mjm
 
 def _check_supported(m: Model):
   for i in range(m.nu):
-    if m.actuator_dyntype[i] == DynType.MUSCLE or \
-       m.actuator_gaintype[i] == GainType.MUSCLE or \
-       m.actuator_biastype[i] == BiasType.MUSCLE:
-      raise NotImplementedError("muscle actuators: pending muscle milestone")
     if m.actuator_dyntype[i] == DynType.USER or \
        m.actuator_gaintype[i] == GainType.USER:
       raise NotImplementedError("user callbacks not supported under jit")
@@ -44,6 +40,10 @@ def act_dot(m: Model, d: Data):
     elif dyn in (DynType.FILTER, DynType.FILTEREXACT):
       tau = jnp.maximum(m.actuator_dynprm[i, 0], mjm.MINVAL)
       out = out.at[adr + num - 1].set((ctrl - d.act[adr + num - 1]) / tau)
+    elif dyn == DynType.MUSCLE:
+      from mujoco_tpu.ops import muscle
+      out = out.at[adr + num - 1].set(
+          muscle.dynamics(ctrl, d.act[adr + num - 1], m.actuator_dynprm[i]))
   return out
 
 
@@ -96,6 +96,18 @@ def fwd_actuation(m: Model, d: Data) -> Data:
   bias_affine = bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity
   is_affine_b = jnp.asarray(m.actuator_biastype == BiasType.AFFINE)
   bias = jnp.where(is_affine_b, bias_affine, jnp.zeros_like(bias_affine))
+
+  # muscles (FLV model, engine_util_misc.c:1049-1199)
+  if (m.actuator_gaintype == GainType.MUSCLE).any() or \
+     (m.actuator_biastype == BiasType.MUSCLE).any():
+    from mujoco_tpu.ops import muscle
+    g_mus = muscle.gain(length, velocity, m.actuator_lengthrange,
+                        m.actuator_acc0, gp)
+    b_mus = muscle.bias(length, m.actuator_lengthrange, m.actuator_acc0, bp)
+    gain = jnp.where(jnp.asarray(m.actuator_gaintype == GainType.MUSCLE),
+                     g_mus, gain)
+    bias = jnp.where(jnp.asarray(m.actuator_biastype == BiasType.MUSCLE),
+                     b_mus, bias)
 
   force = gain * inp + bias
 

@@ -239,7 +239,7 @@ def _linesearch(m: Model, d: Data, jar0, jp, gx0, pmp):
   """Exact-ish linesearch: safeguarded Newton on φ'(α) = 0
   (counterpart of the primal linesearch in engine_solver.c)."""
   dtype = jar0.dtype
-  ls_iter = max(int(m.opt.ls_iterations), 8)
+  ls_iter = int(m.opt.ls_iterations)
 
   def body(_, alpha):
     dphi, ddphi, _ = _eval_phi(m, d, jar0, jp, gx0, pmp, alpha)
