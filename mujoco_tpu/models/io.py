@@ -93,9 +93,28 @@ def _tree_topology(parentid: np.ndarray, dof_bodyid: np.ndarray,
       # exclude sibling rotations, keep own translations
       cdofdot_mask[j, jnt_dofadr[jid] + 3:jnt_dofadr[jid] + 6] = False
 
+  # dof-tree depth levels + padded strict-ancestor chains (for tree-LDL)
+  dof_depth = np.zeros(nv, dtype=np.int32)
+  for i in range(nv):
+    p = dof_parentid[i]
+    dof_depth[i] = 0 if p < 0 else dof_depth[p] + 1
+  dof_levels = tuple(
+      np.nonzero(dof_depth == lev)[0].astype(np.int32)
+      for lev in range(dof_depth.max() + 1 if nv else 0))
+  maxdepth = int(dof_depth.max()) if nv else 0
+  dof_anc_table = np.full((nv, max(maxdepth, 1)), nv, dtype=np.int32)
+  for i in range(nv):
+    p = dof_parentid[i]
+    k = 0
+    while p >= 0:
+      dof_anc_table[i, k] = p
+      p = dof_parentid[p]
+      k += 1
+
   return TreeTopology(ancestor_mask=ancestor_mask, subtree_mask=subtree_mask,
                       levels=levels, dof_ancestor_mask=dof_anc,
-                      cdofdot_mask=cdofdot_mask)
+                      cdofdot_mask=cdofdot_mask,
+                      dof_levels=dof_levels, dof_anc_table=dof_anc_table)
 
 
 def _contact_meta(mjm: Any) -> ContactMeta:

@@ -278,6 +278,11 @@ class TreeTopology:
   subtree_mask: np.ndarray = static_field()      # (nbody, nbody) bool
   levels: Tuple[np.ndarray, ...] = static_field()
   dof_ancestor_mask: np.ndarray = static_field() # (nv, nv) bool: j anc-or-self of i
+  # dof-tree tables for the fill-in-free L'DL' factorization (mj_factorM):
+  # dofs grouped by dof-tree depth, and per-dof padded strict-ancestor chains
+  # (padded with nv → extra scratch row/col)
+  dof_levels: Tuple[np.ndarray, ...] = static_field()
+  dof_anc_table: np.ndarray = static_field()     # (nv, maxdepth)
   # cdofdot_mask[j, k]: dof k's velocity contributes to d/dt cdof_j, matching
   # the accumulation order of mj_comVel (engine_core_smooth.c:2179): strict
   # tree-predecessors, excluding same-joint dofs for ball/free rotations

@@ -209,9 +209,9 @@ def euler(m: Model, d: Data) -> Data:
               and not m.disabled(DisableBit.DAMPER))
   if use_damp:
     qm = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
-    qh = jnp.linalg.cholesky(qm)
+    lmat, dinv = smooth.factor_tree(m, qm)  # same tree sparsity as qM
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve((qh, True), qfrc[:, None])[:, 0]
+    qacc = smooth.solve_tree(m, lmat, dinv, qfrc)
   else:
     qacc = d.qacc
   return _advance(m, d, d.act_dot, qacc)

@@ -230,17 +230,81 @@ def crb(m: Model, d: Data) -> Data:
   return d.replace(crb=crb_, qM=qm)
 
 
+def factor_tree(m: Model, mat):
+  """Fill-in-free tree L'DL' factorization of a matrix with qM's sparsity
+  (mj_factorM / mj_factorI, engine_core_smooth.c + engine_util_solve.c).
+
+  Tree mass matrices factor as M = Lᵀ D L with unit-lower L supported on the
+  strict dof-ancestor chains — no fill-in. Statically unrolled over dof-tree
+  *depth levels*: every level is one small batched gather/outer/scatter, so
+  the sequential chain is the tree depth (~12 for a humanoid), not nv, and
+  each step vectorizes over the env batch. This is the TPU replacement for
+  the batched dense Cholesky, which XLA unrolls into nv sequential rank-1
+  updates.
+
+  Returns (L, Dinv): L (nv, nv) unit-lower on the chain pattern, Dinv (nv,).
+  """
+  nv = m.nv
+  dtype = mat.dtype
+  # scratch row/col nv absorbs padded-index writes
+  mp = jnp.zeros((nv + 1, nv + 1), dtype=dtype).at[:nv, :nv].set(mat)
+  lmat = jnp.zeros((nv + 1, nv + 1), dtype=dtype)
+  anc_all = m.tree.dof_anc_table                       # (nv, A) padded w/ nv
+
+  for level in reversed(m.tree.dof_levels):            # deepest first
+    ks = level                                         # (nk,) static
+    anc = anc_all[ks]                                  # (nk, A) static
+    mkk = mp[ks, ks]                                   # (nk,)
+    mk_anc = mp[ks[:, None], anc]                      # (nk, A)
+    a = mk_anc / mkk[:, None]
+    # chain update: ancestors of k form a chain → full outer product valid
+    upd = a[:, :, None] * mk_anc[:, None, :]           # (nk, A, A)
+    mp = mp.at[anc[:, :, None], anc[:, None, :]].add(-upd)
+    lmat = lmat.at[ks[:, None], anc].set(a)
+  dinv = 1.0 / mp[jnp.arange(nv), jnp.arange(nv)]
+  return lmat[:nv, :nv], dinv
+
+
+def solve_tree(m: Model, lmat, dinv, y):
+  """Solve (Lᵀ D L) x = y given factor_tree output (mj_solveLD).
+
+  Level-synchronous two-sweep substitution; y may have leading batch dims
+  ending in (nv,).
+  """
+  nv = m.nv
+  anc_all = m.tree.dof_anc_table
+  batch = y.shape[:-1]
+  z = jnp.concatenate(
+      [y, jnp.zeros(batch + (1,), dtype=y.dtype)], axis=-1)  # scratch col
+
+  # Lᵀ z = y : descendants first
+  for level in reversed(m.tree.dof_levels):
+    ks = level
+    anc = anc_all[ks]                                  # (nk, A)
+    contrib = lmat[ks[:, None], anc] * z[..., ks, None]  # (..., nk, A)
+    flat = anc.reshape(-1)
+    z = z.at[..., flat].add(-contrib.reshape(batch + (-1,)))
+
+  z = z.at[..., :nv].multiply(dinv)
+
+  # L x = z : ancestors first (root level downward)
+  for level in m.tree.dof_levels:
+    ks = level
+    anc = anc_all[ks]
+    dot = jnp.einsum('ka,...ka->...k', lmat[ks[:, None], anc], z[..., anc])
+    z = z.at[..., ks].add(-dot)
+  return z[..., :nv]
+
+
 def factor_m(m: Model, d: Data) -> Data:
-  """Dense Cholesky of qM (replaces the reference's sparse L'DL',
-  mj_factorM). TPUs prefer dense at humanoid scale (nv≲64); see SURVEY §7."""
-  qld = jnp.linalg.cholesky(d.qM)
-  return d.replace(qLD=qld)
+  """Factor qM (mj_factorM): tree L'DL', stored in (qLD, qLDiagInv)."""
+  lmat, dinv = factor_tree(m, d.qM)
+  return d.replace(qLD=lmat, qLDiagInv=dinv)
 
 
 def solve_m(m: Model, d: Data, y):
-  """M⁻¹ y via the cached Cholesky factor (mj_solveM). y: (..., nv)."""
-  sol = jax.scipy.linalg.cho_solve((d.qLD, True), y[..., None])
-  return sol[..., 0]
+  """M⁻¹ y via the cached tree factor (mj_solveM). y: (..., nv)."""
+  return solve_tree(m, d.qLD, d.qLDiagInv, y)
 
 
 def com_vel(m: Model, d: Data) -> Data:

@@ -302,12 +302,13 @@ def solve(m: Model, d: Data) -> Data:
     jar = J @ x - aref
     ctx = _update(m, d, jar)
     grad = M @ (x - a_s) - J.T @ ctx.force
-    # preconditioned by M⁻¹ (Polak-Ribière)
-    mgrad = jax.scipy.linalg.cho_solve((d.qLD, True), grad[:, None])[:, 0]
+    # preconditioned by M⁻¹ (Polak-Ribière), via the tree L'DL' factor
+    from mujoco_tpu.ops import smooth
+    mgrad = smooth.solve_m(m, d, grad)
     beta = jnp.maximum(
         0.0, jnp.dot(grad - g_prev, mgrad)
-        / jnp.maximum(jnp.dot(g_prev, jax.scipy.linalg.cho_solve(
-            (d.qLD, True), g_prev[:, None])[:, 0]), mjm.MINVAL))
+        / jnp.maximum(jnp.dot(g_prev, smooth.solve_m(m, d, g_prev)),
+                      mjm.MINVAL))
     p = jnp.where(first, -mgrad, -mgrad + beta * dir_prev)
     jp = J @ p
     gx0 = jnp.dot(p, M @ (x - a_s))
