@@ -287,9 +287,10 @@ def implicit(m: Model, d: Data) -> Data:
       adr = int(m.jnt_dofadr[j])
       qderiv = qderiv.at[adr:adr + 6, :].set(0.0)
       qderiv = qderiv.at[:, adr:adr + 6].set(0.0)
+    # qh has qM's tree sparsity (qDeriv was masked to it) → tree factor
     qh = d.qM - h * qderiv
-    chol = jnp.linalg.cholesky(qh)
-    qacc = jax.scipy.linalg.cho_solve((chol, True), qfrc[:, None])[:, 0]
+    lmat, dinv = smooth.factor_tree(m, qh)
+    qacc = smooth.solve_tree(m, lmat, dinv, qfrc)
     for j in free_jnts:
       adr = int(m.jnt_dofadr[j])
       a = derivative.free_mhat(m, d, j, qderiv0)
