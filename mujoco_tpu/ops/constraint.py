@@ -342,53 +342,72 @@ def _limit_rows(m: Model, d: Data):
             jnp.zeros((0, 5), dtype=dtype), z)
 
   enabled = not m.disabled(DisableBit.LIMIT)
-  Js, poss, margins, actives, diagas, solrefs, solimps = ([], [], [], [], [],
-                                                          [], [])
-  for r in range(nrows):
+
+  # --- fully vectorized hinge/slide rows via static gather tables; ball and
+  # tendon rows (rare) fall back to per-row assembly merged in below
+  hs_rows = np.nonzero((meta.limit_jnt >= 0) & (meta.limit_side != 0))[0]
+  other_rows = np.setdiff1d(np.arange(nrows), hs_rows)
+
+  J = jnp.zeros((nrows, nv), dtype=dtype)
+  pos = jnp.zeros((nrows,), dtype=dtype)
+  margins = jnp.zeros((nrows,), dtype=dtype)
+  diagas = jnp.zeros((nrows,), dtype=dtype)
+  solrefs = jnp.zeros((nrows, 2), dtype=dtype)
+  solimps = jnp.zeros((nrows, 5), dtype=dtype)
+
+  if len(hs_rows):
+    jids = meta.limit_jnt[hs_rows]
+    sides = meta.limit_side[hs_rows].astype(np.float64)
+    qadrs = m.jnt_qposadr[jids]
+    dadrs = m.jnt_dofadr[jids]
+    value = d.qpos[qadrs]                                 # (nhs,)
+    lim = jnp.where(jnp.asarray(sides < 0), m.jnt_range[jids, 0],
+                    m.jnt_range[jids, 1])
+    dist = jnp.asarray(sides, dtype=dtype) * (lim - value)
+    # J is a static constant pattern: -side at (row, dof)
+    jhs = np.zeros((len(hs_rows), nv))
+    jhs[np.arange(len(hs_rows)), dadrs] = -sides
+    J = J.at[hs_rows].set(jnp.asarray(jhs, dtype=dtype))
+    pos = pos.at[hs_rows].set(dist)
+    margins = margins.at[hs_rows].set(m.jnt_margin[jids])
+    diagas = diagas.at[hs_rows].set(m.dof_invweight0[dadrs])
+    solrefs = solrefs.at[hs_rows].set(m.jnt_solref[jids])
+    solimps = solimps.at[hs_rows].set(m.jnt_solimp[jids])
+
+  for r in other_rows:
     jid = int(meta.limit_jnt[r])
     ten = int(meta.limit_ten[r])
     side = int(meta.limit_side[r])
-    if jid >= 0:
-      margin = m.jnt_margin[jid]
+    if jid >= 0:  # ball limit
       qadr = int(m.jnt_qposadr[jid])
       dadr = int(m.jnt_dofadr[jid])
-      if side == 0:  # ball
-        quat = mjm.normalize(d.qpos[qadr:qadr + 4])
-        aa = mjm.quat_to_vel(quat)
-        angle = mjm.norm_safe(aa)
-        axis = aa / angle
-        dist = jnp.maximum(m.jnt_range[jid, 0], m.jnt_range[jid, 1]) - angle
-        jrow = jnp.zeros((nv,), dtype=dtype).at[dadr:dadr + 3].set(-axis)
-      else:
-        value = d.qpos[qadr]
-        lim = jnp.where(side < 0, m.jnt_range[jid, 0], m.jnt_range[jid, 1])
-        dist = side * (lim - value)
-        jrow = jnp.zeros((nv,), dtype=dtype).at[dadr].set(-float(side))
-      diaga = m.dof_invweight0[dadr]
-      solref, solimp = m.jnt_solref[jid], m.jnt_solimp[jid]
-    else:
-      margin = m.tendon_margin[ten]
+      quat = mjm.normalize(d.qpos[qadr:qadr + 4])
+      aa = mjm.quat_to_vel(quat)
+      angle = mjm.norm_safe(aa)
+      axis = aa / angle
+      dist = jnp.maximum(m.jnt_range[jid, 0], m.jnt_range[jid, 1]) - angle
+      J = J.at[r, dadr:dadr + 3].set(-axis)
+      pos = pos.at[r].set(dist)
+      margins = margins.at[r].set(m.jnt_margin[jid])
+      diagas = diagas.at[r].set(m.dof_invweight0[dadr])
+      solrefs = solrefs.at[r].set(m.jnt_solref[jid])
+      solimps = solimps.at[r].set(m.jnt_solimp[jid])
+    else:  # tendon limit
       length = d.ten_length[ten]
       lim = jnp.where(side < 0, m.tendon_range[ten, 0],
                       m.tendon_range[ten, 1])
       dist = side * (lim - length)
-      jrow = -float(side) * d.ten_J[ten]
-      diaga = m.tendon_invweight0[ten]
-      solref, solimp = m.tendon_solref_lim[ten], m.tendon_solimp_lim[ten]
+      J = J.at[r].set(-float(side) * d.ten_J[ten])
+      pos = pos.at[r].set(dist)
+      margins = margins.at[r].set(m.tendon_margin[ten])
+      diagas = diagas.at[r].set(m.tendon_invweight0[ten])
+      solrefs = solrefs.at[r].set(m.tendon_solref_lim[ten])
+      solimps = solimps.at[r].set(m.tendon_solimp_lim[ten])
 
-    Js.append(jrow)
-    poss.append(dist)
-    margins.append(margin)
-    actives.append((dist < margin) & enabled)
-    diagas.append(diaga)
-    solrefs.append(solref)
-    solimps.append(solimp)
-
-  J = jnp.stack(Js)
-  pos = jnp.stack(poss)
-  return (J, pos, jnp.stack(margins), jnp.zeros((nrows,), dtype=dtype),
-          jnp.stack(actives), jnp.stack(diagas), jnp.stack(solrefs),
-          jnp.zeros((nrows, 2), dtype=dtype), jnp.stack(solimps), pos)
+  actives = (pos < margins) & enabled
+  return (J, pos, margins, jnp.zeros((nrows,), dtype=dtype),
+          actives, diagas, solrefs,
+          jnp.zeros((nrows, 2), dtype=dtype), solimps, pos)
 
 
 def _contact_rows(m: Model, d: Data):
