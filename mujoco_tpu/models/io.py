@@ -27,11 +27,16 @@ from mujoco_tpu.models.types import (ConeType, Contact, ContactMeta, Data,
 _PAIR_NCON = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.PLANE, GeomType.BOX): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 2,
+    (GeomType.CAPSULE, GeomType.BOX): 3,
+    (GeomType.BOX, GeomType.BOX): 8,
 }
 
 
@@ -362,6 +367,13 @@ def put_model(mjm: Any, dtype=None) -> Model:
       site_bodyid=si(mjm.site_bodyid),
       site_type=si(mjm.site_type), site_size=jx(mjm.site_size),
       site_pos=jx(mjm.site_pos), site_quat=jx(mjm.site_quat),
+      pair_dim=si(mjm.pair_dim),
+      pair_geom1=si(mjm.pair_geom1), pair_geom2=si(mjm.pair_geom2),
+      pair_solref=jx(mjm.pair_solref),
+      pair_solreffriction=jx(mjm.pair_solreffriction),
+      pair_solimp=jx(mjm.pair_solimp),
+      pair_margin=jx(mjm.pair_margin), pair_gap=jx(mjm.pair_gap),
+      pair_friction=jx(mjm.pair_friction),
       eq_type=si(mjm.eq_type), eq_obj1id=si(mjm.eq_obj1id),
       eq_obj2id=si(mjm.eq_obj2id), eq_objtype=si(mjm.eq_objtype),
       eq_active0=np.array(mjm.eq_active0, dtype=bool),

@@ -461,6 +461,17 @@ class Model:
   site_pos: jax.Array = field()
   site_quat: jax.Array = field()
 
+  # ----- explicit contact pairs
+  pair_dim: np.ndarray = static_field()
+  pair_geom1: np.ndarray = static_field()
+  pair_geom2: np.ndarray = static_field()
+  pair_solref: jax.Array = field()
+  pair_solreffriction: jax.Array = field()
+  pair_solimp: jax.Array = field()
+  pair_margin: jax.Array = field()
+  pair_gap: jax.Array = field()
+  pair_friction: jax.Array = field()
+
   # ----- equality constraints
   eq_type: np.ndarray = static_field()
   eq_obj1id: np.ndarray = static_field()

@@ -20,14 +20,24 @@ from mujoco_tpu.models.types import Contact, Data, DisableBit, GeomType, Model
 from mujoco_tpu.ops import collision_primitive as cp
 from mujoco_tpu.utils import math as mjm
 
+def _box_box(*args):
+  from mujoco_tpu.ops import collision_box
+  return collision_box.box_box(*args)
+
+
 _COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): (cp.plane_sphere, 1),
     (GeomType.PLANE, GeomType.CAPSULE): (cp.plane_capsule, 2),
+    (GeomType.PLANE, GeomType.ELLIPSOID): (cp.plane_ellipsoid, 1),
+    (GeomType.PLANE, GeomType.CYLINDER): (cp.plane_cylinder, 4),
     (GeomType.PLANE, GeomType.BOX): (cp.plane_box, 4),
     (GeomType.SPHERE, GeomType.SPHERE): (cp.sphere_sphere, 1),
     (GeomType.SPHERE, GeomType.CAPSULE): (cp.sphere_capsule, 1),
+    (GeomType.SPHERE, GeomType.CYLINDER): (cp.sphere_cylinder, 1),
     (GeomType.SPHERE, GeomType.BOX): (cp.sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (cp.capsule_capsule, 2),
+    (GeomType.CAPSULE, GeomType.BOX): (cp.capsule_box, 3),
+    (GeomType.BOX, GeomType.BOX): (_box_box, 8),
 }
 
 
@@ -87,18 +97,26 @@ def _combine_params(m: Model, slots: np.ndarray):
       [fri[:, 0], fri[:, 0], fri[:, 1], fri[:, 2], fri[:, 2]], axis=-1)
   friction5 = jnp.maximum(friction5, mjm.MINVAL)
 
-  margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+  # margins/gaps add (getMargin/getGap, engine_collision_driver.c:161-175);
+  # includemargin = margin — the gap only widens detection, and rows with
+  # dist ≥ includemargin are excluded, which fixed slots handle by masking
+  margin = m.geom_margin[g1] + m.geom_margin[g2]
   solreffriction = jnp.zeros_like(solref)
 
-  # explicit <pair> overrides
+  # explicit <pair> overrides (mj_collideGeomPair: pair params replace the
+  # combined ones wholesale)
   has_pair = pid >= 0
   if has_pair.any():
-    raise NotImplementedError(
-        "explicit <pair> parameter overrides: pending pair milestone")
+    pidx = np.maximum(pid, 0)
+    is_pair = jnp.asarray(has_pair)
+    solref = jnp.where(is_pair[:, None], m.pair_solref[pidx], solref)
+    solreffriction = jnp.where(is_pair[:, None],
+                               m.pair_solreffriction[pidx], solreffriction)
+    solimp = jnp.where(is_pair[:, None], m.pair_solimp[pidx], solimp)
+    friction5 = jnp.where(is_pair[:, None], m.pair_friction[pidx], friction5)
+    margin = jnp.where(is_pair, m.pair_margin[pidx], margin)
 
-  includemargin = margin - gap
-  return includemargin, friction5, solref, solreffriction, solimp
+  return margin, friction5, solref, solreffriction, solimp
 
 
 def collision(m: Model, d: Data) -> Data:

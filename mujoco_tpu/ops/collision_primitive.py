@@ -180,3 +180,164 @@ def sphere_box(p1, m1, s1, p2, m2, s2):
   normal = -(m2 @ n_box)
   pos = p1 + normal * (s1[0] + dist / 2)
   return _stack1(dist, pos, normal)
+
+
+def plane_cylinder(p1, m1, s1, p2, m2, s2):
+  """Plane vs cylinder (mjc_PlaneCylinder, engine_collision_primitive.c:101):
+  up to 4 contacts — the two rim points nearest/farthest along the axis and
+  a sideways triangle pair when the disk is near-parallel."""
+  n = m1[:, 2]
+  axis0 = m2[:, 2]
+  prjaxis0 = jnp.dot(n, axis0)
+  # axis points towards plane
+  flip = prjaxis0 > 0
+  axis = jnp.where(flip, -axis0, axis0)
+  prjaxis = jnp.where(flip, -prjaxis0, prjaxis0)
+
+  dist0 = jnp.dot(p2 - p1, n)
+
+  # vec = radius-direction component of -normal
+  vec = axis * prjaxis - n
+  len_sqr = jnp.dot(vec, vec)
+  degenerate = len_sqr < mjm.MINVAL ** 2
+  scl = s2[0] / jnp.sqrt(jnp.where(degenerate, 1.0, len_sqr))
+  vec = jnp.where(degenerate, m2[:, 0] * s2[0], vec * scl)
+
+  prjvec = jnp.dot(vec, n)
+  axis_h = axis * s2[1]
+  prjaxis_h = prjaxis * s2[1]
+
+  # rim points nearest (d1) and opposite (d2)
+  d1 = dist0 + prjaxis_h + prjvec
+  pos1c = p2 + vec + axis_h - n * (d1 * 0.5)
+  d2 = dist0 - prjaxis_h + prjvec
+  pos2c = p2 + vec - axis_h - n * (d2 * 0.5)
+
+  # sideways triangle points (A, B) on the near cap
+  prjvec1 = -prjvec * 0.5
+  d34 = dist0 + prjaxis_h + prjvec1
+  vec1 = jnp.cross(vec, axis)
+  vec1 = mjm.normalize(vec1) * (s2[0] * jnp.sqrt(3.0) / 2)
+  base = p2 + axis_h - vec * 0.5 - n * (d34 * 0.5)
+  pos3c = base + vec1
+  pos4c = base - vec1
+
+  dist = jnp.stack([d1, d2, d34, d34])
+  pos = jnp.stack([pos1c, pos2c, pos3c, pos4c])
+  normal = jnp.broadcast_to(n, (4, 3))
+  return dist, pos, normal, jnp.zeros_like(normal)
+
+
+def plane_ellipsoid(p1, m1, s1, p2, m2, s2):
+  """Plane vs ellipsoid: support point of the ellipsoid against the plane
+  normal (the mjc_PlaneConvex path specialized analytically)."""
+  n = m1[:, 2]
+  # plane normal in ellipsoid frame
+  n_l = m2.T @ n
+  sn = s2 * n_l
+  denom = mjm.norm_safe(sn)
+  # support point in local frame along -n_l
+  sp_local = -(s2 * sn) / denom
+  sp = p2 + m2 @ sp_local
+  dist = jnp.dot(sp - p1, n)
+  pos = sp - n * (dist * 0.5)
+  return _stack1(dist, pos, n)
+
+
+def sphere_cylinder(p1, m1, s1, p2, m2, s2):
+  """Sphere vs cylinder (mjc_SphereCylinder,
+  engine_collision_primitive.c:345): side / cap / rim cases, branchless."""
+  radius, height = s2[0], s2[1]
+  axis = m2[:, 2]
+  vec = p1 - p2
+  x = jnp.dot(axis, vec)
+  a_proj = axis * x
+  p_proj = vec - a_proj
+  p_proj_sqr = jnp.dot(p_proj, p_proj)
+
+  collide_side = jnp.abs(x) < height
+  collide_cap = p_proj_sqr < radius * radius
+  both = collide_side & collide_cap
+  dist_cap = height - jnp.abs(x)
+  dist_radius = radius - jnp.sqrt(jnp.maximum(p_proj_sqr, 0.0))
+  collide_side = collide_side & ~(both & (dist_cap < dist_radius))
+  collide_cap = collide_cap & ~(both & (dist_cap >= dist_radius))
+
+  # --- side: sphere vs sphere at axis projection
+  side_d, side_p, side_n = _sphere_sphere_pts(p1, s1[0], p2 + a_proj, radius,
+                                              m1[:, 2], axis)
+
+  # --- cap: plane-sphere against the near cap, normal flipped to cyl→sphere
+  cap_sign = jnp.where(x > 0, 1.0, -1.0)
+  cap_pos = p2 + axis * (cap_sign * height)
+  cap_n = axis * cap_sign                      # cap outward normal
+  cdist = jnp.dot(p1 - cap_pos, cap_n)
+  cap_d = cdist - s1[0]
+  cap_p = p1 + cap_n * (-cap_d / 2 - s1[0])
+  cap_n_out = -cap_n                           # sphere→cylinder convention
+
+  # --- rim: sphere vs point at the rim corner
+  p_safe = jnp.sqrt(jnp.maximum(p_proj_sqr, mjm.MINVAL))
+  corner = p2 + p_proj * (radius / p_safe) + axis * (cap_sign * height)
+  rim_d, rim_p, rim_n = _sphere_sphere_pts(p1, s1[0], corner, 0.0,
+                                           m1[:, 2], axis)
+
+  dist = jnp.where(collide_side, side_d, jnp.where(collide_cap, cap_d, rim_d))
+  pos = jnp.where(collide_side, side_p, jnp.where(collide_cap, cap_p, rim_p))
+  normal = jnp.where(collide_side, side_n,
+                     jnp.where(collide_cap, cap_n_out, rim_n))
+  return _stack1(dist, pos, normal)
+
+
+def capsule_box(p1, m1, s1, p2, m2, s2):
+  """Capsule vs box (behavioral counterpart of mjc_CapsuleBox,
+  engine_collision_box.c:603), TPU redesign: the closest segment parameter is
+  found by fixed-count alternating projection (segment point ↔ box clamp,
+  convex so it converges), then sphere-box tests at both capsule endpoints
+  and at the converged interior point give up to 3 candidate contacts —
+  the flat-resting case keeps both endpoint contacts, matching the
+  reference's 2-contact manifolds; duplicate interior candidates are masked.
+  """
+  r, h = s1[0], s1[1]
+  axis = m1[:, 2]
+
+  def sphere_at(t):
+    center = p1 + axis * t
+    # inline sphere-box with explicit center (sphere geom frame irrelevant)
+    c = m2.T @ (center - p2)
+    half = s2[:3]
+    clamped = jnp.clip(c, -half, half)
+    inside = jnp.all(jnp.abs(c) < half)
+    dif = c - clamped
+    len_out = mjm.norm_safe(dif)
+    n_out = dif / len_out
+    dist_out = len_out - r
+    face_dist = half - jnp.abs(c)
+    ax = jnp.argmin(face_dist)
+    sign = jnp.sign(c[ax]) + (c[ax] == 0)
+    n_in = jnp.zeros(3, dtype=c.dtype).at[ax].set(sign)
+    dist_in = -(face_dist[ax] + r)
+    dist = jnp.where(inside, dist_in, dist_out)
+    n_box = jnp.where(inside, n_in, n_out)
+    normal = -(m2 @ n_box)
+    pos = center + normal * (r + dist / 2)
+    return dist, pos, normal
+
+  # alternating projection for the interior closest point
+  t = jnp.zeros((), dtype=p1.dtype)
+  for _ in range(12):
+    q_local = jnp.clip(m2.T @ (p1 + axis * t - p2), -s2[:3], s2[:3])
+    q = p2 + m2 @ q_local
+    t = jnp.clip(jnp.dot(q - p1, axis), -h, h)
+
+  d_lo, p_lo, n_lo = sphere_at(-h)
+  d_hi, p_hi, n_hi = sphere_at(h)
+  d_in, p_in, n_in = sphere_at(t)
+  # drop the interior candidate when it coincides with an endpoint
+  dup = jnp.minimum(jnp.abs(t - h), jnp.abs(t + h)) < 1e-6 * (h + 1e-12)
+  d_in = jnp.where(dup, _BIG, d_in)
+
+  dist = jnp.stack([d_lo, d_hi, d_in])
+  pos = jnp.stack([p_lo, p_hi, p_in])
+  normal = jnp.stack([n_lo, n_hi, n_in])
+  return dist, pos, normal, jnp.zeros_like(normal)

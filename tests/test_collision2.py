@@ -1,0 +1,251 @@
+"""Differential + physical-sanity tests for the extended narrowphase:
+plane-cylinder, plane-ellipsoid, sphere-cylinder, box-box."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_tpu.models import io
+from mujoco_tpu.ops import forward, collision_driver
+
+
+def _mindist(m, d):
+  """Our deepest contact distance per step."""
+  dd = forward.fwd_position(m, d)
+  return float(jnp.min(dd.contact.dist))
+
+
+def _setup(xml, qpos=None, qvel=None):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  if qpos is not None:
+    mjd.qpos[:] = qpos
+  if qvel is not None:
+    mjd.qvel[:] = qvel
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()))
+  return mjm, mjd, m, d
+
+
+CYL_PLANE = """
+<mujoco><worldbody>
+  <geom type="plane" size="3 3 .1"/>
+  <body pos="0 0 {z}" euler="{e}">
+    <freejoint/><geom type="cylinder" size="0.1 0.25"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+ELL_PLANE = """
+<mujoco><worldbody>
+  <geom type="plane" size="3 3 .1"/>
+  <body pos="0.02 -0.01 {z}" euler="{e}">
+    <freejoint/><geom type="ellipsoid" size="0.12 0.2 0.07"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+SPH_CYL = """
+<mujoco><worldbody>
+  <body pos="0 0 1"><geom type="cylinder" size="0.15 0.3"
+    euler="{e}" contype="1" conaffinity="1"/></body>
+  <body pos="{p}">
+    <freejoint/><geom type="sphere" size="0.1"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+BOX_BOX = """
+<mujoco><worldbody>
+  <body pos="0 0 1"><geom type="box" size="0.3 0.25 0.2" euler="{e1}"
+    contype="1" conaffinity="1"/></body>
+  <body pos="{p}" euler="{e2}">
+    <freejoint/><geom type="box" size="0.15 0.1 0.12"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+
+@pytest.mark.parametrize("z,e", [(0.2, "0 0 0"), (0.09, "90 0 0"),
+                                 (0.23, "20 15 0"), (0.3, "80 5 30")])
+def test_plane_cylinder_dist(z, e):
+  mjm, mjd, m, d = _setup(CYL_PLANE.format(z=z, e=e))
+  if mjd.ncon == 0:
+    assert _mindist(m, d) > 0
+    return
+  np.testing.assert_allclose(_mindist(m, d), mjd.contact.dist.min(),
+                             atol=1e-8)
+
+
+@pytest.mark.parametrize("z,e", [(0.05, "0 0 0"), (0.1, "45 20 10"),
+                                 (0.18, "90 0 0")])
+def test_plane_ellipsoid_dist(z, e):
+  mjm, mjd, m, d = _setup(ELL_PLANE.format(z=z, e=e))
+  if mjd.ncon == 0:
+    assert _mindist(m, d) > 0
+    return
+  np.testing.assert_allclose(_mindist(m, d), mjd.contact.dist.min(),
+                             atol=1e-8)
+
+
+@pytest.mark.parametrize("p,e", [
+    ("0.2 0 1.0", "0 0 0"),     # side
+    ("0 0 1.42", "0 0 0"),      # cap
+    ("0.17 0 1.37", "0 0 0"),   # rim corner
+    ("0.25 0.05 1.1", "30 40 0"),
+])
+def test_sphere_cylinder_dist(p, e):
+  mjm, mjd, m, d = _setup(SPH_CYL.format(p=p, e=e))
+  if mjd.ncon == 0:
+    assert _mindist(m, d) > -1e-9
+    return
+  np.testing.assert_allclose(_mindist(m, d), mjd.contact.dist.min(),
+                             atol=1e-7)
+
+
+@pytest.mark.parametrize("p,e1,e2", [
+    ("0 0 1.3", "0 0 0", "0 0 0"),          # face-face aligned
+    ("0.1 0.05 1.28", "0 0 0", "0 0 35"),   # face-face twisted
+    ("0.4 0 1.25", "0 0 0", "0 45 0"),      # edge-ish
+    ("0.05 -0.08 1.3", "10 5 0", "25 -15 40"),
+])
+def test_box_box_dist(p, e1, e2):
+  mjm, mjd, m, d = _setup(BOX_BOX.format(p=p, e1=e1, e2=e2))
+  ours = _mindist(m, d)
+  if mjd.ncon == 0:
+    assert ours > -5e-3, ours
+    return
+  np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=2e-3)
+
+
+def test_box_stack_settles():
+  """Two stacked boxes settle under gravity and stay put — the classic
+  manifold-quality test (requires a stable multi-point box-box manifold)."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <geom type="plane" size="3 3 .1"/>
+      <body pos="0 0 0.102"><freejoint/>
+        <geom type="box" size="0.1 0.1 0.1"/></body>
+      <body pos="0.02 0.01 0.35"><freejoint/>
+        <geom type="box" size="0.08 0.08 0.08"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(800):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  qvel = np.asarray(d.qvel)
+  assert np.isfinite(qpos).all()
+  # bottom box resting at ~0.1, top box at ~0.28, both nearly still
+  assert abs(qpos[2] - 0.1) < 0.02, qpos[2]
+  assert abs(qpos[9] - 0.28) < 0.03, qpos[9]
+  assert np.abs(qvel).max() < 0.05, np.abs(qvel).max()
+
+
+def test_cylinder_rolls_and_rests():
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <geom type="plane" size="5 5 .1"/>
+      <body pos="0 0 0.3" euler="90 0 0"><freejoint/>
+        <geom type="cylinder" size="0.1 0.2"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(600):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert abs(qpos[2] - 0.1) < 0.02, qpos[2]  # resting on its side
+
+
+def test_capsule_box_rest():
+  """Capsule resting flat on a box face needs a stable 2-contact manifold."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <body pos="0 0 0.5"><geom type="box" size="0.4 0.4 0.5"
+        contype="1" conaffinity="1"/></body>
+      <body pos="0 0 1.08"><freejoint/>
+        <geom type="capsule" size="0.07" fromto="-0.2 0 0 0.2 0 0"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(500):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert abs(qpos[2] - 1.07) < 0.01, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.05
+
+
+@pytest.mark.parametrize("p,e", [
+    ("0.55 0 1.0", "0 0 0"),      # side face
+    ("0 0 1.62", "90 0 0"),       # lying on top
+    ("0.5 0.45 1.3", "20 30 45"), # corner-ish
+])
+def test_capsule_box_dist(p, e):
+  xml = """
+  <mujoco><worldbody>
+    <body pos="0 0 1"><geom type="box" size="0.4 0.35 0.45"
+      contype="1" conaffinity="1"/></body>
+    <body pos="{p}" euler="{e}">
+      <freejoint/><geom type="capsule" size="0.08" fromto="-0.15 0 0 0.15 0 0"/>
+    </body>
+  </worldbody></mujoco>""".format(p=p, e=e)
+  mjm, mjd, m, d = _setup(xml)
+  ours = _mindist(m, d)
+  if mjd.ncon == 0:
+    assert ours > -1e-3, ours
+    return
+  np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=1e-3)
+
+
+def test_pair_override():
+  """Explicit <pair> with custom friction/solref/margin, vs oracle."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <geom name="floor" type="plane" size="3 3 .1" contype="0"
+            conaffinity="0"/>
+      <body pos="0 0 0.09"><freejoint/>
+        <geom name="ball" type="sphere" size="0.1" contype="0"
+              conaffinity="0"/></body>
+    </worldbody>
+    <contact>
+      <pair geom1="floor" geom2="ball" condim="6"
+            friction="1.4 1.2 0.01 0.002 0.003" solref="0.01 0.8"
+            margin="0.02" gap="0.005"/>
+    </contact>
+  </mujoco>"""
+  mjm, mjd, m, d = _setup(xml)
+  d = forward.forward(m, d)
+  assert mjd.ncon == 1
+  np.testing.assert_allclose(np.asarray(d.contact.dist[:1]),
+                             mjd.contact.dist, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.contact.friction[0]),
+                             mjd.contact.friction[0], atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.contact.solref[0]),
+                             mjd.contact.solref[0], atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.contact.includemargin[0]),
+                             mjd.contact.includemargin[0], atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8)
