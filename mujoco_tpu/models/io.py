@@ -393,6 +393,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       tendon_length0=jx(mjm.tendon_length0),
       tendon_invweight0=jx(mjm.tendon_invweight0),
       wrap_type=si(mjm.wrap_type), wrap_objid=si(mjm.wrap_objid),
+      wrap_sideid=np.round(np.asarray(mjm.wrap_prm)).astype(np.int32),
       wrap_prm=jx(mjm.wrap_prm),
       actuator_trntype=si(mjm.actuator_trntype),
       actuator_dyntype=si(mjm.actuator_dyntype),

@@ -500,6 +500,7 @@ class Model:
   tendon_invweight0: jax.Array = field()
   wrap_type: np.ndarray = static_field()
   wrap_objid: np.ndarray = static_field()
+  wrap_sideid: np.ndarray = static_field()   # static int copy of wrap_prm
   wrap_prm: jax.Array = field()
 
   # ----- actuators

@@ -352,30 +352,31 @@ def rne(m: Model, d: Data, flg_acc: bool = False):
 
 
 def tendon(m: Model, d: Data) -> Data:
-  """Tendon lengths and Jacobians (mj_tendon, engine_core_smooth.c).
-
-  Fixed tendons (joint-coefficient sums) are fully supported; spatial tendons
-  (site paths with sphere/cylinder wrapping) land with the spatial-tendon
-  milestone.
-  """
+  """Tendon lengths and Jacobians (mj_tendon, engine_core_smooth.c:927):
+  fixed tendons as joint-coefficient sums; spatial tendons (site paths with
+  sphere/cylinder wrapping, pulleys, sidesites) in ops/tendon.py."""
   if m.ntendon == 0:
     return d
   from mujoco_tpu.models.types import WrapType
+  from mujoco_tpu.ops import tendon as tendon_mod
   dtype = d.qpos.dtype
   lengths = []
   rows = []
   for t in range(m.ntendon):
     adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
     wtypes = m.wrap_type[adr:adr + num]
-    if not np.all(wtypes == WrapType.JOINT):
-      raise NotImplementedError("spatial tendons not yet supported")
-    jids = m.wrap_objid[adr:adr + num]
-    coef = m.wrap_prm[adr:adr + num]
-    qadr = m.jnt_qposadr[jids]
-    dadr = m.jnt_dofadr[jids]
-    lengths.append(jnp.sum(coef * d.qpos[qadr]))
-    row = jnp.zeros((m.nv,), dtype=dtype).at[dadr].add(coef)
-    rows.append(row)
+    if np.all(wtypes == WrapType.JOINT):  # fixed tendon
+      jids = m.wrap_objid[adr:adr + num]
+      coef = m.wrap_prm[adr:adr + num]
+      qadr = m.jnt_qposadr[jids]
+      dadr = m.jnt_dofadr[jids]
+      lengths.append(jnp.sum(coef * d.qpos[qadr]))
+      row = jnp.zeros((m.nv,), dtype=dtype).at[dadr].add(coef)
+      rows.append(row)
+    else:  # spatial tendon
+      length, row = tendon_mod.spatial_tendon(m, d, t)
+      lengths.append(length)
+      rows.append(row)
   return d.replace(ten_length=jnp.stack(lengths), ten_J=jnp.stack(rows))
 
 
@@ -421,6 +422,59 @@ def transmission(m: Model, d: Data) -> Data:
     elif trn == TrnType.TENDON:
       length = length.at[i].set(d.ten_length[tid] * gear[0])
       moment = moment.at[i].set(d.ten_J[tid] * gear[0])
+    elif trn == TrnType.SITE:
+      from mujoco_tpu.ops import support
+      sid = tid
+      refid = int(m.actuator_trnid[i, 1])
+      bodyid = int(m.site_bodyid[sid])
+      jacp, jacr = support.jac(m, d, d.site_xpos[sid], bodyid)  # (3, nv)
+      if refid == -1:
+        wrench_t = d.site_xmat[sid] @ gear[:3]
+        wrench_r = d.site_xmat[sid] @ gear[3:6]
+        row = wrench_t @ jacp + wrench_r @ jacr
+        moment = moment.at[i].set(row)
+      else:
+        refbody = int(m.site_bodyid[refid])
+        # static common-ancestor dof chain (engine_core_smooth.c:1600-1627)
+        b0 = int(m.body_weldid[bodyid])
+        b1 = int(m.body_weldid[refbody])
+        da0 = int(m.body_dofadr[b0] + m.body_dofnum[b0] - 1)
+        da1 = int(m.body_dofadr[b1] + m.body_dofnum[b1] - 1)
+        common = -1
+        if da0 >= 0 and da1 >= 0:
+          a, b = da0, da1
+          while a != b and a >= 0 and b >= 0:
+            if a < b:
+              b = int(m.dof_parentid[b])
+            else:
+              a = int(m.dof_parentid[a])
+          if a == b and a >= 0:
+            common = a
+        chain_mask = np.ones(m.nv, dtype=bool)
+        da = common
+        while da >= 0:
+          chain_mask[da] = False
+          da = int(m.dof_parentid[da])
+        chain = jnp.asarray(chain_mask, dtype=dtype)
+
+        jacp_r, jacr_r = support.jac(m, d, d.site_xpos[refid], refbody)
+        row = jnp.zeros((m.nv,), dtype=dtype)
+        leng = jnp.zeros((), dtype=dtype)
+        # translational part
+        vec_t = d.site_xmat[refid].T @ (d.site_xpos[sid] - d.site_xpos[refid])
+        leng = leng + jnp.dot(vec_t, gear[:3])
+        wrench_t = d.site_xmat[refid] @ gear[:3]
+        row = row + wrench_t @ ((jacp - jacp_r) * chain[None, :])
+        # rotational part (quat order matches the reference:
+        # site_quat ⊗ xquat, engine_core_smooth.c mjTRN_SITE)
+        quat = mjm.mul_quat(m.site_quat[sid], d.xquat[bodyid])
+        refquat = mjm.mul_quat(m.site_quat[refid], d.xquat[refbody])
+        vec_r = mjm.quat_sub(quat, refquat)
+        leng = leng + jnp.dot(vec_r, gear[3:6])
+        wrench_r = d.site_xmat[refid] @ gear[3:6]
+        row = row + wrench_r @ ((jacr - jacr_r) * chain[None, :])
+        length = length.at[i].set(leng)
+        moment = moment.at[i].set(row)
     else:
       raise NotImplementedError(f"transmission type {trn}")
   return d.replace(actuator_length=length, actuator_moment=moment)
