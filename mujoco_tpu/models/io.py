@@ -282,6 +282,35 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
   )
 
 
+def _names(mjm: Any) -> dict:
+  """Static name→id tables per object type (mj_name2id analog).
+
+  Keys are lowercase type names ('body', 'joint', 'geom', 'site', 'actuator',
+  'sensor', 'tendon', 'camera', 'equality', 'key'); values map name→id.
+  """
+  import mujoco as _mj
+  types = {
+      "body": (_mj.mjtObj.mjOBJ_BODY, mjm.nbody),
+      "joint": (_mj.mjtObj.mjOBJ_JOINT, mjm.njnt),
+      "geom": (_mj.mjtObj.mjOBJ_GEOM, mjm.ngeom),
+      "site": (_mj.mjtObj.mjOBJ_SITE, mjm.nsite),
+      "actuator": (_mj.mjtObj.mjOBJ_ACTUATOR, mjm.nu),
+      "sensor": (_mj.mjtObj.mjOBJ_SENSOR, mjm.nsensor),
+      "tendon": (_mj.mjtObj.mjOBJ_TENDON, mjm.ntendon),
+      "equality": (_mj.mjtObj.mjOBJ_EQUALITY, mjm.neq),
+      "key": (_mj.mjtObj.mjOBJ_KEY, mjm.nkey),
+  }
+  out = {}
+  for tname, (objtype, n) in types.items():
+    table = {}
+    for i in range(n):
+      name = _mj.mj_id2name(mjm, objtype, i)
+      if name:
+        table[name] = i
+    out[tname] = table
+  return out
+
+
 def put_model(mjm: Any, dtype=None) -> Model:
   """Convert a compiled ``mujoco.MjModel`` into a TPU Model pytree."""
   dtype = dtype or jnp.zeros(0).dtype
@@ -324,7 +353,9 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nsite=int(mjm.nsite), neq=int(mjm.neq), ntendon=int(mjm.ntendon),
       nwrap=int(mjm.nwrap), nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
+      nkey=int(mjm.nkey),
       has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
+      has_fluid=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
       tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
@@ -416,6 +447,11 @@ def put_model(mjm: Any, dtype=None) -> Model:
       actuator_cranklength=jx(mjm.actuator_cranklength),
       actuator_acc0=jx(mjm.actuator_acc0),
       actuator_lengthrange=jx(mjm.actuator_lengthrange),
+      key_time=jx(mjm.key_time), key_qpos=jx(mjm.key_qpos),
+      key_qvel=jx(mjm.key_qvel), key_act=jx(mjm.key_act),
+      key_ctrl=jx(mjm.key_ctrl), key_mpos=jx(mjm.key_mpos),
+      key_mquat=jx(mjm.key_mquat),
+      names=_names(mjm),
       sensor_type=si(mjm.sensor_type),
       sensor_datatype=si(mjm.sensor_datatype),
       sensor_needstage=si(mjm.sensor_needstage),

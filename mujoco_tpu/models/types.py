@@ -370,8 +370,10 @@ class Model:
   nsensor: int = static_field()
   nsensordata: int = static_field()
   nmocap: int = static_field()
+  nkey: int = static_field()
   # static algorithm-selection flags derived at put_model time
   has_dof_damping: bool = static_field()
+  has_fluid: bool = static_field()
 
   opt: Option = field()
 
@@ -525,6 +527,18 @@ class Model:
   actuator_cranklength: jax.Array = field()
   actuator_acc0: jax.Array = field()
   actuator_lengthrange: jax.Array = field()
+
+  # ----- keyframes
+  key_time: jax.Array = field()
+  key_qpos: jax.Array = field()
+  key_qvel: jax.Array = field()
+  key_act: jax.Array = field()
+  key_ctrl: jax.Array = field()
+  key_mpos: jax.Array = field()
+  key_mquat: jax.Array = field()
+
+  # ----- names (static lookup tables, mj_name2id/mj_id2name analog)
+  names: dict = static_field()
 
   # ----- sensors
   sensor_type: np.ndarray = static_field()

@@ -67,3 +67,74 @@ def xfrc_accumulate(m: Model, d: Data):
   counterpart of mj_xfrcAccumulate."""
   return apply_ft_all_bodies(m, d, d.xfrc_applied[:, :3],
                              d.xfrc_applied[:, 3:], d.xipos)
+
+
+def mul_m(m: Model, d: Data, vec):
+  """M @ vec (mj_mulM). vec: (..., nv)."""
+  return (d.qM @ vec[..., None])[..., 0]
+
+
+def apply_ft(m: Model, d: Data, force, torque, point, bodyid: int):
+  """qfrc contribution of one world wrench at a point on a body
+  (mj_applyFT, engine_support.c)."""
+  import jax.numpy as jnp
+  o = d.subtree_com[m.body_rootid[bodyid]]
+  t_o = torque + jnp.cross(point - o, force)
+  f_spatial = jnp.concatenate([t_o, force])
+  mask = jnp.asarray(m.tree.ancestor_mask[bodyid], dtype=d.qpos.dtype)
+  return (d.cdof @ f_spatial) * mask
+
+
+def jac_site(m: Model, d: Data, siteid: int):
+  """Site Jacobian (mj_jacSite)."""
+  return jac(m, d, d.site_xpos[siteid], int(m.site_bodyid[siteid]))
+
+
+def jac_geom(m: Model, d: Data, geomid: int):
+  """Geom-center Jacobian (mj_jacGeom)."""
+  return jac(m, d, d.geom_xpos[geomid], int(m.geom_bodyid[geomid]))
+
+
+def jac_body_com(m: Model, d: Data, bodyid: int):
+  """Body CoM Jacobian (mj_jacBodyCom)."""
+  return jac(m, d, d.xipos[bodyid], bodyid)
+
+
+def jac_subtree_com(m: Model, d: Data, bodyid: int):
+  """Subtree-CoM translational Jacobian (mj_jacSubtreeCom): mass-weighted
+  average of body CoM Jacobians over the subtree."""
+  import jax.numpy as jnp
+  sub = np.nonzero(m.tree.subtree_mask[bodyid])[0]
+  total = 0.0
+  acc = jnp.zeros((3, m.nv), dtype=d.qpos.dtype)
+  for b in sub:
+    jacp, _ = jac(m, d, d.xipos[b], int(b))
+    acc = acc + m.body_mass[b] * jacp
+    total = total + m.body_mass[b]
+  return acc / jnp.maximum(total, 1e-15)
+
+
+def differentiate_pos(m: Model, qpos1, qpos2, dt):
+  """Finite-difference velocity (qpos2 ⊖ qpos1)/dt, manifold-aware
+  (mj_differentiatePos): quaternions via mju_subQuat."""
+  import jax.numpy as jnp
+  from mujoco_tpu.models.types import JointType
+  from mujoco_tpu.utils import math as mjm
+  qvel = jnp.zeros((m.nv,), dtype=qpos1.dtype)
+  for j in range(m.njnt):
+    jt = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      qvel = qvel.at[dadr].set((qpos2[qadr] - qpos1[qadr]) / dt)
+    elif jt == JointType.BALL:
+      dq = mjm.quat_sub(mjm.normalize(qpos2[qadr:qadr + 4]),
+                        mjm.normalize(qpos1[qadr:qadr + 4]))
+      qvel = qvel.at[dadr:dadr + 3].set(dq / dt)
+    else:  # FREE
+      qvel = qvel.at[dadr:dadr + 3].set(
+          (qpos2[qadr:qadr + 3] - qpos1[qadr:qadr + 3]) / dt)
+      dq = mjm.quat_sub(mjm.normalize(qpos2[qadr + 3:qadr + 7]),
+                        mjm.normalize(qpos1[qadr + 3:qadr + 7]))
+      qvel = qvel.at[dadr + 3:dadr + 6].set(dq / dt)
+  return qvel

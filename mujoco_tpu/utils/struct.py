@@ -62,19 +62,40 @@ class _FrozenArray:
     return self.a.shape == other.a.shape and np.array_equal(self.a, other.a)
 
 
+class _FrozenDict:
+  """Hashable marker wrapper so dict-valued static fields roundtrip."""
+
+  __slots__ = ("items",)
+
+  def __init__(self, items):
+    self.items = items
+
+  def __hash__(self):
+    return hash(self.items)
+
+  def __eq__(self, other):
+    if not isinstance(other, _FrozenDict):
+      return NotImplemented
+    return self.items == other.items
+
+
 def _freeze(v: Any) -> Any:
   if isinstance(v, np.ndarray):
     return _FrozenArray(v)
   if isinstance(v, (list, tuple)):
     return tuple(_freeze(x) for x in v)
   if isinstance(v, dict):
-    return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return _FrozenDict(tuple(sorted((k, _freeze(x)) for k, x in v.items())))
   return v
 
 
 def _thaw(v: Any) -> Any:
   if isinstance(v, _FrozenArray):
     return v.a
+  if isinstance(v, _FrozenDict):
+    return {k: _thaw(x) for k, x in v.items}
+  if isinstance(v, tuple):
+    return tuple(_thaw(x) for x in v)
   return v
 
 

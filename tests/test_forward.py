@@ -135,3 +135,36 @@ def test_fixed_tendon_spring():
   q1, v1 = _run_tpu(mjm, 80, ctrl)
   np.testing.assert_allclose(q1, q0, atol=1e-9)
   np.testing.assert_allclose(v1, v0, atol=1e-8)
+
+
+def test_fluid_inertia_box():
+  """Viscosity+density drag on a tumbling body vs the oracle."""
+  import mujoco
+  xml = """
+  <mujoco>
+    <option timestep="0.003" viscosity="0.9" density="80" wind="0.4 -0.2 0.1"/>
+    <worldbody>
+      <body pos="0 0 1.5">
+        <freejoint/>
+        <geom type="box" size="0.12 0.06 0.04" density="300" contype="0"
+              conaffinity="0"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(0)
+  mjd.qvel[:] = 2.0 * rng.randn(6)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  import jax
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(200):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  mujoco.mj_forward(mjm, mjd)
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_fluid), mjd.qfrc_fluid,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9)

@@ -1,0 +1,139 @@
+"""State API / keyframe / name-lookup / support-function tests vs oracle."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_tpu.models import io
+from mujoco_tpu.ops import forward, state, support
+
+XML = """
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="b1" pos="0 0 0.5">
+      <freejoint name="root"/>
+      <geom name="g1" type="sphere" size="0.1"/>
+      <site name="s1" pos="0.05 0 0"/>
+      <body name="b2" pos="0.2 0 0">
+        <joint name="hinge" type="hinge" axis="0 1 0"/>
+        <geom name="g2" type="capsule" size="0.04" fromto="0 0 0 0.2 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor name="mot" joint="hinge"/></actuator>
+  <keyframe>
+    <key name="k0" time="1.5" qpos="0 0 0.7 1 0 0 0 0.3" qvel="0 0 0 0 0 0 1"
+         ctrl="0.5"/>
+  </keyframe>
+</mujoco>
+"""
+
+
+def test_state_roundtrip():
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  rng = np.random.RandomState(0)
+  d = d.replace(qpos=jnp.asarray(mjm.qpos0 + 0.1 * rng.randn(mjm.nq)),
+                qvel=jnp.asarray(rng.randn(mjm.nv)),
+                ctrl=jnp.asarray(rng.randn(mjm.nu)),
+                time=jnp.asarray(3.25))
+  spec = int(state.StateBit.INTEGRATION)
+  # size matches the oracle
+  assert state.state_size(m, spec) == mujoco.mj_stateSize(mjm, spec)
+  vec = state.get_state(m, d, spec)
+  d2 = state.set_state(m, io.make_data(m), spec, vec)
+  np.testing.assert_allclose(np.asarray(d2.qpos), np.asarray(d.qpos))
+  np.testing.assert_allclose(np.asarray(d2.qvel), np.asarray(d.qvel))
+  np.testing.assert_allclose(np.asarray(d2.ctrl), np.asarray(d.ctrl))
+  assert float(d2.time) == float(d.time)
+
+  # component ordering matches the oracle exactly
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = np.asarray(d.qpos)
+  mjd.qvel[:] = np.asarray(d.qvel)
+  mjd.ctrl[:] = np.asarray(d.ctrl)
+  mjd.time = float(d.time)
+  ref = np.zeros(mujoco.mj_stateSize(mjm, spec))
+  mujoco.mj_getState(mjm, mjd, ref, spec)
+  np.testing.assert_allclose(np.asarray(vec), ref, atol=0)
+
+
+def test_keyframe_reset():
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  m = io.put_model(mjm)
+  d = state.reset_data_keyframe(m, io.make_data(m), 0)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_resetDataKeyframe(mjm, mjd, 0)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel)
+  np.testing.assert_allclose(np.asarray(d.ctrl), mjd.ctrl)
+  assert float(d.time) == mjd.time
+
+
+def test_name_lookup():
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  m = io.put_model(mjm)
+  assert state.name2id(m, "body", "b2") == 2
+  assert state.name2id(m, "joint", "hinge") == 1
+  assert state.name2id(m, "actuator", "mot") == 0
+  assert state.name2id(m, "geom", "nope") == -1
+  assert state.id2name(m, "site", 0) == "s1"
+
+
+def test_support_functions():
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(1)
+  mjd.qpos[:] = mjm.qpos0 + 0.1 * rng.randn(mjm.nq)
+  mjd.qpos[3:7] /= np.linalg.norm(mjd.qpos[3:7])
+  mjd.qvel[:] = rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+
+  # mul_m
+  vec = rng.randn(mjm.nv)
+  ref = np.zeros(mjm.nv)
+  mujoco.mj_mulM(mjm, mjd, ref, vec)
+  np.testing.assert_allclose(np.asarray(support.mul_m(m, d, jnp.asarray(vec))),
+                             ref, atol=1e-10)
+
+  # jac_site
+  jacp, jacr = support.jac_site(m, d, 0)
+  refp = np.zeros((3, mjm.nv)); refr = np.zeros((3, mjm.nv))
+  mujoco.mj_jacSite(mjm, mjd, refp, refr, 0)
+  np.testing.assert_allclose(np.asarray(jacp), refp, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(jacr), refr, atol=1e-12)
+
+  # jac_subtree_com
+  jsub = support.jac_subtree_com(m, d, 1)
+  refsub = np.zeros((3, mjm.nv))
+  mujoco.mj_jacSubtreeCom(mjm, mjd, refsub, 1)
+  np.testing.assert_allclose(np.asarray(jsub), refsub, atol=1e-12)
+
+  # apply_ft
+  frc, trq, pnt = rng.randn(3), rng.randn(3), rng.randn(3)
+  refq = np.zeros(mjm.nv)
+  mujoco.mj_applyFT(mjm, mjd, frc, trq, pnt, 2, refq)
+  ours = support.apply_ft(m, d, jnp.asarray(frc), jnp.asarray(trq),
+                          jnp.asarray(pnt), 2)
+  np.testing.assert_allclose(np.asarray(ours), refq, atol=1e-12)
+
+  # differentiate_pos
+  qpos2 = mjd.qpos + 0.02 * rng.randn(mjm.nq)
+  qpos2[3:7] /= np.linalg.norm(qpos2[3:7])
+  refv = np.zeros(mjm.nv)
+  mujoco.mj_differentiatePos(mjm, refv, 0.01, mjd.qpos, qpos2)
+  ours = support.differentiate_pos(m, jnp.asarray(mjd.qpos.copy()),
+                                   jnp.asarray(qpos2), 0.01)
+  np.testing.assert_allclose(np.asarray(ours), refv, atol=1e-9)
