@@ -343,6 +343,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       solver=int(mjm.opt.solver),
       iterations=int(mjm.opt.iterations),
       ls_iterations=int(mjm.opt.ls_iterations),
+      noslip_iterations=int(mjm.opt.noslip_iterations),
       disableflags=int(mjm.opt.disableflags),
       enableflags=int(mjm.opt.enableflags),
   )

@@ -251,8 +251,10 @@ def _linesearch(m: Model, d: Data, jar0, jp, gx0, pmp):
 
 
 def solve(m: Model, d: Data) -> Data:
-  """Newton/CG solve → qacc, qfrc_constraint, efc_force
+  """Newton/CG/PGS solve → qacc, qfrc_constraint, efc_force
   (mj_fwdConstraint tail, engine_forward.c:1151)."""
+  if int(m.opt.solver) == int(SolverType.PGS):
+    return solve_pgs(m, d)
   dtype = d.qpos.dtype
   nv = m.nv
 
@@ -351,6 +353,146 @@ def solve(m: Model, d: Data) -> Data:
 
   jar = J @ x - aref
   ctx = _update(m, d, jar)
-  qfrc = J.T @ ctx.force
-  return d.replace(qacc=x, efc_force=ctx.force, qfrc_constraint=qfrc,
+  force = ctx.force
+  if int(m.opt.noslip_iterations) > 0:
+    # noslip post-pass applies to all solvers (mj_fwdConstraint tail)
+    from mujoco_tpu.ops import smooth
+    force = _noslip(m, d, force)
+    qfrc = J.T @ force
+    x = d.qacc_smooth + smooth.solve_m(m, d, qfrc)
+  else:
+    qfrc = J.T @ force
+  return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
                    solver_niter=niter)
+
+
+# ---------------------------------------------------------------------------
+# PGS (dual projected Gauss-Seidel) + noslip post-pass
+# ---------------------------------------------------------------------------
+
+
+def _row_bounds(m: Model, d: Data):
+  """Per-row projection interval for the dual forces: equality rows free,
+  friction rows ±frictionloss, limit/contact (pyramidal/frictionless) rows
+  ≥ 0; inactive rows pinned to 0."""
+  meta = m.efc
+  dtype = d.qpos.dtype
+  big = jnp.asarray(jnp.inf, dtype=dtype)
+  lo = jnp.zeros((meta.nefc,), dtype=dtype)
+  hi = jnp.full((meta.nefc,), big, dtype=dtype)
+  ne, nf = meta.ne, meta.nf
+  lo = lo.at[:ne].set(-big)
+  lo = lo.at[ne:ne + nf].set(-d.efc_frictionloss[ne:ne + nf])
+  hi = hi.at[ne:ne + nf].set(d.efc_frictionloss[ne:ne + nf])
+  lo = jnp.where(d.efc_active, lo, 0.0)
+  hi = jnp.where(d.efc_active, hi, 0.0)
+  return lo, hi
+
+
+def solve_pgs(m: Model, d: Data) -> Data:
+  """Dual PGS (solPGS, engine_solver.c:457) for pyramidal cones.
+
+  Deterministic sweep order (the reference shuffles with a fixed-seed PCG32;
+  the dual objective is strictly convex so both converge to the same forces).
+  AR = J M⁻¹ Jᵀ + diag(R) is assembled dense once; each Gauss-Seidel row
+  update is one dynamic-sliced dot inside a fori_loop.
+  """
+  if int(m.opt.cone) == int(ConeType.ELLIPTIC):
+    raise NotImplementedError("PGS with elliptic cones: use Newton/CG")
+  from mujoco_tpu.ops import smooth
+  dtype = d.qpos.dtype
+  meta = m.efc
+  nefc = meta.nefc
+
+  J = d.efc_J
+  minvjt = smooth.solve_m(m, d, J)              # (nefc, nv) rows M⁻¹Jᵀ cols
+  ar = J @ minvjt.T + jnp.diag(d.efc_R)
+  b = J @ d.qacc_smooth - d.efc_aref
+  ar_diag = jnp.diagonal(ar)
+  arinv = jnp.where(d.efc_active & (ar_diag > mjm.MINVAL),
+                    1.0 / jnp.maximum(ar_diag, mjm.MINVAL), 0.0)
+  lo, hi = _row_bounds(m, d)
+
+  def row_update(c, f):
+    ar_row = jax.lax.dynamic_slice(ar, (c, 0), (1, nefc))[0]
+    res = jnp.dot(ar_row, f) + b[c]
+    fi = jnp.clip(f[c] - res * arinv[c], lo[c], hi[c])
+    return f.at[c].set(fi)
+
+  def sweep(_, f):
+    return jax.lax.fori_loop(0, nefc, row_update, f)
+
+  f0 = jnp.zeros((nefc,), dtype=dtype)
+  f = jax.lax.fori_loop(0, int(m.opt.iterations), sweep, f0)
+
+  if int(m.opt.noslip_iterations) > 0:
+    f = _noslip(m, d, f)
+
+  qfrc = J.T @ f
+  qacc = d.qacc_smooth + smooth.solve_m(m, d, qfrc)
+  return d.replace(qacc=qacc, efc_force=f, qfrc_constraint=qfrc,
+                   solver_niter=jnp.asarray(int(m.opt.iterations),
+                                            dtype=jnp.int32))
+
+
+def _noslip(m: Model, d: Data, f):
+  """Noslip post-pass (solNoSlip, engine_solver.c:767): unregularized
+  Gauss-Seidel over friction rows — dry-friction rows individually, each
+  pyramidal contact's opposing edge pairs jointly with the normal sum held
+  fixed."""
+  from mujoco_tpu.ops import smooth
+  meta = m.efc
+  ne, nf = meta.ne, meta.nf
+  J = d.efc_J
+  minvjt = smooth.solve_m(m, d, J)
+  a_nor = J @ minvjt.T                            # A without R
+  b = J @ d.qacc_smooth - d.efc_aref
+  a_diag = jnp.diagonal(a_nor)
+  ainv = jnp.where(d.efc_active & (a_diag > mjm.MINVAL),
+                   1.0 / jnp.maximum(a_diag, mjm.MINVAL), 0.0)
+  floss = d.efc_frictionloss
+
+  # static pyramidal edge-pair table: (row_j, row_j+1) per opposing pair
+  pairs = []
+  for c in range(m.con.ncon):
+    dim = int(m.con.condim[c])
+    if dim == 1:
+      continue
+    adr = int(meta.con_efcadr[c])
+    for j in range(adr, adr + 2 * (dim - 1), 2):
+      pairs.append(j)
+  pairs = np.array(pairs, dtype=np.int32)
+
+  def one_iter(_, f):
+    # dry friction rows
+    def fric_update(c, f):
+      res = jnp.dot(jax.lax.dynamic_slice(a_nor, (c, 0),
+                                          (1, meta.nefc))[0], f) + b[c]
+      fi = jnp.clip(f[c] - res * ainv[c], -floss[c], floss[c])
+      return f.at[c].set(fi)
+    f = jax.lax.fori_loop(ne, ne + nf, fric_update, f)
+
+    # pyramidal pairs: minimize over y with f0 = mid+y, f1 = mid−y
+    if len(pairs):
+      pairs_j = jnp.asarray(pairs)
+
+      def pair_update(k, f):
+        j = pairs_j[k]
+        zero = jnp.zeros((), dtype=j.dtype)
+        a2 = jax.lax.dynamic_slice(a_nor, (j, zero), (2, meta.nefc))
+        fj = jax.lax.dynamic_slice(f, (j,), (2,))
+        res = a2 @ f + jax.lax.dynamic_slice(b, (j,), (2,))
+        ac = jax.lax.dynamic_slice(a2, (zero, j), (2, 2))
+        bc = res - ac @ fj
+        mid = 0.5 * (fj[0] + fj[1])
+        k1 = ac[0, 0] + ac[1, 1] - ac[0, 1] - ac[1, 0]
+        k0 = mid * (ac[0, 0] - ac[1, 1]) + bc[0] - bc[1]
+        y = jnp.clip(-k0 / jnp.maximum(k1, mjm.MINVAL), -mid, mid)
+        good = k1 >= mjm.MINVAL
+        f0 = jnp.where(good, mid + y, mid)
+        f1 = jnp.where(good, mid - y, mid)
+        return jax.lax.dynamic_update_slice(f, jnp.stack([f0, f1]), (j,))
+      f = jax.lax.fori_loop(0, len(pairs), pair_update, f)
+    return f
+
+  return jax.lax.fori_loop(0, int(m.opt.noslip_iterations), one_iter, f)
