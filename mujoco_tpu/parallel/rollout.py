@@ -72,3 +72,49 @@ def sharded_step(m: Model, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P("env"))), d)
 
   return step_fn, shard_data
+
+
+def randomize_model(m: Model, leaf_updates: dict):
+  """Per-env (domain-randomized) model + matching vmap axis spec.
+
+  Reference precedent: per-env models in rollout
+  (/root/reference/python/mujoco/rollout.cc — list of MjModel). Here the
+  static/dynamic pytree split makes it free: any numeric Model leaf may
+  carry a leading env axis; stepping maps over (model, data) together:
+
+      bm, axes = randomize_model(m, {'geom_friction': fric_batch})  # (B,...)
+      step = jax.vmap(lambda mm, dd: forward.step(mm, dd),
+                      in_axes=(axes, 0))
+      d = step(bm, d)
+
+  Returns (batched_model, in_axes_spec) where the axis spec maps the updated
+  leaves to axis 0 and every other leaf to None. Structural (static) fields
+  cannot be randomized without recompiling.
+  """
+  bm = m.replace(**leaf_updates)
+  axes = jax.tree.map(lambda _: None, m)
+  axes = axes.replace(**{k: 0 for k in leaf_updates})
+  return bm, axes
+
+
+def step_randomized(m_batched: Model, axes, d: Data) -> Data:
+  """vmap over per-env model leaves (axes from randomize_model) and data."""
+  return jax.vmap(lambda mm, dd: forward.step(mm, dd),
+                  in_axes=(axes, 0))(m_batched, d)
+
+
+def check_reset(m: Model, d: Data, d_fresh: Data) -> Data:
+  """Per-env divergence guard (mj_checkPos/Vel analog,
+  engine_forward.c:54-92): if qpos/qvel contain NaN/huge values, reset that
+  env to d_fresh (auto-reset semantics, warning counters dropped). Works on
+  single or batched Data — on batched Data only bad envs reset."""
+  bad = (~jnp.isfinite(d.qpos).all(axis=-1)
+         | ~jnp.isfinite(d.qvel).all(axis=-1)
+         | (jnp.abs(d.qpos).max(axis=-1) > 1e10)
+         | (jnp.abs(d.qvel).max(axis=-1) > 1e10))
+
+  def pick(fresh, cur):
+    b = bad.reshape(bad.shape + (1,) * (cur.ndim - bad.ndim))
+    return jnp.where(b, fresh, cur)
+
+  return jax.tree.map(pick, d_fresh, d)

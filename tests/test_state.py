@@ -137,3 +137,36 @@ def test_support_functions():
   ours = support.differentiate_pos(m, jnp.asarray(mjd.qpos.copy()),
                                    jnp.asarray(qpos2), 0.01)
   np.testing.assert_allclose(np.asarray(ours), refv, atol=1e-9)
+
+
+def test_domain_randomization():
+  """Per-env friction via batched model leaves changes per-env outcomes."""
+  from mujoco_tpu.parallel import rollout as par
+  from tests import models as zoo_t
+  mjm = mujoco.MjModel.from_xml_string(zoo_t.BALLS)
+  m = io.put_model(mjm)
+  nbatch = 4
+  d = par.make_batch(m, nbatch)
+  d = d.replace(qvel=d.qvel.at[:, 0].set(1.0))  # slide the ball
+  fric = jnp.tile(m.geom_friction[None], (nbatch, 1, 1))
+  fric = fric.at[:, :, 0].mul(jnp.array([0.1, 0.5, 1.0, 2.0])[:, None])
+  bm, axes = par.randomize_model(m, {"geom_friction": fric})
+  step = jax.jit(lambda mm, dd: par.step_randomized(mm, axes, dd))
+  for _ in range(150):
+    d = step(bm, d)
+  x = np.asarray(d.qpos[:, 0])
+  # lower friction → slides farther; strictly decreasing distance
+  assert x[0] > x[1] > x[2], x
+
+
+def test_check_reset():
+  from mujoco_tpu.parallel import rollout as par
+  from tests import models as zoo_t
+  mjm = mujoco.MjModel.from_xml_string(zoo_t.PENDULUM)
+  m = io.put_model(mjm)
+  fresh = par.make_batch(m, 3)
+  d = fresh.replace(qpos=fresh.qpos.at[1, 0].set(jnp.nan),
+                    qvel=fresh.qvel.at[2, 1].set(1e12))
+  out = par.check_reset(m, d, fresh)
+  assert np.isfinite(np.asarray(out.qpos)).all()
+  assert np.abs(np.asarray(out.qvel)).max() < 1e11
