@@ -355,6 +355,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nwrap=int(mjm.nwrap), nsensor=int(mjm.nsensor),
       nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
       nkey=int(mjm.nkey),
+      ncam=int(mjm.ncam), nlight=int(mjm.nlight),
       has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
       has_fluid=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
@@ -448,6 +449,22 @@ def put_model(mjm: Any, dtype=None) -> Model:
       actuator_cranklength=jx(mjm.actuator_cranklength),
       actuator_acc0=jx(mjm.actuator_acc0),
       actuator_lengthrange=jx(mjm.actuator_lengthrange),
+      cam_bodyid=si(mjm.cam_bodyid),
+      cam_targetbodyid=si(mjm.cam_targetbodyid),
+      cam_mode=si(mjm.cam_mode),
+      cam_pos=jx(mjm.cam_pos), cam_quat=jx(mjm.cam_quat),
+      cam_pos0=jx(mjm.cam_pos0), cam_poscom0=jx(mjm.cam_poscom0),
+      cam_mat0=jx(np.asarray(mjm.cam_mat0).reshape(-1, 3, 3)),
+      cam_fovy=jx(mjm.cam_fovy),
+      cam_resolution=si(mjm.cam_resolution),
+      cam_intrinsic=jx(mjm.cam_intrinsic),
+      cam_sensorsize=jx(mjm.cam_sensorsize),
+      light_bodyid=si(mjm.light_bodyid),
+      light_targetbodyid=si(mjm.light_targetbodyid),
+      light_mode=si(mjm.light_mode),
+      light_pos=jx(mjm.light_pos), light_dir=jx(mjm.light_dir),
+      light_pos0=jx(mjm.light_pos0), light_poscom0=jx(mjm.light_poscom0),
+      light_dir0=jx(mjm.light_dir0),
       key_time=jx(mjm.key_time), key_qpos=jx(mjm.key_qpos),
       key_qvel=jx(mjm.key_qvel), key_act=jx(mjm.key_act),
       key_ctrl=jx(mjm.key_ctrl), key_mpos=jx(mjm.key_mpos),
@@ -507,6 +524,9 @@ def make_data(m: Model, dtype=None) -> Data:
       geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
       site_xpos=z(m.nsite, 3),
       site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+      cam_xpos=z(m.ncam, 3),
+      cam_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ncam, 3, 3)),
+      light_xpos=z(m.nlight, 3), light_xdir=z(m.nlight, 3),
       subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
       crb=z(nb, 6, 6), qM=z(nv, nv), qLD=z(nv, nv), qLDiagInv=z(nv),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
@@ -531,3 +551,43 @@ def make_data(m: Model, dtype=None) -> Data:
       energy=z(2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),
   )
+
+
+def get_data_into(mjd: Any, mjm: Any, d) -> None:
+  """Copy a (single-env) Data back into a mujoco.MjData — the viewer/render
+  bridge (counterpart of mjx.get_data_into,
+  /root/reference/mjx/mujoco/mjx/_src/io.py:1592): state and key derived
+  quantities are copied, then mj_forward fills anything downstream so
+  mjv_updateScene / renderers see a consistent mjData."""
+  import mujoco
+  import numpy as np_
+
+  def h(x):
+    return np_.asarray(x, dtype=np_.float64)
+
+  mjd.time = float(d.time)
+  mjd.qpos[:] = h(d.qpos)
+  mjd.qvel[:] = h(d.qvel)
+  if mjm.na:
+    mjd.act[:] = h(d.act)
+  if mjm.nu:
+    mjd.ctrl[:] = h(d.ctrl)
+  mjd.qacc[:] = h(d.qacc)
+  mjd.qacc_warmstart[:] = h(d.qacc_warmstart)
+  mjd.qfrc_applied[:] = h(d.qfrc_applied)
+  mjd.xfrc_applied[:] = h(d.xfrc_applied)
+  if mjm.nmocap:
+    mjd.mocap_pos[:] = h(d.mocap_pos)
+    mjd.mocap_quat[:] = h(d.mocap_quat)
+  if mjm.neq:
+    mjd.eq_active[:] = np_.asarray(d.eq_active).astype(np_.uint8)
+  # recompute all derived quantities with the C engine for visualization
+  mujoco.mj_forward(mjm, mjd)
+
+
+def get_data(mjm: Any, d):
+  """New mjData populated from a Data (see get_data_into)."""
+  import mujoco
+  mjd = mujoco.MjData(mjm)
+  get_data_into(mjd, mjm, d)
+  return mjd

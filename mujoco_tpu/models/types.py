@@ -372,6 +372,8 @@ class Model:
   nsensordata: int = static_field()
   nmocap: int = static_field()
   nkey: int = static_field()
+  ncam: int = static_field()
+  nlight: int = static_field()
   # static algorithm-selection flags derived at put_model time
   has_dof_damping: bool = static_field()
   has_fluid: bool = static_field()
@@ -529,6 +531,28 @@ class Model:
   actuator_acc0: jax.Array = field()
   actuator_lengthrange: jax.Array = field()
 
+  # ----- cameras and lights
+  cam_bodyid: np.ndarray = static_field()
+  cam_targetbodyid: np.ndarray = static_field()
+  cam_mode: np.ndarray = static_field()
+  cam_pos: jax.Array = field()
+  cam_quat: jax.Array = field()
+  cam_pos0: jax.Array = field()
+  cam_poscom0: jax.Array = field()
+  cam_mat0: jax.Array = field()
+  cam_fovy: jax.Array = field()
+  cam_resolution: np.ndarray = static_field()
+  cam_intrinsic: jax.Array = field()
+  cam_sensorsize: jax.Array = field()
+  light_bodyid: np.ndarray = static_field()
+  light_targetbodyid: np.ndarray = static_field()
+  light_mode: np.ndarray = static_field()
+  light_pos: jax.Array = field()
+  light_dir: jax.Array = field()
+  light_pos0: jax.Array = field()
+  light_poscom0: jax.Array = field()
+  light_dir0: jax.Array = field()
+
   # ----- keyframes
   key_time: jax.Array = field()
   key_qpos: jax.Array = field()
@@ -614,6 +638,10 @@ class Data:
   geom_xmat: jax.Array         # (ngeom, 3, 3)
   site_xpos: jax.Array         # (nsite, 3)
   site_xmat: jax.Array         # (nsite, 3, 3)
+  cam_xpos: jax.Array          # (ncam, 3)
+  cam_xmat: jax.Array          # (ncam, 3, 3)
+  light_xpos: jax.Array        # (nlight, 3)
+  light_xdir: jax.Array        # (nlight, 3)
   subtree_com: jax.Array       # (nbody, 3)
   cinert: jax.Array            # (nbody, 6, 6) spatial inertia, c-frame
   cdof: jax.Array              # (nv, 6) motion axes, c-frame

@@ -29,6 +29,7 @@ def fwd_position(m: Model, d: Data) -> Data:
   """Position-dependent computations (mj_fwdPosition, engine_forward.c:131)."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
+  d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   d = smooth.factor_m(m, d)

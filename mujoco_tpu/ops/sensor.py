@@ -44,6 +44,8 @@ def object_pos_mat(m: Model, d: Data, objtype: int, objid: int):
     return d.geom_xpos[objid], d.geom_xmat[objid]
   if t == ObjType.SITE:
     return d.site_xpos[objid], d.site_xmat[objid]
+  if t == ObjType.CAMERA:
+    return d.cam_xpos[objid], d.cam_xmat[objid]
   raise NotImplementedError(f"object type {t} frame")
 
 
@@ -58,6 +60,8 @@ def object_quat(m: Model, d: Data, objtype: int, objid: int):
     return mjm.mul_quat(d.xquat[m.geom_bodyid[objid]], m.geom_quat[objid])
   if t == ObjType.SITE:
     return mjm.mul_quat(d.xquat[m.site_bodyid[objid]], m.site_quat[objid])
+  if t == ObjType.CAMERA:
+    return mjm.mul_quat(d.xquat[m.cam_bodyid[objid]], m.cam_quat[objid])
   raise NotImplementedError(f"object type {t} quat")
 
 
@@ -69,6 +73,8 @@ def _object_body(m: Model, objtype: int, objid: int) -> int:
     return int(m.geom_bodyid[objid])
   if t == ObjType.SITE:
     return int(m.site_bodyid[objid])
+  if t == ObjType.CAMERA:
+    return int(m.cam_bodyid[objid])
   raise NotImplementedError(f"object type {t} body")
 
 
@@ -354,7 +360,24 @@ def sensor_pos(m: Model, d: Data) -> Data:
     adr = int(m.sensor_adr[i])
     dim = int(m.sensor_dim[i])
 
-    if t == ST.MAGNETOMETER:
+    if t == ST.CAMPROJECTION:
+      # pixel coordinates of a site in a camera image (cam_project,
+      # engine_sensor.c:283)
+      res = m.cam_resolution[refid]
+      ss = m.cam_sensorsize[refid]
+      f_cal = m.cam_intrinsic[refid, :2] / jnp.maximum(ss, mjm.MINVAL) * \
+          jnp.asarray(res, dtype=dtype)
+      f_fov = 0.5 / jnp.tan(m.cam_fovy[refid] * jnp.pi / 360.0) * res[1]
+      use_cal = (ss[0] != 0) & (ss[1] != 0)
+      fx = jnp.where(use_cal, f_cal[0], f_fov)
+      fy = jnp.where(use_cal, f_cal[1], f_fov)
+      rel = d.cam_xmat[refid].T @ (d.site_xpos[objid] - d.cam_xpos[refid])
+      denom = jnp.where(jnp.abs(rel[2]) < mjm.MINVAL,
+                        jnp.where(rel[2] < 0, -mjm.MINVAL, mjm.MINVAL),
+                        rel[2])
+      val = jnp.stack([-fx * rel[0] / denom + 0.5 * res[0],
+                       fy * rel[1] / denom + 0.5 * res[1]])
+    elif t == ST.MAGNETOMETER:
       val = d.site_xmat[objid].T @ m.opt.magnetic
     elif t == ST.RANGEFINDER:
       pnt = d.site_xpos[objid]

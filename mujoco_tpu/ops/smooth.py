@@ -491,3 +491,56 @@ def com_acc(m: Model, d: Data):
   cacc = (base[None, :] + (anc * d.qvel[None, :]) @ d.cdof_dot
           + (anc * d.qacc[None, :]) @ d.cdof)
   return cacc
+
+
+def camlight(m: Model, d: Data) -> Data:
+  """Camera/light frames (mj_camlight, engine_core_smooth.c): FIXED, TRACK,
+  TRACKCOM, TARGETBODY, TARGETBODYCOM modes; static per-object unroll."""
+  if m.ncam == 0 and m.nlight == 0:
+    return d
+  dtype = d.qpos.dtype
+  cam_xpos = d.cam_xpos
+  cam_xmat = d.cam_xmat
+  for i in range(m.ncam):
+    bid = int(m.cam_bodyid[i])
+    tid = int(m.cam_targetbodyid[i])
+    mode = int(m.cam_mode[i])
+    pos = d.xpos[bid] + d.xmat[bid] @ m.cam_pos[i]
+    mat = mjm.quat_to_mat(mjm.mul_quat(d.xquat[bid], m.cam_quat[i]))
+    if mode in (1, 2):  # TRACK, TRACKCOM
+      mat = m.cam_mat0[i]
+      if mode == 1:
+        pos = d.xpos[bid] + m.cam_pos0[i]
+      else:
+        pos = d.subtree_com[bid] + m.cam_poscom0[i]
+    elif mode in (3, 4) and tid >= 0:  # TARGETBODY, TARGETBODYCOM
+      target = d.xpos[tid] if mode == 3 else d.subtree_com[tid]
+      z = mjm.normalize(pos - target)          # -view direction
+      up = jnp.array([0.0, 0, 1], dtype=dtype)
+      x = mjm.normalize(jnp.cross(up, z))
+      y = mjm.normalize(jnp.cross(z, x))
+      mat = jnp.stack([x, y, z], axis=-1)      # columns = axes
+    cam_xpos = cam_xpos.at[i].set(pos)
+    cam_xmat = cam_xmat.at[i].set(mat)
+
+  light_xpos = d.light_xpos
+  light_xdir = d.light_xdir
+  for i in range(m.nlight):
+    bid = int(m.light_bodyid[i])
+    tid = int(m.light_targetbodyid[i])
+    mode = int(m.light_mode[i])
+    pos = d.xpos[bid] + d.xmat[bid] @ m.light_pos[i]
+    xdir = mjm.rot_vec_quat(m.light_dir[i], d.xquat[bid])
+    if mode in (1, 2):  # TRACK, TRACKCOM
+      xdir = m.light_dir0[i]
+      if mode == 1:
+        pos = d.xpos[bid] + m.light_pos0[i]
+      else:
+        pos = d.subtree_com[bid] + m.light_poscom0[i]
+    elif mode in (3, 4) and tid >= 0:
+      target = d.xpos[tid] if mode == 3 else d.subtree_com[tid]
+      xdir = target - pos
+    light_xdir = light_xdir.at[i].set(mjm.normalize(xdir))
+    light_xpos = light_xpos.at[i].set(pos)
+  return d.replace(cam_xpos=cam_xpos, cam_xmat=cam_xmat,
+                   light_xpos=light_xpos, light_xdir=light_xdir)

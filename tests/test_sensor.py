@@ -169,3 +169,54 @@ def test_energy_enableflag():
                 qvel=jnp.asarray(mjd.qvel.copy()))
   d = forward.forward(m, d)
   np.testing.assert_allclose(np.asarray(d.energy), mjd.energy, atol=1e-10)
+
+
+CAMERA_XML = """
+<mujoco>
+  <worldbody>
+    <body name="b1" pos="0 0 1">
+      <joint type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.4 0 0"/>
+      <site name="tip" pos="0.4 0 0"/>
+      <camera name="onbody" pos="0.1 0.2 0.05" euler="30 10 0"/>
+    </body>
+    <camera name="tracker" mode="trackcom" target="b1" pos="1 1 2"/>
+    <camera name="targeter" mode="targetbody" target="b1" pos="1.5 -1 1.8"/>
+    <light name="l1" mode="targetbodycom" target="b1" pos="0 0 3"/>
+  </worldbody>
+  <sensor>
+    <framepos objtype="camera" objname="onbody"/>
+    <framequat objtype="camera" objname="onbody"/>
+    <framelinvel objtype="camera" objname="onbody"/>
+    <camprojection site="tip" camera="targeter"/>
+  </sensor>
+</mujoco>
+"""
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cameras_lights(seed):
+  mjm = mujoco.MjModel.from_xml_string(CAMERA_XML)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(seed)
+  mjd.qpos[:] = 0.4 * rng.randn(mjm.nq)
+  mjd.qvel[:] = 0.6 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  from mujoco_tpu.models import io as io_mod
+  m = io_mod.put_model(mjm)
+  d = io_mod.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()))
+  from mujoco_tpu.ops import forward as fwd
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.cam_xpos), mjd.cam_xpos,
+                             atol=1e-12, err_msg="cam_xpos")
+  np.testing.assert_allclose(np.asarray(d.cam_xmat),
+                             mjd.cam_xmat.reshape(-1, 3, 3), atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.light_xpos), mjd.light_xpos,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.light_xdir), mjd.light_xdir,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata,
+                             atol=1e-9, err_msg="camera sensors")

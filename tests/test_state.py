@@ -170,3 +170,15 @@ def test_check_reset():
   out = par.check_reset(m, d, fresh)
   assert np.isfinite(np.asarray(out.qpos)).all()
   assert np.abs(np.asarray(out.qvel)).max() < 1e11
+
+
+def test_get_data_viewer_bridge():
+  from tests import models as zoo_t
+  mjm = mujoco.MjModel.from_xml_string(zoo_t.PENDULUM)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray([0.3, -0.2]), qvel=jnp.asarray([1.0, 0.5]))
+  d = forward.forward(m, d)
+  mjd = io.get_data(mjm, d)
+  np.testing.assert_allclose(mjd.qpos, np.asarray(d.qpos))
+  np.testing.assert_allclose(mjd.xpos, np.asarray(d.xpos), atol=1e-12)
