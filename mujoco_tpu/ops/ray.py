@@ -189,3 +189,10 @@ def ray(m: Model, d: Data, pnt, vec, geomgroup=None, flg_static: bool = True,
   best = dists[geomid]
   hit = jnp.isfinite(best)
   return jnp.where(hit, best, -1.0), jnp.where(hit, geomid, -1)
+
+
+def multi_ray(m: Model, d: Data, pnt, vecs, **kw):
+  """Batched rays from one origin (mj_multiRay, engine_ray.c): vecs (n, 3).
+  Returns (dists (n,), geomids (n,))."""
+  import jax
+  return jax.vmap(lambda v: ray(m, d, pnt, v, **kw))(vecs)
