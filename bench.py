@@ -18,7 +18,7 @@ BASELINE_PER_CHIP = 340_000.0
 
 
 def main():
-  nbatch = int(os.environ.get("BENCH_BATCH", "4096"))
+  nbatch = int(os.environ.get("BENCH_BATCH", "3072"))
   nstep = int(os.environ.get("BENCH_NSTEP", "200"))
 
   import jax

@@ -81,10 +81,10 @@ def _kb(solref, solimp):
 # ---------------------------------------------------------------------------
 
 
-def _point_jac_diff(m: Model, d: Data, points, body1, body2):
+def _point_jac_diff(m: Model, d: Data, points, body1, body2, with_rot=True):
   """Translational + rotational Jacobian differences (side2 − side1) at one
   point per row. points: (n, 3); body1/body2: static (n,) arrays.
-  Returns jacp, jacr each (n, 3, nv)."""
+  Returns jacp, jacr each (n, 3, nv) (jacr None when with_rot=False)."""
   dtype = d.qpos.dtype
   mask = (jnp.asarray(m.tree.ancestor_mask[body2], dtype=dtype)
           - jnp.asarray(m.tree.ancestor_mask[body1], dtype=dtype))  # (n, nv)
@@ -95,6 +95,8 @@ def _point_jac_diff(m: Model, d: Data, points, body1, body2):
   jacp = lin[None] + jnp.cross(jnp.broadcast_to(ang[None], (points.shape[0],) + ang.shape),
                                points[:, None, :] - o[None])
   jacp = jacp * mask[..., None]
+  if not with_rot:
+    return jnp.swapaxes(jacp, 1, 2), None
   jacr = jnp.broadcast_to(ang[None], jacp.shape) * mask[..., None]
   return jnp.swapaxes(jacp, 1, 2), jnp.swapaxes(jacr, 1, 2)
 
@@ -429,11 +431,15 @@ def _contact_rows(m: Model, d: Data):
   enabled = not m.disabled(DisableBit.CONTACT)
   b1 = m.geom_bodyid[m.con.geom1]
   b2 = m.geom_bodyid[m.con.geom2]
-  jacp, jacr = _point_jac_diff(m, d, con.pos, b1, b2)  # (ncon, 3, nv)
+  # rotational jacobians only exist in rows when some contact has
+  # torsional/rolling friction (condim > 3) — skip the work otherwise
+  need_rot = bool(np.any(m.con.condim > 3))
+  jacp, jacr = _point_jac_diff(m, d, con.pos, b1, b2,
+                               with_rot=need_rot)  # (ncon, 3, nv)
 
   # rotate into contact frame: rows [n, t1, t2] and rolling [n, t1, t2]
   jt = jnp.einsum('cij,cjv->civ', con.frame, jacp)     # (ncon, 3, nv)
-  jr = jnp.einsum('cij,cjv->civ', con.frame, jacr)
+  jr = jnp.einsum('cij,cjv->civ', con.frame, jacr) if need_rot else jt
 
   active_slot = (con.dist < con.includemargin) & enabled  # (ncon,)
 
@@ -455,12 +461,16 @@ def _contact_rows(m: Model, d: Data):
     use_rot = fdim >= 3
     axis_idx = np.where(use_rot, fdim - 3, fdim)
     jn = jt[cid, 0]                                       # (nrows, nv)
-    jfr = jnp.where(jnp.asarray(use_rot)[:, None],
-                    jr[cid, np.clip(axis_idx, 0, 2)],
-                    jt[cid, np.clip(axis_idx, 0, 2)])
+    if need_rot:
+      jfr = jnp.where(jnp.asarray(use_rot)[:, None],
+                      jr[cid, np.clip(axis_idx, 0, 2)],
+                      jt[cid, np.clip(axis_idx, 0, 2)])
+    else:
+      jfr = jt[cid, np.clip(axis_idx, 0, 2)]
     mu_row = con.friction[cid, np.clip(fdim - 1, 0, 4)]
-    J = jnp.where(jnp.asarray(frictionless)[:, None], jn,
-                  jn + jnp.asarray(sign)[:, None] * mu_row[:, None] * jfr)
+    # single FMA: frictionless rows get coefficient 0
+    coeff = jnp.asarray(sign * ~frictionless) * mu_row
+    J = jn + coeff[:, None] * jfr
     pos = con.dist[cid]
     margin = con.includemargin[cid]
     imp_pos = pos

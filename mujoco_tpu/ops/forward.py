@@ -27,12 +27,17 @@ from mujoco_tpu.utils import math as mjm
 
 def fwd_position(m: Model, d: Data) -> Data:
   """Position-dependent computations (mj_fwdPosition, engine_forward.c:131)."""
+  from mujoco_tpu.models.types import SolverType
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
-  d = smooth.factor_m(m, d)
+  # the tree factor is only consumed by the CG preconditioner and PGS's
+  # multi-rhs M-solve; the Newton path solves M⁻¹f with the Pallas SPD
+  # kernel directly, so skip the factorization there
+  if int(m.opt.solver) == int(SolverType.CG):
+    d = smooth.factor_m(m, d)
   if m.con.ncon or m.efc.nefc:
     from mujoco_tpu.ops import collision_driver, constraint
     d = collision_driver.collision(m, d)
@@ -63,9 +68,14 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 def fwd_acceleration(m: Model, d: Data) -> Data:
   """Smooth (unconstrained) acceleration (mj_fwdAcceleration,
   engine_forward.c:1010)."""
+  from mujoco_tpu.models.types import SolverType
   qfrc = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator + d.qfrc_applied
           + support.xfrc_accumulate(m, d))
-  qacc_smooth = smooth.solve_m(m, d, qfrc)
+  if int(m.opt.solver) == int(SolverType.CG):
+    qacc_smooth = smooth.solve_m(m, d, qfrc)     # tree factor already built
+  else:
+    from mujoco_tpu.ops import linalg_tpu
+    qacc_smooth = linalg_tpu.spd_solve(d.qM, qfrc)
   return d.replace(qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
 
 

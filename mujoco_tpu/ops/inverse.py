@@ -43,6 +43,8 @@ def discrete_acc(m: Model, d: Data):
     if m.disabled(DisableBit.EULERDAMP) or not m.has_dof_damping:
       return d.qacc
     qfrc = d.qM @ d.qacc + h * m.dof_damping * d.qacc
+    from mujoco_tpu.ops import linalg_tpu
+    return linalg_tpu.spd_solve(d.qM, qfrc)
   elif integ == Integrator.IMPLICIT:
     sym = np.asarray(m.tree.dof_ancestor_mask)
     sym = jnp.asarray(sym | sym.T)
@@ -57,7 +59,8 @@ def discrete_acc(m: Model, d: Data):
       adr = int(m.jnt_dofadr[j])
       a = derivative.free_mhat(m, d, j, qderiv0)
       qfrc = qfrc.at[adr:adr + 6].set(a @ d.qacc[adr:adr + 6])
-  return smooth.solve_m(m, d, qfrc)
+  from mujoco_tpu.ops import linalg_tpu
+  return linalg_tpu.spd_solve(d.qM, qfrc)
 
 
 def inverse(m: Model, d: Data) -> Data:

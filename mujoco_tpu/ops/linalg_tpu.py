@@ -126,8 +126,12 @@ def spd_solve(h, g):
 @spd_solve.def_vmap
 def _spd_solve_vmap(axis_size, in_batched, h, g):
   h_b, g_b = in_batched
-  if not (h_b and g_b):
-    raise NotImplementedError("spd_solve: both operands must be batched")
+  # partial batching (e.g. jacfwd pushing tangents through only one operand):
+  # broadcast the unbatched side
+  if not h_b:
+    h = jnp.broadcast_to(h[None], (axis_size,) + h.shape)
+  if not g_b:
+    g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
   if not _tpu_backend():
     chol = jnp.linalg.cholesky(h)
     out = jax.scipy.linalg.cho_solve((chol, True), g[..., None])[..., 0]

@@ -356,10 +356,10 @@ def solve(m: Model, d: Data) -> Data:
   force = ctx.force
   if int(m.opt.noslip_iterations) > 0:
     # noslip post-pass applies to all solvers (mj_fwdConstraint tail)
-    from mujoco_tpu.ops import smooth
+    from mujoco_tpu.ops import smooth, linalg_tpu
     force = _noslip(m, d, force)
     qfrc = J.T @ force
-    x = d.qacc_smooth + smooth.solve_m(m, d, qfrc)
+    x = d.qacc_smooth + linalg_tpu.spd_solve(d.qM, qfrc)
   else:
     qfrc = J.T @ force
   return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
@@ -404,6 +404,9 @@ def solve_pgs(m: Model, d: Data) -> Data:
   meta = m.efc
   nefc = meta.nefc
 
+  # PGS needs the multi-rhs M-solve; build the tree factor here (fwd_position
+  # skips it for non-CG solvers)
+  d = smooth.factor_m(m, d)
   J = d.efc_J
   minvjt = smooth.solve_m(m, d, J)              # (nefc, nv) rows M⁻¹Jᵀ cols
   ar = J @ minvjt.T + jnp.diag(d.efc_R)
@@ -443,6 +446,7 @@ def _noslip(m: Model, d: Data, f):
   from mujoco_tpu.ops import smooth
   meta = m.efc
   ne, nf = meta.ne, meta.nf
+  d = smooth.factor_m(m, d)  # fwd_position may have skipped the factor
   J = d.efc_J
   minvjt = smooth.solve_m(m, d, J)
   a_nor = J @ minvjt.T                            # A without R
