@@ -115,15 +115,30 @@ def _tpu_backend() -> bool:
 
 
 @custom_batching.custom_vmap
-def spd_solve(h, g):
+def _spd_solve_raw(h, g):
   """Solve H p = g for SPD H (single instance). Under vmap, dispatches to
   the lane-mapped Pallas kernel on TPU; falls back to XLA Cholesky
-  elsewhere."""
+  elsewhere. No AD rule — use spd_solve for differentiable code."""
   chol = jnp.linalg.cholesky(h)
   return jax.scipy.linalg.cho_solve((chol, True), g[:, None])[:, 0]
 
 
-@spd_solve.def_vmap
+def spd_solve(h, g):
+  """Differentiable p = H⁻¹ g for SPD H.
+
+  Wrapped in lax.custom_linear_solve (symmetric) so forward- and
+  reverse-mode AD re-solve with the same lane-mapped Pallas kernel instead
+  of differentiating through it."""
+  def mv(x):
+    return (h @ x[..., None])[..., 0]
+
+  def slv(_, b):
+    return _spd_solve_raw(h, b)
+
+  return jax.lax.custom_linear_solve(mv, g, slv, symmetric=True)
+
+
+@_spd_solve_raw.def_vmap
 def _spd_solve_vmap(axis_size, in_batched, h, g):
   h_b, g_b = in_batched
   # partial batching (e.g. jacfwd pushing tangents through only one operand):
