@@ -348,7 +348,20 @@ def solve(m: Model, d: Data) -> Data:
     for _ in range(iterations):
       carry = loop_body(carry)
     x, cost, _, niter, *_ = carry
+  elif iterations <= 32:
+    # bounded scan with a convergence freeze: fixed trip count, so
+    # reverse-mode AD works (MJX's scan-based while_loop,
+    # mjx/_src/solver.py:239)
+    def scan_body(c, _):
+      keep = loop_cond(c)
+      new = loop_body(c)
+      c = jax.tree.map(lambda a, b: jnp.where(keep, b, a), c, new)
+      return c, ()
+    carry, _ = jax.lax.scan(scan_body, carry, None, length=iterations)
+    x, cost, _, niter, *_ = carry
   else:
+    # large budgets: early-exit while_loop (not reverse-differentiable —
+    # use iterations ≤ 32 for training setups, as MJX models do)
     x, cost, _, niter, *_ = jax.lax.while_loop(loop_cond, loop_body, carry)
 
   jar = J @ x - aref

@@ -47,3 +47,32 @@ def test_transition_vs_oracle(name):
   # AD vs our own FD
   a_fd, b_fd = derivative_fd.transition_fd(m, d, eps=1e-7, centered=True)
   np.testing.assert_allclose(np.asarray(a), np.asarray(a_fd), atol=1e-5)
+
+
+def test_grad_through_batched_step():
+  """End-to-end differentiability: gradient of a rollout loss wrt ctrl
+  through the batched contact solve (the capability MuJoCo's C engine
+  lacks, doc/mjx.rst:526-529)."""
+  xml = zoo.BALLS.replace("<option ", '<option iterations="20" ')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  from mujoco_tpu.parallel import rollout as par
+  nbatch = 3
+  d0 = par.make_batch(m, nbatch)
+
+  def loss(qvel0):
+    d = d0.replace(qvel=qvel0)
+    step = jax.vmap(lambda dd: forward.step(m, dd))
+    for _ in range(3):
+      d = step(d)
+    return jnp.sum(d.qpos[:, 0] ** 2)
+
+  qvel0 = jnp.zeros((nbatch, mjm.nv)).at[:, 0].set(
+      jnp.array([0.5, 1.0, 1.5]))
+  g = jax.grad(loss)(qvel0)
+  assert np.isfinite(np.asarray(g)).all()
+  # FD cross-check on one entry
+  eps = 1e-6
+  e = jnp.zeros_like(qvel0).at[1, 0].set(eps)
+  fd = (loss(qvel0 + e) - loss(qvel0 - e)) / (2 * eps)
+  np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=1e-4)
