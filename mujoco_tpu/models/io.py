@@ -37,6 +37,8 @@ _PAIR_NCON = {
     (GeomType.CAPSULE, GeomType.CAPSULE): 2,
     (GeomType.CAPSULE, GeomType.BOX): 3,
     (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.HFIELD, GeomType.SPHERE): 3,
+    (GeomType.HFIELD, GeomType.CAPSULE): 3,
 }
 
 
@@ -356,6 +358,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nsensordata=int(mjm.nsensordata), nmocap=int(mjm.nmocap),
       nkey=int(mjm.nkey),
       ncam=int(mjm.ncam), nlight=int(mjm.nlight),
+      nhfield=int(mjm.nhfield),
       has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
       has_fluid=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
@@ -397,6 +400,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       geom_rbound=jx(mjm.geom_rbound), geom_pos=jx(mjm.geom_pos),
       geom_quat=jx(mjm.geom_quat), geom_friction=jx(mjm.geom_friction),
       geom_margin=jx(mjm.geom_margin), geom_gap=jx(mjm.geom_gap),
+      geom_fluid=jx(mjm.geom_fluid),
+      geom_has_fluid=np.asarray(mjm.geom_fluid)[:, 0] > 0,
       site_bodyid=si(mjm.site_bodyid),
       site_type=si(mjm.site_type), site_size=jx(mjm.site_size),
       site_pos=jx(mjm.site_pos), site_quat=jx(mjm.site_quat),
@@ -449,6 +454,10 @@ def put_model(mjm: Any, dtype=None) -> Model:
       actuator_cranklength=jx(mjm.actuator_cranklength),
       actuator_acc0=jx(mjm.actuator_acc0),
       actuator_lengthrange=jx(mjm.actuator_lengthrange),
+      hfield_adr=si(mjm.hfield_adr), hfield_nrow=si(mjm.hfield_nrow),
+      hfield_ncol=si(mjm.hfield_ncol),
+      hfield_size_np=np.asarray(mjm.hfield_size, dtype=np.float64).reshape(-1, 4),
+      hfield_data=jx(mjm.hfield_data),
       cam_bodyid=si(mjm.cam_bodyid),
       cam_targetbodyid=si(mjm.cam_targetbodyid),
       cam_mode=si(mjm.cam_mode),

@@ -374,6 +374,7 @@ class Model:
   nkey: int = static_field()
   ncam: int = static_field()
   nlight: int = static_field()
+  nhfield: int = static_field()
   # static algorithm-selection flags derived at put_model time
   has_dof_damping: bool = static_field()
   has_fluid: bool = static_field()
@@ -458,6 +459,8 @@ class Model:
   geom_friction: jax.Array = field()
   geom_margin: jax.Array = field()
   geom_gap: jax.Array = field()
+  geom_fluid: jax.Array = field()            # (ngeom, 12) ellipsoid-model
+  geom_has_fluid: np.ndarray = static_field()  # static gate per geom
 
   # ----- sites
   site_bodyid: np.ndarray = static_field()
@@ -530,6 +533,14 @@ class Model:
   actuator_cranklength: jax.Array = field()
   actuator_acc0: jax.Array = field()
   actuator_lengthrange: jax.Array = field()
+
+  # ----- height fields (geometry static; elevation data traced so terrain
+  # is domain-randomizable per env)
+  hfield_adr: np.ndarray = static_field()
+  hfield_nrow: np.ndarray = static_field()
+  hfield_ncol: np.ndarray = static_field()
+  hfield_size_np: np.ndarray = static_field()
+  hfield_data: jax.Array = field()
 
   # ----- cameras and lights
   cam_bodyid: np.ndarray = static_field()

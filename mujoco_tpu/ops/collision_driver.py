@@ -136,11 +136,25 @@ def collision(m: Model, d: Data) -> Data:
   keys = {}
   for c in range(ncon):
     if m.con.con_first[c]:
-      key = (int(m.con.pair_type[c, 0]), int(m.con.pair_type[c, 1]))
-      keys.setdefault(key, []).append(c)
+      t1 = int(m.con.pair_type[c, 0])
+      t2 = int(m.con.pair_type[c, 1])
+      # hfield colliders close over the (static) hfield id
+      hid = int(m.geom_dataid[m.con.geom1[c]]) if t1 == GeomType.HFIELD \
+          else -1
+      keys.setdefault((t1, t2, hid), []).append(c)
 
   for key, first_slots in keys.items():
-    fn, k = _COLLIDERS[GeomType(key[0]), GeomType(key[1])]
+    t1, t2, hid = key
+    if t1 == GeomType.HFIELD:
+      from mujoco_tpu.ops import collision_hfield
+      if t2 == GeomType.SPHERE:
+        fn, k = collision_hfield.make_hfield_sphere(m, hid), 3
+      elif t2 == GeomType.CAPSULE:
+        fn, k = collision_hfield.make_hfield_capsule(m, hid), 3
+      else:
+        raise NotImplementedError(f"hfield vs geom type {t2}")
+    else:
+      fn, k = _COLLIDERS[GeomType(t1), GeomType(t2)]
     first_slots = np.array(first_slots, dtype=np.int32)
     g1 = m.con.geom1[first_slots]
     g2 = m.con.geom2[first_slots]

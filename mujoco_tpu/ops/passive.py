@@ -78,9 +78,19 @@ def passive(m: Model, d: Data) -> Data:
 
 
 def _fluid(m: Model, d: Data):
-  """Inertia-box fluid model, vectorized over bodies
-  (mj_inertiaBoxFluidModel, engine_passive.c:1154): equivalent-box viscous
-  drag + quadratic lift/drag in the body inertial frame, wind-relative."""
+  """Fluid forces (mj_fluid, engine_passive.c:871): bodies whose geoms carry
+  fluid coefficients use the per-geom ellipsoid model; all others use the
+  vectorized inertia-box model (equivalent-box viscous drag + quadratic
+  lift/drag in the body inertial frame, wind-relative)."""
+  ell_bodies = [b for b in range(m.nbody)
+                if m.body_geomnum[b]
+                and m.geom_has_fluid[
+                    m.body_geomadr[b]:m.body_geomadr[b]
+                    + m.body_geomnum[b]].any()]
+  qfrc_ell = sum((_ellipsoid_fluid_body(m, d, b) for b in ell_bodies),
+                 jnp.zeros((m.nv,), dtype=d.qpos.dtype))
+  ell_mask = np.zeros(m.nbody, dtype=bool)
+  ell_mask[ell_bodies] = True
   dtype = d.qpos.dtype
   inertia = m.body_inertia                       # (nbody, 3)
   mass = jnp.maximum(m.body_mass, mjm.MINVAL)
@@ -122,10 +132,110 @@ def _fluid(m: Model, d: Data):
   lfrc = lfrc.at[:, 2].add(-dens * b2 * (b0 ** 4 + b1 ** 4)
                            * jnp.abs(v[:, 2]) * v[:, 2] / 64.0)
 
-  # rotate to world, zero massless bodies, apply at body CoM
+  # rotate to world, zero massless/ellipsoid-model bodies, apply at body CoM
   torque = jnp.einsum('bij,bj->bi', d.ximat, lfrc[:, :3])
   force = jnp.einsum('bij,bj->bi', d.ximat, lfrc[:, 3:])
-  live = (m.body_mass >= mjm.MINVAL)[:, None]
+  live = ((m.body_mass >= mjm.MINVAL) & ~ell_mask)[:, None]
   torque = jnp.where(live, torque, 0.0)
   force = jnp.where(live, force, 0.0)
-  return support.apply_ft_all_bodies(m, d, force, torque, d.xipos)
+  return qfrc_ell + support.apply_ft_all_bodies(m, d, force, torque, d.xipos)
+
+
+def _semi_axes(m: Model, g: int):
+  """Equivalent ellipsoid semi-axes per geom type (mju_geomSemiAxes)."""
+  from mujoco_tpu.models.types import GeomType
+  s = m.geom_size[g]
+  t = int(m.geom_type[g])
+  if t == GeomType.SPHERE:
+    return jnp.stack([s[0], s[0], s[0]])
+  if t == GeomType.CAPSULE:
+    return jnp.stack([s[0], s[0], s[1] + s[0]])
+  if t == GeomType.CYLINDER:
+    return jnp.stack([s[0], s[0], s[1]])
+  return s[:3]
+
+
+def _ellipsoid_fluid_body(m: Model, d: Data, bodyid: int):
+  """Per-geom ellipsoid fluid model for one body (mj_ellipsoidFluidModel,
+  engine_passive.c:1214): added-mass + Magnus/Kutta lift + blunt/slender/
+  angular drag, in the geom frame."""
+  from mujoco_tpu.ops import sensor as sensor_mod
+  from mujoco_tpu.models.types import ObjType
+  dtype = d.qpos.dtype
+  qfrc = jnp.zeros((m.nv,), dtype=dtype)
+  rho = m.opt.density
+  visc = m.opt.viscosity
+  for j in range(int(m.body_geomnum[bodyid])):
+    g = int(m.body_geomadr[bodyid]) + j
+    if not m.geom_has_fluid[g]:
+      continue
+    coefs = m.geom_fluid[g]
+    interact = coefs[0]
+    blunt, slender, ang_drag = coefs[1], coefs[2], coefs[3]
+    kutta, magnus = coefs[4], coefs[5]
+    vmass = coefs[6:9]
+    vinert = coefs[9:12]
+    size = _semi_axes(m, g)
+
+    lvel = sensor_mod.object_velocity(m, d, int(ObjType.GEOM), g, True)
+    com = d.subtree_com[m.body_rootid[bodyid]]
+    wind6 = jnp.zeros((6,), dtype=dtype).at[3:].set(m.opt.wind)
+    lwind = mjm.transform_spatial(wind6, False, d.geom_xpos[g], com,
+                                  d.geom_xmat[g])
+    w = lvel[:3]
+    v = lvel[3:] - lwind[3:]
+
+    lfrc = jnp.zeros((6,), dtype=dtype)
+    # added mass (mj_addedMassForces)
+    plin = rho * vmass * v
+    pang = rho * vinert * w
+    lfrc = lfrc.at[:3].add(jnp.cross(plin, v) + jnp.cross(pang, w))
+    lfrc = lfrc.at[3:].add(jnp.cross(plin, w))
+
+    # viscous forces (mj_viscousForces)
+    volume = 4.0 / 3.0 * jnp.pi * size[0] * size[1] * size[2]
+    d_max = jnp.max(size)
+    d_min = jnp.min(size)
+    d_mid = jnp.sum(size) - d_max - d_min
+    a_max = jnp.pi * d_max * d_mid
+
+    magnus_force = jnp.cross(w, v) * (magnus * rho * volume)
+
+    s01, s12, s20 = size[0] * size[1], size[1] * size[2], size[2] * size[0]
+    proj_denom = (s12 ** 4 * v[0] ** 2 + s20 ** 4 * v[1] ** 2
+                  + s01 ** 4 * v[2] ** 2)
+    proj_num = ((s12 * v[0]) ** 2 + (s20 * v[1]) ** 2 + (s01 * v[2]) ** 2)
+    a_proj = jnp.pi * jnp.sqrt(
+        proj_denom / jnp.maximum(mjm.MINVAL, proj_num))
+    norm = jnp.stack([s12 ** 2 * v[0], s20 ** 2 * v[1], s01 ** 2 * v[2]])
+    vnorm = mjm.norm_safe(v)
+    cos_alpha = proj_num / jnp.maximum(mjm.MINVAL, vnorm * proj_denom)
+    kutta_circ = jnp.cross(norm, v) * (kutta * rho * cos_alpha * a_proj)
+    kutta_force = jnp.cross(kutta_circ, v)
+
+    eq_d = 2.0 / 3.0 * jnp.sum(size)
+    lin_visc_force = 3.0 * jnp.pi * eq_d
+    lin_visc_torq = jnp.pi * eq_d ** 3
+
+    i_max = 8.0 / 15.0 * jnp.pi * d_mid * d_max ** 4
+    def max_moment(dir_):
+      d0 = size[dir_]
+      d1 = size[(dir_ + 1) % 3]
+      d2 = size[(dir_ + 2) % 3]
+      return 8.0 / 15.0 * jnp.pi * d0 * jnp.maximum(d1, d2) ** 4
+    ii = jnp.stack([max_moment(0), max_moment(1), max_moment(2)])
+    mom_visc = w * (ang_drag * ii + slender * (i_max - ii))
+
+    drag_lin = (visc * lin_visc_force
+                + rho * vnorm * (a_proj * blunt + slender * (a_max - a_proj)))
+    drag_ang = visc * lin_visc_torq + rho * mjm.norm_safe(mom_visc)
+
+    lfrc = lfrc.at[:3].add(-drag_ang * w)
+    lfrc = lfrc.at[3:].add(magnus_force + kutta_force - drag_lin * v)
+    lfrc = lfrc * interact
+
+    torque = d.geom_xmat[g] @ lfrc[:3]
+    force = d.geom_xmat[g] @ lfrc[3:]
+    qfrc = qfrc + support.apply_ft(m, d, force, torque, d.geom_xpos[g],
+                                   bodyid)
+  return qfrc

@@ -249,3 +249,71 @@ def test_pair_override():
   np.testing.assert_allclose(np.asarray(d.contact.includemargin[0]),
                              mjd.contact.includemargin[0], atol=1e-12)
   np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8)
+
+
+def _hfield_xml(body):
+  import numpy as _np
+  # bowl-shaped terrain so free bodies settle instead of rolling forever
+  nrow, ncol = 9, 11
+  yy, xx = _np.meshgrid(_np.linspace(-1, 1, nrow), _np.linspace(-1, 1, ncol),
+                        indexing="ij")
+  data = (0.25 * (xx ** 2 + yy ** 2)).reshape(-1)
+  datastr = " ".join("%.4f" % v for v in data)
+  return f"""
+  <mujoco>
+    <option timestep="0.002"/>
+    <asset>
+      <hfield name="terrain" nrow="{nrow}" ncol="{ncol}"
+              size="1.2 1.0 0.4 0.1" elevation="{datastr}"/>
+    </asset>
+    <worldbody>
+      <geom type="hfield" hfield="terrain"/>
+      {body}
+    </worldbody>
+  </mujoco>"""
+
+
+def test_hfield_sphere_settles():
+  xml = _hfield_xml(
+      '<body pos="0.15 -0.1 0.45"><freejoint/>'
+      '<geom type="sphere" size="0.09" condim="6" '
+      'friction="1 0.02 0.01"/></body>')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(1800):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  qvel = np.asarray(d.qvel)
+  assert np.isfinite(qpos).all()
+  # resting near the bowl bottom
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(qpos[:2]).max() < 0.4, qpos[:2]
+  assert np.abs(qvel).max() < 0.5, np.abs(qvel).max()
+
+  # penetration depth vs the oracle at the settled state
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = qpos
+  mujoco.mj_forward(mjm, mjd)
+  dd = forward.fwd_position(m, d)
+  if mjd.ncon:
+    np.testing.assert_allclose(float(jnp.min(dd.contact.dist)),
+                               mjd.contact.dist.min(), atol=3e-3)
+
+
+def test_hfield_capsule_settles():
+  xml = _hfield_xml(
+      '<body pos="-0.2 0.1 0.45" euler="0 0 30"><freejoint/>'
+      '<geom type="capsule" size="0.07" fromto="-0.2 0 0 0.2 0 0" '
+      'condim="6" friction="1 0.02 0.01"/></body>')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(1800):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.5

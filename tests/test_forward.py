@@ -168,3 +168,40 @@ def test_fluid_inertia_box():
   np.testing.assert_allclose(np.asarray(d.qfrc_fluid), mjd.qfrc_fluid,
                              atol=1e-10)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9)
+
+
+def test_fluid_ellipsoid_model():
+  """Per-geom ellipsoid fluid model (fluidshape=ellipsoid) vs the oracle."""
+  import mujoco
+  xml = """
+  <mujoco>
+    <option timestep="0.003" viscosity="0.5" density="500"
+            wind="0.2 -0.1 0"/>
+    <worldbody>
+      <body pos="0 0 2">
+        <freejoint/>
+        <geom type="ellipsoid" size="0.1 0.05 0.03" density="400"
+              fluidshape="ellipsoid" fluidcoef="0.5 0.25 1.5 1.7 1.0"
+              contype="0" conaffinity="0"/>
+        <geom type="capsule" size="0.03 0.1" pos="0.15 0 0" density="300"
+              fluidshape="ellipsoid" contype="0" conaffinity="0"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(2)
+  mjd.qvel[:] = 1.5 * rng.randn(6)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  import jax
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  mujoco.mj_forward(mjm, mjd)
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_fluid), mjd.qfrc_fluid,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9)
