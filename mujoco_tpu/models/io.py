@@ -39,6 +39,9 @@ _PAIR_NCON = {
     (GeomType.BOX, GeomType.BOX): 8,
     (GeomType.HFIELD, GeomType.SPHERE): 3,
     (GeomType.HFIELD, GeomType.CAPSULE): 3,
+    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.CAPSULE, GeomType.MESH): 3,
 }
 
 
@@ -454,6 +457,10 @@ def put_model(mjm: Any, dtype=None) -> Model:
       actuator_cranklength=jx(mjm.actuator_cranklength),
       actuator_acc0=jx(mjm.actuator_acc0),
       actuator_lengthrange=jx(mjm.actuator_lengthrange),
+      mesh_vertadr=si(mjm.mesh_vertadr), mesh_vertnum=si(mjm.mesh_vertnum),
+      mesh_faceadr=si(mjm.mesh_faceadr), mesh_facenum=si(mjm.mesh_facenum),
+      mesh_face=si(mjm.mesh_face),
+      mesh_vert=jx(mjm.mesh_vert),
       hfield_adr=si(mjm.hfield_adr), hfield_nrow=si(mjm.hfield_nrow),
       hfield_ncol=si(mjm.hfield_ncol),
       hfield_size_np=np.asarray(mjm.hfield_size, dtype=np.float64).reshape(-1, 4),

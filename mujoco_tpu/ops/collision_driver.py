@@ -138,21 +138,35 @@ def collision(m: Model, d: Data) -> Data:
     if m.con.con_first[c]:
       t1 = int(m.con.pair_type[c, 0])
       t2 = int(m.con.pair_type[c, 1])
-      # hfield colliders close over the (static) hfield id
-      hid = int(m.geom_dataid[m.con.geom1[c]]) if t1 == GeomType.HFIELD \
-          else -1
-      keys.setdefault((t1, t2, hid), []).append(c)
+      # hfield/mesh colliders close over the (static) asset id
+      if t1 == GeomType.HFIELD:
+        did = int(m.geom_dataid[m.con.geom1[c]])
+      elif t2 == GeomType.MESH:
+        did = int(m.geom_dataid[m.con.geom2[c]])
+      else:
+        did = -1
+      keys.setdefault((t1, t2, did), []).append(c)
 
   for key, first_slots in keys.items():
-    t1, t2, hid = key
+    t1, t2, did = key
     if t1 == GeomType.HFIELD:
       from mujoco_tpu.ops import collision_hfield
       if t2 == GeomType.SPHERE:
-        fn, k = collision_hfield.make_hfield_sphere(m, hid), 3
+        fn, k = collision_hfield.make_hfield_sphere(m, did), 3
       elif t2 == GeomType.CAPSULE:
-        fn, k = collision_hfield.make_hfield_capsule(m, hid), 3
+        fn, k = collision_hfield.make_hfield_capsule(m, did), 3
       else:
         raise NotImplementedError(f"hfield vs geom type {t2}")
+    elif t2 == GeomType.MESH:
+      from mujoco_tpu.ops import collision_mesh
+      if t1 == GeomType.PLANE:
+        fn, k = collision_mesh.make_plane_mesh(m, did), 4
+      elif t1 == GeomType.SPHERE:
+        fn, k = collision_mesh.make_sphere_mesh(m, did), 1
+      elif t1 == GeomType.CAPSULE:
+        fn, k = collision_mesh.make_capsule_mesh(m, did), 3
+      else:
+        raise NotImplementedError(f"geom type {t1} vs mesh")
     else:
       fn, k = _COLLIDERS[GeomType(t1), GeomType(t2)]
     first_slots = np.array(first_slots, dtype=np.int32)

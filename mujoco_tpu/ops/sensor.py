@@ -422,6 +422,36 @@ def sensor_pos(m: Model, d: Data) -> Data:
       else:
         qref = object_quat(m, d, reftype, refid)
         val = mjm.mul_quat(mjm.conj_quat(qref), q)
+    elif t == ST.INSIDESITE:
+      xpos, _ = object_pos_mat(m, d, objtype, objid)
+      val = inside_geom(d.site_xpos[refid], d.site_xmat[refid],
+                        m.site_size[refid], int(m.site_type[refid]), xpos)
+    elif t in (ST.GEOMDIST, ST.GEOMNORMAL, ST.GEOMFROMTO):
+      cutoff = m.sensor_cutoff[i]
+      g1s = ([objid] if ObjType(objtype) == ObjType.GEOM else
+             list(range(int(m.body_geomadr[objid]),
+                        int(m.body_geomadr[objid])
+                        + int(m.body_geomnum[objid]))))
+      g2s = ([refid] if ObjType(reftype) == ObjType.GEOM else
+             list(range(int(m.body_geomadr[refid]),
+                        int(m.body_geomadr[refid])
+                        + int(m.body_geomnum[refid]))))
+      best = cutoff * jnp.ones((), dtype=dtype)
+      fromto = jnp.zeros((6,), dtype=dtype)
+      for ga in g1s:
+        for gb in g2s:
+          dist_n, ft_n = geom_distance(m, d, ga, gb, cutoff)
+          better = dist_n < best
+          fromto = jnp.where(better, ft_n, fromto)
+          best = jnp.minimum(best, dist_n)
+      if t == ST.GEOMDIST:
+        val = best
+      elif t == ST.GEOMNORMAL:
+        n_ = fromto[3:] - fromto[:3]
+        nz = mjm.norm_safe(n_) > mjm.MINVAL
+        val = jnp.where(nz, n_ / mjm.norm_safe(n_), jnp.zeros(3, dtype=dtype))
+      else:
+        val = fromto
     elif t == ST.SUBTREECOM:
       val = d.subtree_com[objid]
     elif t == ST.E_POTENTIAL:
@@ -535,6 +565,13 @@ def sensor_acc(m: Model, d: Data) -> Data:
       val = d.actuator_force[objid]
     elif t == ST.JOINTACTFRC:
       val = d.qfrc_actuator[m.jnt_dofadr[objid]]
+    elif t == ST.TENDONACTFRC:
+      from mujoco_tpu.models.types import TrnType
+      val = jnp.zeros((), dtype=dtype)
+      for a_ in range(m.nu):
+        if (int(m.actuator_trntype[a_]) == int(TrnType.TENDON)
+            and int(m.actuator_trnid[a_, 0]) == objid):
+          val = val + d.actuator_force[a_]
     elif t in (ST.JOINTLIMITFRC, ST.TENDONLIMITFRC):
       arr = m.efc.limit_ten if t == ST.TENDONLIMITFRC else m.efc.limit_jnt
       all_rows = np.nonzero(arr == objid)[0] + m.efc.ne + m.efc.nf
@@ -575,3 +612,61 @@ def _touch(m: Model, d: Data, siteid: int):
     ok = active[c] & (fn > 0) & jnp.isfinite(hit)
     total = total + jnp.where(ok, fn, 0.0)
   return total
+
+
+# ---------------------------------------------------------------------------
+# geom distance (mj_geomDistance) + inside-geom test
+# ---------------------------------------------------------------------------
+
+
+def geom_distance(m: Model, d: Data, g1: int, g2: int, cutoff):
+  """Signed distance + nearest segment between two geoms (mj_geomDistance):
+  returns (dist, fromto (6,)). Uses the narrowphase collider registry; falls
+  back to (cutoff, zeros) for unsupported type pairs."""
+  from mujoco_tpu.ops import collision_driver
+  dtype = d.qpos.dtype
+  t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+  swap = t1 > t2
+  a, b = (g2, g1) if swap else (g1, g2)
+  from mujoco_tpu.models.types import GeomType
+  fn_entry = collision_driver._COLLIDERS.get(
+      (GeomType(min(t1, t2)), GeomType(max(t1, t2))))
+  if fn_entry is None:
+    return jnp.asarray(cutoff, dtype=dtype), jnp.zeros((6,), dtype=dtype)
+  fn, _ = fn_entry
+  dd, pp, nn, _tt = fn(d.geom_xpos[a], d.geom_xmat[a], m.geom_size[a],
+                       d.geom_xpos[b], d.geom_xmat[b], m.geom_size[b])
+  i = jnp.argmin(dd)
+  dist = dd[i]
+  pos = pp[i]
+  n = nn[i] * (-1.0 if swap else 1.0)
+  frm = pos - n * (dist * 0.5)
+  to = pos + n * (dist * 0.5)
+  ok = dist < cutoff
+  dist = jnp.minimum(dist, jnp.asarray(cutoff, dtype=dtype))
+  fromto = jnp.where(ok, jnp.concatenate([frm, to]),
+                     jnp.zeros((6,), dtype=dtype))
+  return dist, fromto
+
+
+def inside_geom(pos, mat, size, geomtype: int, point):
+  """1.0 if point is inside the geom (mju_insideGeom analog)."""
+  from mujoco_tpu.models.types import GeomType
+  p = mat.T @ (point - pos)
+  t = int(geomtype)
+  if t == GeomType.SPHERE:
+    return (mjm.norm_safe(p) <= size[0]).astype(point.dtype)
+  if t == GeomType.BOX:
+    return jnp.all(jnp.abs(p) <= size[:3]).astype(point.dtype)
+  if t == GeomType.CAPSULE:
+    z = jnp.clip(p[2], -size[1], size[1])
+    return (mjm.norm_safe(p - jnp.array([0.0, 0, 1], dtype=point.dtype) * z)
+            <= size[0]).astype(point.dtype)
+  if t == GeomType.ELLIPSOID:
+    return (jnp.sum((p / jnp.maximum(size[:3], mjm.MINVAL)) ** 2)
+            <= 1.0).astype(point.dtype)
+  if t == GeomType.CYLINDER:
+    inside = (jnp.abs(p[2]) <= size[1]) & (
+        p[0] ** 2 + p[1] ** 2 <= size[0] ** 2)
+    return inside.astype(point.dtype)
+  raise NotImplementedError(f"inside_geom for type {t}")

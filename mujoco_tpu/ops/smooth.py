@@ -422,6 +422,32 @@ def transmission(m: Model, d: Data) -> Data:
     elif trn == TrnType.TENDON:
       length = length.at[i].set(d.ten_length[tid] * gear[0])
       moment = moment.at[i].set(d.ten_J[tid] * gear[0])
+    elif trn == TrnType.SLIDERCRANK:
+      # slider-crank (engine_core_smooth.c mjTRN_SLIDERCRANK):
+      # length = a·v − √(det), det = (a·v)² + rod² − v·v
+      from mujoco_tpu.ops import support
+      sid = tid
+      idslider = int(m.actuator_trnid[i, 1])
+      rod = m.actuator_cranklength[i]
+      axis = d.site_xmat[idslider][:, 2]
+      vec = d.site_xpos[sid] - d.site_xpos[idslider]
+      av = jnp.dot(vec, axis)
+      det = av * av + rod * rod - jnp.dot(vec, vec)
+      ok = det > 0
+      sdet = jnp.sqrt(jnp.where(ok, det, 1.0))
+      leng = jnp.where(ok, av - sdet, av)
+      dldv = jnp.where(ok, axis * (1 - av / sdet) + vec / sdet, axis)
+      dlda = jnp.where(ok, vec * (1 - av / sdet), vec)
+      sbody = int(m.site_bodyid[idslider])
+      jacp_s, jacr_s = support.jac(m, d, d.site_xpos[idslider], sbody)
+      # jacAxis column j = jacr_col_j × axis
+      jac_a = jnp.cross(jacr_s.T, axis[None, :]).T         # (3, nv)
+      jacp_site, _ = support.jac(m, d, d.site_xpos[sid],
+                                 int(m.site_bodyid[sid]))
+      jac_v = jacp_site - jacp_s
+      row = dlda @ jac_a + dldv @ jac_v
+      length = length.at[i].set(leng * gear[0])
+      moment = moment.at[i].set(row * gear[0])
     elif trn == TrnType.SITE:
       from mujoco_tpu.ops import support
       sid = tid

@@ -317,3 +317,75 @@ def test_hfield_capsule_settles():
   assert np.isfinite(qpos).all()
   assert 0.0 < qpos[2] < 0.35, qpos[2]
   assert np.abs(np.asarray(d.qvel)).max() < 0.5
+
+
+MESH_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <asset>
+    <mesh name="tet" vertex="0 0 0  0.2 0 0  0 0.2 0  0 0 0.2"/>
+    <mesh name="wedge" vertex="-0.15 -0.1 0  0.15 -0.1 0  0.15 0.1 0
+                               -0.15 0.1 0  0 0 0.18"/>
+  </asset>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.4" euler="10 25 40"><freejoint/>
+      <geom type="mesh" mesh="tet" contype="1" conaffinity="0"/></body>
+    <body pos="0.6 0 0.4" euler="5 -15 70"><freejoint/>
+      <geom type="mesh" mesh="wedge" contype="1" conaffinity="0"/></body>
+    <body pos="-0.6 0 0.6"><freejoint/>
+      <geom type="sphere" size="0.08" contype="1" conaffinity="0"/></body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_mesh_plane_settles():
+  """Mesh bodies dropped on the floor come to rest; penetration matches the
+  oracle at the settled state."""
+  mjm = mujoco.MjModel.from_xml_string(MESH_XML)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(1200):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert np.abs(np.asarray(d.qvel)).max() < 0.3
+  # both mesh bodies resting near the floor
+  assert -0.02 < qpos[2] < 0.25, qpos[2]
+  assert -0.02 < qpos[9] < 0.25, qpos[9]
+
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = qpos
+  mujoco.mj_forward(mjm, mjd)
+  dd = forward.fwd_position(m, d)
+  if mjd.ncon:
+    np.testing.assert_allclose(float(jnp.min(dd.contact.dist)),
+                               mjd.contact.dist.min(), atol=2e-3)
+
+
+def test_sphere_mesh_dist():
+  """Sphere vs tetrahedron mesh: penetration depth vs the oracle."""
+  xml = """
+  <mujoco>
+    <asset><mesh name="tet" vertex="0 0 0  0.3 0 0  0 0.3 0  0 0 0.3"/></asset>
+    <worldbody>
+      <body pos="0 0 1"><geom type="mesh" mesh="tet" contype="1"
+        conaffinity="1"/></body>
+      <body pos="{p}"><freejoint/><geom type="sphere" size="0.08"/></body>
+    </worldbody>
+  </mujoco>"""
+  for p in ["0.05 0.05 1.4", "0.4 0.05 1.05", "0.12 0.12 1.1"]:
+    mjm = mujoco.MjModel.from_xml_string(xml.format(p=p))
+    mjd = mujoco.MjData(mjm)
+    mujoco.mj_forward(mjm, mjd)
+    m = io.put_model(mjm)
+    d = io.make_data(m)
+    dd = forward.fwd_position(m, d)
+    ours = float(jnp.min(dd.contact.dist))
+    if mjd.ncon == 0:
+      assert ours > -2e-3, (p, ours)
+    else:
+      np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=2e-3,
+                                 err_msg=p)

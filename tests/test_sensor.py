@@ -220,3 +220,53 @@ def test_cameras_lights(seed):
                              atol=1e-12)
   np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata,
                              atol=1e-9, err_msg="camera sensors")
+
+
+def test_geomdist_inside_tendonactfrc():
+  """GEOMDIST/GEOMNORMAL/GEOMFROMTO, INSIDESITE, TENDONACTFRC vs oracle."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body name="b1" pos="0 0 1">
+        <joint name="j1" type="slide" axis="0 0 1"/>
+        <geom name="ga" type="sphere" size="0.1" contype="0" conaffinity="0"/>
+        <site name="zone" type="box" size="0.3 0.3 0.3"/>
+      </body>
+      <body name="b2" pos="0.35 0 1">
+        <joint name="j2" type="slide" axis="1 0 0"/>
+        <geom name="gb" type="sphere" size="0.08" contype="0"
+              conaffinity="0"/>
+        <site name="probe" pos="0 0 0"/>
+      </body>
+    </worldbody>
+    <tendon>
+      <fixed name="t1">
+        <joint joint="j1" coef="1"/><joint joint="j2" coef="-0.5"/>
+      </fixed>
+    </tendon>
+    <actuator>
+      <motor tendon="t1" gear="3"/>
+      <motor tendon="t1" gear="-1"/>
+    </actuator>
+    <sensor>
+      <distance geom1="ga" geom2="gb" cutoff="2"/>
+      <normal geom1="ga" geom2="gb" cutoff="2"/>
+      <fromto geom1="ga" geom2="gb" cutoff="2"/>
+      <insidesite site="zone" objtype="site" objname="probe"/>
+      <tendonactuatorfrc tendon="t1"/>
+    </sensor>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(0)
+  mjd.ctrl[:] = rng.randn(2)
+  mujoco.mj_forward(mjm, mjd)
+
+  from mujoco_tpu.models import io as io_mod
+  from mujoco_tpu.ops import forward as fwd
+  m = io_mod.put_model(mjm)
+  d = io_mod.make_data(m)
+  d = d.replace(ctrl=jnp.asarray(mjd.ctrl.copy()))
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata,
+                             atol=1e-9)

@@ -193,3 +193,47 @@ def test_site_transmission(seed):
                              atol=1e-10)
   np.testing.assert_allclose(np.asarray(d.qfrc_actuator),
                              mjd.qfrc_actuator, atol=1e-9)
+
+
+def test_slidercrank_transmission():
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="crank" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0.15 0 0"
+              contype="0" conaffinity="0"/>
+        <site name="cranktip" pos="0.15 0 0"/>
+      </body>
+      <body pos="0.5 0 1">
+        <joint name="push" type="slide" axis="1 0 0" damping="0.2"/>
+        <geom type="box" size="0.04 0.04 0.04" contype="0" conaffinity="0"/>
+        <site name="slider" pos="0 0 0" euler="0 -90 0"/>
+      </body>
+    </worldbody>
+    <actuator>
+      <general cranksite="cranktip" slidersite="slider" cranklength="0.4"
+               gear="2"/>
+    </actuator>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(1)
+  mjd.qpos[:] = 0.3 * rng.randn(mjm.nq)
+  mjd.ctrl[:] = 0.5 * rng.randn(mjm.nu)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                ctrl=jnp.asarray(mjd.ctrl.copy()))
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.actuator_length),
+                             mjd.actuator_length, atol=1e-10)
+  moment = np.zeros((mjm.nu, mjm.nv))
+  mujoco.mju_sparse2dense(moment, mjd.actuator_moment, mjd.moment_rownnz,
+                          mjd.moment_rowadr, mjd.moment_colind)
+  np.testing.assert_allclose(np.asarray(d.actuator_moment), moment,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qfrc_actuator), mjd.qfrc_actuator,
+                             atol=1e-9)
