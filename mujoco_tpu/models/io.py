@@ -173,16 +173,21 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       a, b = (g1, g2) if mjm.geom_type[g1] <= mjm.geom_type[g2] else (g2, g1)
       pairs.append((a, b, -1))
 
+  convex = {GeomType.SPHERE, GeomType.CAPSULE, GeomType.ELLIPSOID,
+            GeomType.CYLINDER, GeomType.BOX, GeomType.MESH}
   slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
   slot_first = []
   for g1, g2, pid in pairs:
     t1, t2 = GeomType(mjm.geom_type[g1]), GeomType(mjm.geom_type[g2])
     key = (t1, t2)
-    if key not in _PAIR_NCON:
+    if key in _PAIR_NCON:
+      n = _PAIR_NCON[key]
+    elif t1 in convex and t2 in convex:
+      n = 1  # general convex pair → single-contact MPR fallback
+    else:
       raise NotImplementedError(
           f"collision pair {t1.name}-{t2.name} (geoms {g1},{g2}) not yet "
           "supported")
-    n = _PAIR_NCON[key]
     if pid >= 0:
       condim = int(mjm.pair_dim[pid])
     else:

@@ -138,37 +138,39 @@ def collision(m: Model, d: Data) -> Data:
     if m.con.con_first[c]:
       t1 = int(m.con.pair_type[c, 0])
       t2 = int(m.con.pair_type[c, 1])
-      # hfield/mesh colliders close over the (static) asset id
-      if t1 == GeomType.HFIELD:
-        did = int(m.geom_dataid[m.con.geom1[c]])
-      elif t2 == GeomType.MESH:
-        did = int(m.geom_dataid[m.con.geom2[c]])
-      else:
-        did = -1
-      keys.setdefault((t1, t2, did), []).append(c)
+      # hfield/mesh colliders close over the (static) asset ids
+      did1 = int(m.geom_dataid[m.con.geom1[c]]) if t1 in (
+          GeomType.HFIELD, GeomType.MESH) else -1
+      did2 = int(m.geom_dataid[m.con.geom2[c]]) if t2 == GeomType.MESH \
+          else -1
+      keys.setdefault((t1, t2, did1, did2), []).append(c)
 
   for key, first_slots in keys.items():
-    t1, t2, did = key
+    t1, t2, did1, did2 = key
     if t1 == GeomType.HFIELD:
       from mujoco_tpu.ops import collision_hfield
       if t2 == GeomType.SPHERE:
-        fn, k = collision_hfield.make_hfield_sphere(m, did), 3
+        fn, k = collision_hfield.make_hfield_sphere(m, did1), 3
       elif t2 == GeomType.CAPSULE:
-        fn, k = collision_hfield.make_hfield_capsule(m, did), 3
+        fn, k = collision_hfield.make_hfield_capsule(m, did1), 3
       else:
         raise NotImplementedError(f"hfield vs geom type {t2}")
-    elif t2 == GeomType.MESH:
+    elif t2 == GeomType.MESH and (GeomType(t1), GeomType(t2)) not in \
+        _COLLIDERS and t1 in (GeomType.PLANE, GeomType.SPHERE,
+                              GeomType.CAPSULE):
       from mujoco_tpu.ops import collision_mesh
       if t1 == GeomType.PLANE:
-        fn, k = collision_mesh.make_plane_mesh(m, did), 4
+        fn, k = collision_mesh.make_plane_mesh(m, did2), 4
       elif t1 == GeomType.SPHERE:
-        fn, k = collision_mesh.make_sphere_mesh(m, did), 1
-      elif t1 == GeomType.CAPSULE:
-        fn, k = collision_mesh.make_capsule_mesh(m, did), 3
+        fn, k = collision_mesh.make_sphere_mesh(m, did2), 1
       else:
-        raise NotImplementedError(f"geom type {t1} vs mesh")
-    else:
+        fn, k = collision_mesh.make_capsule_mesh(m, did2), 3
+    elif (GeomType(t1), GeomType(t2)) in _COLLIDERS:
       fn, k = _COLLIDERS[GeomType(t1), GeomType(t2)]
+    else:
+      # general convex pair: fixed-iteration MPR (single contact)
+      from mujoco_tpu.ops import collision_convex
+      fn, k = collision_convex.make_convex_convex(m, t1, t2, did1, did2), 1
     first_slots = np.array(first_slots, dtype=np.int32)
     g1 = m.con.geom1[first_slots]
     g2 = m.con.geom2[first_slots]

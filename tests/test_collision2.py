@@ -389,3 +389,102 @@ def test_sphere_mesh_dist():
     else:
       np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=2e-3,
                                  err_msg=p)
+
+
+CONVEX_CASES = [
+    ('<geom type="ellipsoid" size="0.15 0.1 0.08" contype="1" '
+     'conaffinity="1"/>',
+     '<geom type="ellipsoid" size="0.1 0.12 0.07"/>',
+     ["0.2 0 1.0", "0.1 0.1 1.12", "0.3 0.1 1.1"]),
+    ('<geom type="cylinder" size="0.1 0.15" contype="1" conaffinity="1"/>',
+     '<geom type="box" size="0.08 0.07 0.06"/>',
+     ["0.15 0.1 1.18", "0.05 0 1.19"]),
+    ('<geom type="cylinder" size="0.1 0.15" euler="30 20 0" contype="1" '
+     'conaffinity="1"/>',
+     '<geom type="cylinder" size="0.08 0.1" euler="0 45 0"/>',
+     ["0.2 0 1.05"]),
+    ('<geom type="ellipsoid" size="0.15 0.1 0.08" contype="1" '
+     'conaffinity="1"/>',
+     '<geom type="capsule" size="0.05 0.1" euler="20 60 0"/>',
+     ["0.2 0 1.02"]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CONVEX_CASES)))
+def test_mpr_convex_dist(case):
+  """General convex pairs (MPR + MTD polish) vs the oracle's GJK/EPA."""
+  g1, g2, positions = CONVEX_CASES[case]
+  xml = """
+  <mujoco><worldbody>
+    <body pos="0 0 1">{g1}</body>
+    <body pos="{p}"><freejoint/>{g2}</body>
+  </worldbody></mujoco>"""
+  for p in positions:
+    mjm = mujoco.MjModel.from_xml_string(xml.format(g1=g1, g2=g2, p=p))
+    mjd = mujoco.MjData(mjm)
+    mujoco.mj_forward(mjm, mjd)
+    m = io.put_model(mjm)
+    d = io.make_data(m)
+    dd = forward.fwd_position(m, d)
+    ours = float(jnp.min(dd.contact.dist))
+    if mjd.ncon == 0:
+      assert ours > -1e-3, (p, ours)
+    else:
+      np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=2e-4,
+                                 err_msg=p)
+
+
+def test_mpr_mesh_mesh():
+  """Mesh-mesh via MPR (hull support over vertex tables)."""
+  xml = """
+  <mujoco>
+    <asset>
+      <mesh name="tet" vertex="0 0 0  0.25 0 0  0 0.25 0  0 0 0.25"/>
+      <mesh name="wedge" vertex="-0.15 -0.1 0  0.15 -0.1 0  0.15 0.1 0
+                                 -0.15 0.1 0  0 0 0.2"/>
+    </asset>
+    <worldbody>
+      <body pos="0 0 1"><geom type="mesh" mesh="tet" contype="1"
+        conaffinity="1"/></body>
+      <body pos="{p}" euler="{e}"><freejoint/>
+        <geom type="mesh" mesh="wedge"/></body>
+    </worldbody>
+  </mujoco>"""
+  for p, e in [("0.15 0.1 1.1", "0 0 0"), ("0.05 0.05 1.28", "180 0 0"),
+               ("0.5 0 1.0", "0 0 0")]:
+    mjm = mujoco.MjModel.from_xml_string(xml.format(p=p, e=e))
+    mjd = mujoco.MjData(mjm)
+    mujoco.mj_forward(mjm, mjd)
+    m = io.put_model(mjm)
+    d = io.make_data(m)
+    dd = forward.fwd_position(m, d)
+    ours = float(jnp.min(dd.contact.dist))
+    if mjd.ncon == 0:
+      assert ours > -2e-3, (p, ours)
+    else:
+      np.testing.assert_allclose(ours, mjd.contact.dist.min(), atol=2e-3,
+                                 err_msg=(p, e))
+
+
+def test_mpr_ellipsoid_settles():
+  """Ellipsoid dropped on a tilted box comes to rest (MPR trajectory)."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <geom type="plane" size="3 3 .1"/>
+      <body pos="0 0 0.5"><freejoint/>
+        <geom type="ellipsoid" size="0.12 0.09 0.05" condim="6"
+              friction="1 0.05 0.02"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(1500):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.02 < qpos[2] < 0.14, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.5
