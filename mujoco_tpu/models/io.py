@@ -51,38 +51,55 @@ def _tree_topology(parentid: np.ndarray, dof_bodyid: np.ndarray,
                    dof_jntid: np.ndarray, jnt_type: np.ndarray,
                    jnt_dofadr: np.ndarray) -> TreeTopology:
   nbody = len(parentid)
-  depth = np.zeros(nbody, dtype=np.int32)
-  for b in range(1, nbody):
-    depth[b] = depth[parentid[b]] + 1
+
+  # native fast path (C extension, native/topology.cc — the graph-builder
+  # half of the reference's C++ compiler layer); pure-python fallback below
+  from mujoco_tpu import native_ext
+  nat = native_ext.get()
+  if nat is not None:
+    anc_u8, sub_u8, danc_u8, dof_depth_nat, body_depth = nat.tree_masks(
+        np.asarray(parentid, dtype=np.int32),
+        np.asarray(body_dofadr, dtype=np.int32),
+        np.asarray(body_dofnum, dtype=np.int32),
+        np.asarray(dof_parentid, dtype=np.int32), int(nv))
+    ancestor_mask = anc_u8.astype(bool)
+    subtree_mask = sub_u8.astype(bool)
+    dof_anc = danc_u8.astype(bool)
+    depth = body_depth
+  else:
+    depth = np.zeros(nbody, dtype=np.int32)
+    for b in range(1, nbody):
+      depth[b] = depth[parentid[b]] + 1
+
+    # ancestor_mask[b, v]: dof v is on the path from the root to body b.
+    ancestor_mask = np.zeros((nbody, nv), dtype=bool)
+    for b in range(1, nbody):
+      p = b
+      while p != 0:
+        adr, num = body_dofadr[p], body_dofnum[p]
+        if num > 0:
+          ancestor_mask[b, adr:adr + num] = True
+        p = parentid[p]
+
+    subtree_mask = np.zeros((nbody, nbody), dtype=bool)
+    for b in range(nbody - 1, -1, -1):
+      subtree_mask[b, b] = True
+      if b > 0:
+        subtree_mask[parentid[b]] |= subtree_mask[b]
+
+    # dof_ancestor_mask[i, j]: dof j is an ancestor of dof i or i itself —
+    # exactly the sparsity pattern of the reference's sparse M (dof_parentid
+    # chains, engine_core_smooth.c mj_crb).
+    dof_anc = np.zeros((nv, nv), dtype=bool)
+    for i in range(nv):
+      j = i
+      while j >= 0:
+        dof_anc[i, j] = True
+        j = dof_parentid[j]
+
   levels = tuple(
       np.nonzero(depth == lev)[0].astype(np.int32)
       for lev in range(1, depth.max() + 1 if nbody > 1 else 1))
-
-  # ancestor_mask[b, v]: dof v is on the path from the root to body b.
-  ancestor_mask = np.zeros((nbody, nv), dtype=bool)
-  for b in range(1, nbody):
-    p = b
-    while p != 0:
-      adr, num = body_dofadr[p], body_dofnum[p]
-      if num > 0:
-        ancestor_mask[b, adr:adr + num] = True
-      p = parentid[p]
-
-  subtree_mask = np.zeros((nbody, nbody), dtype=bool)
-  for b in range(nbody - 1, -1, -1):
-    subtree_mask[b, b] = True
-    if b > 0:
-      subtree_mask[parentid[b]] |= subtree_mask[b]
-
-  # dof_ancestor_mask[i, j]: dof j is an ancestor of dof i or i itself —
-  # exactly the sparsity pattern of the reference's sparse M (dof_parentid
-  # chains, engine_core_smooth.c mj_crb).
-  dof_anc = np.zeros((nv, nv), dtype=bool)
-  for i in range(nv):
-    j = i
-    while j >= 0:
-      dof_anc[i, j] = True
-      j = dof_parentid[j]
 
   # cdofdot_mask: which dof velocities rotate dof j's motion axis — see
   # TreeTopology docstring; reproduces mj_comVel's accumulation order.
@@ -151,27 +168,45 @@ def _contact_meta(mjm: Any) -> ContactMeta:
     pairs.append((g1, g2, p))
     explicit.add((min(g1, g2), max(g1, g2)))
 
-  for g1 in range(mjm.ngeom):
-    for g2 in range(g1 + 1, mjm.ngeom):
+  from mujoco_tpu import native_ext
+  nat = native_ext.get()
+  if nat is not None:
+    raw = nat.candidate_pairs(
+        np.asarray(mjm.geom_bodyid, dtype=np.int32),
+        np.asarray(mjm.geom_contype, dtype=np.int32),
+        np.asarray(mjm.geom_conaffinity, dtype=np.int32),
+        np.asarray(mjm.body_weldid, dtype=np.int32),
+        np.asarray(mjm.body_parentid, dtype=np.int32),
+        np.asarray(sorted(exclude_sigs), dtype=np.int32),
+        int(filterparent))
+    for g1, g2 in raw:
+      g1, g2 = int(g1), int(g2)
       if (min(g1, g2), max(g1, g2)) in explicit:
-        continue
-      b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
-      w1, w2 = int(weld[b1]), int(weld[b2])
-      if w1 == w2:
-        continue
-      if filterparent and w1 != 0 and w2 != 0 and (
-          weldparent[b1] == w2 or weldparent[b2] == w1):
-        continue
-      con1 = mjm.geom_contype[g1] & mjm.geom_conaffinity[g2]
-      con2 = mjm.geom_contype[g2] & mjm.geom_conaffinity[g1]
-      if not (con1 or con2):
-        continue
-      sig = ((w1) << 16) + w2 if w1 < w2 else ((w2) << 16) + w1
-      body_sig = (min(b1, b2) << 16) + max(b1, b2)
-      if body_sig in exclude_sigs:
         continue
       a, b = (g1, g2) if mjm.geom_type[g1] <= mjm.geom_type[g2] else (g2, g1)
       pairs.append((a, b, -1))
+  else:
+    for g1 in range(mjm.ngeom):
+      for g2 in range(g1 + 1, mjm.ngeom):
+        if (min(g1, g2), max(g1, g2)) in explicit:
+          continue
+        b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
+        w1, w2 = int(weld[b1]), int(weld[b2])
+        if w1 == w2:
+          continue
+        if filterparent and w1 != 0 and w2 != 0 and (
+            weldparent[b1] == w2 or weldparent[b2] == w1):
+          continue
+        con1 = mjm.geom_contype[g1] & mjm.geom_conaffinity[g2]
+        con2 = mjm.geom_contype[g2] & mjm.geom_conaffinity[g1]
+        if not (con1 or con2):
+          continue
+        body_sig = (min(b1, b2) << 16) + max(b1, b2)
+        if body_sig in exclude_sigs:
+          continue
+        a, b = (g1, g2) if mjm.geom_type[g1] <= mjm.geom_type[g2] \
+            else (g2, g1)
+        pairs.append((a, b, -1))
 
   convex = {GeomType.SPHERE, GeomType.CAPSULE, GeomType.ELLIPSOID,
             GeomType.CYLINDER, GeomType.BOX, GeomType.MESH}
