@@ -28,3 +28,8 @@ def load(name: str, dtype=None):
 def humanoid(dtype=None):
   """27-DoF humanoid, the flagship benchmark model (BASELINE.md config 3)."""
   return load("humanoid", dtype=dtype)
+
+
+def quadruped(dtype=None):
+  """18-DoF torque-controlled quadruped (contact-rich locomotion class)."""
+  return load("quadruped", dtype=dtype)

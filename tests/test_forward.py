@@ -205,3 +205,23 @@ def test_fluid_ellipsoid_model():
   np.testing.assert_allclose(np.asarray(d.qfrc_fluid), mjd.qfrc_fluid,
                              atol=1e-10)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9)
+
+
+def test_quadruped_trajectory_parity():
+  """Flagship quadruped: 500 contact-rich steps track the oracle."""
+  import jax
+  import mujoco
+  from mujoco_tpu.models import zoo
+  from mujoco_tpu.ops import state
+
+  mjm = zoo.load_mj("quadruped")
+  m = io.put_model(mjm)
+  d = state.reset_data_keyframe(m, io.make_data(m), 0)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_resetDataKeyframe(mjm, mjd, 0)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(500):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
