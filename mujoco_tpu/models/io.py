@@ -404,6 +404,9 @@ def put_model(mjm: Any, dtype=None) -> Model:
       nhfield=int(mjm.nhfield),
       has_dof_damping=bool(np.any(np.asarray(mjm.dof_damping) > 0)),
       has_fluid=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0),
+      has_tendon_armature=bool(
+          np.any(np.asarray(getattr(mjm, 'tendon_armature',
+                                    np.zeros(mjm.ntendon))) > 0)),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
       tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
@@ -467,6 +470,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       tendon_solref_fri=jx(mjm.tendon_solref_fri),
       tendon_solimp_fri=jx(mjm.tendon_solimp_fri),
       tendon_range=jx(mjm.tendon_range), tendon_margin=jx(mjm.tendon_margin),
+      tendon_armature=jx(getattr(mjm, 'tendon_armature',
+                                 np.zeros(mjm.ntendon))),
       tendon_stiffness=jx(mjm.tendon_stiffness),
       tendon_damping=jx(mjm.tendon_damping),
       tendon_frictionloss=jx(mjm.tendon_frictionloss),

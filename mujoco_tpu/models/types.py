@@ -378,6 +378,7 @@ class Model:
   # static algorithm-selection flags derived at put_model time
   has_dof_damping: bool = static_field()
   has_fluid: bool = static_field()
+  has_tendon_armature: bool = static_field()
 
   opt: Option = field()
 
@@ -500,6 +501,7 @@ class Model:
   tendon_solimp_fri: jax.Array = field()
   tendon_range: jax.Array = field()
   tendon_margin: jax.Array = field()
+  tendon_armature: jax.Array = field()
   tendon_stiffness: jax.Array = field()
   tendon_damping: jax.Array = field()
   tendon_frictionloss: jax.Array = field()

@@ -54,11 +54,34 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   )
   d = smooth.com_vel(m, d)
   d = passive_mod.passive(m, d)
-  d = d.replace(qfrc_bias=smooth.rne(m, d))
+  qfrc_bias = smooth.rne(m, d)
+  if m.has_tendon_armature:
+    qfrc_bias = qfrc_bias + _tendon_bias(m, d)
+  d = d.replace(qfrc_bias=qfrc_bias)
   if m.efc.nefc:
     from mujoco_tpu.ops import constraint
     d = constraint.reference_acceleration(m, d)
   return d
+
+
+def _tendon_bias(m: Model, d: Data):
+  """Tendon-armature bias (mj_tendonBias, engine_core_smooth.c:2606):
+  qfrc += ten_J · armature · (d/dt ten_J)·qvel. The tendon-Jacobian time
+  derivative contracted with qvel is a JVP of q ↦ J(q)·qvel along the
+  manifold-aware position flow (mj_tendonDot analog by autodiff)."""
+  from mujoco_tpu.ops import smooth as smooth_mod
+
+  def jqv_of(eps):
+    qpos = integrate_pos(m, d.qpos, d.qvel, eps)
+    dd = smooth_mod.kinematics(m, d.replace(qpos=qpos))
+    dd = smooth_mod.com_pos(m, dd)
+    dd = smooth_mod.tendon(m, dd)
+    return dd.ten_J @ d.qvel                    # (ntendon,)
+
+  zero = jnp.zeros((), dtype=d.qpos.dtype)
+  _, jdot_qvel = jax.jvp(jqv_of, (zero,), (jnp.ones((), dtype=d.qpos.dtype),))
+  coef = m.tendon_armature * jdot_qvel          # (ntendon,)
+  return d.ten_J.T @ coef
 
 
 def fwd_actuation(m: Model, d: Data) -> Data:

@@ -227,6 +227,10 @@ def crb(m: Model, d: Data) -> Data:
   qm = jnp.where(danc, p, 0.0)
   qm = qm + qm.T - jnp.diag(jnp.diag(p))
   qm = qm + jnp.diag(m.dof_armature)
+  if m.has_tendon_armature:
+    # M += armature · ten_Jᵀ ten_J (mj_tendonArmature,
+    # engine_core_smooth.c:1845), dense
+    qm = qm + jnp.einsum('t,tv,tw->vw', m.tendon_armature, d.ten_J, d.ten_J)
   return d.replace(crb=crb_, qM=qm)
 
 

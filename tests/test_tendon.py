@@ -237,3 +237,57 @@ def test_slidercrank_transmission():
                              atol=1e-10)
   np.testing.assert_allclose(np.asarray(d.qfrc_actuator), mjd.qfrc_actuator,
                              atol=1e-9)
+
+
+def test_tendon_armature():
+  """Tendon armature: inertia contribution + bias vs the oracle."""
+  xml = """
+  <mujoco>
+    <option timestep="0.003"/>
+    <worldbody>
+      <site name="a0" pos="0 0 1.5"/>
+      <body pos="0 0 1.2">
+        <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.03" fromto="0 0 0 0.4 0 0"/>
+        <site name="s1" pos="0.2 0 0.04"/>
+        <body pos="0.4 0 0">
+          <joint name="j2" type="hinge" axis="0 1 0" damping="0.05"/>
+          <geom type="capsule" size="0.025" fromto="0 0 0 0.3 0 0"/>
+          <site name="s2" pos="0.3 0 0.03"/>
+        </body>
+      </body>
+    </worldbody>
+    <tendon>
+      <spatial name="t" armature="0.05" stiffness="10" springlength="0.5">
+        <site site="a0"/><site site="s1"/><site site="s2"/>
+      </spatial>
+    </tendon>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  if not hasattr(mjm, "tendon_armature") or mjm.tendon_armature[0] == 0:
+    pytest.skip("oracle lacks tendon armature")
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(0)
+  mjd.qpos[:] = 0.3 * rng.randn(mjm.nq)
+  mjd.qvel[:] = 0.8 * rng.randn(mjm.nv)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()))
+  import mujoco as mj
+  mujoco.mj_forward(mjm, mjd)
+  d1 = forward.forward(m, d)
+  qm_ref = np.zeros((mjm.nv, mjm.nv))
+  mujoco.mj_fullM(mjm, mjd, qm_ref)
+  np.testing.assert_allclose(np.asarray(d1.qM), qm_ref, atol=1e-10,
+                             err_msg="qM with tendon armature")
+  np.testing.assert_allclose(np.asarray(d1.qfrc_bias), mjd.qfrc_bias,
+                             atol=1e-9, err_msg="bias with tendon armature")
+  np.testing.assert_allclose(np.asarray(d1.qacc), mjd.qacc, atol=1e-7)
+
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
