@@ -342,6 +342,7 @@ def _names(mjm: Any) -> dict:
       "actuator": (_mj.mjtObj.mjOBJ_ACTUATOR, mjm.nu),
       "sensor": (_mj.mjtObj.mjOBJ_SENSOR, mjm.nsensor),
       "tendon": (_mj.mjtObj.mjOBJ_TENDON, mjm.ntendon),
+      "camera": (_mj.mjtObj.mjOBJ_CAMERA, mjm.ncam),
       "equality": (_mj.mjtObj.mjOBJ_EQUALITY, mjm.neq),
       "key": (_mj.mjtObj.mjOBJ_KEY, mjm.nkey),
   }
@@ -441,6 +442,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       geom_conaffinity=si(mjm.geom_conaffinity),
       geom_condim=si(mjm.geom_condim), geom_bodyid=si(mjm.geom_bodyid),
       geom_dataid=si(mjm.geom_dataid), geom_priority=si(mjm.geom_priority),
+      geom_group=si(mjm.geom_group),
       geom_solmix=jx(mjm.geom_solmix), geom_solref=jx(mjm.geom_solref),
       geom_solimp=jx(mjm.geom_solimp), geom_size=jx(mjm.geom_size),
       geom_rbound=jx(mjm.geom_rbound), geom_pos=jx(mjm.geom_pos),

@@ -450,6 +450,7 @@ class Model:
   geom_bodyid: np.ndarray = static_field()
   geom_dataid: np.ndarray = static_field()
   geom_priority: np.ndarray = static_field()
+  geom_group: np.ndarray = static_field()
   geom_solmix: jax.Array = field()
   geom_solref: jax.Array = field()
   geom_solimp: jax.Array = field()

@@ -40,6 +40,26 @@ def actuator_vel(m: Model, d: Data):
       bias_vel = m.actuator_biasprm[i, 2]
     if int(m.actuator_gaintype[i]) == int(GainType.AFFINE):
       gain_vel = m.actuator_gainprm[i, 2]
+    elif int(m.actuator_gaintype[i]) == int(GainType.MUSCLE):
+      # d(muscleGain)/d(velocity) (mjd_muscleGain_vel,
+      # engine_derivative.c:969): −force·FL·dFV/dV / (L0·vmax)
+      from mujoco_tpu.ops import muscle as muscle_mod
+      prm = m.actuator_gainprm[i]
+      lr = m.actuator_lengthrange[i]
+      lmin, lmax, vmax, fvmax = prm[4], prm[5], prm[6], prm[8]
+      force = muscle_mod._force(prm, m.actuator_acc0[i])
+      l, l0 = muscle_mod._norm_length(d.actuator_length[i], lr, prm)
+      denom = jnp.maximum(mjm.MINVAL, l0 * vmax)
+      v = d.actuator_velocity[i] / denom
+      fl = muscle_mod.gain_length(l, lmin, lmax)
+      y = fvmax - 1
+      dfv = jnp.where(
+          v <= -1, 0.0,
+          jnp.where(v <= 0, 2 * v + 2,
+                    jnp.where(v <= y,
+                              (-2 * v + 2 * y) / jnp.maximum(mjm.MINVAL, y),
+                              0.0)))
+      gain_vel = -force * fl * dfv / denom
     # input: ctrl for stateless, last activation otherwise
     if int(m.actuator_actnum[i]) == 0:
       inp = d.ctrl[i]
@@ -47,7 +67,13 @@ def actuator_vel(m: Model, d: Data):
         inp = jnp.clip(inp, m.actuator_ctrlrange[i, 0],
                        m.actuator_ctrlrange[i, 1])
     else:
-      inp = d.act[int(m.actuator_actadr[i]) + int(m.actuator_actnum[i]) - 1]
+      last = int(m.actuator_actadr[i]) + int(m.actuator_actnum[i]) - 1
+      if m.actuator_actearly[i]:
+        # matching the forward pass: use next-step activation
+        from mujoco_tpu.ops import forward as fwd_mod
+        inp = fwd_mod.next_activation(m, d, d.act_dot)[last]
+      else:
+        inp = d.act[last]
     coef = bias_vel + gain_vel * inp
     # force clamped at the boundary: derivative is zero
     if m.actuator_forcelimited[i]:

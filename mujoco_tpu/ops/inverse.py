@@ -76,6 +76,9 @@ def inverse(m: Model, d: Data) -> Data:
 
   d = inv_constraint(m, d)
   bias = smooth.rne(m, d)
+  if m.has_tendon_armature:
+    # mj_inverse adds mj_tendonBias to qfrc_inverse (engine_inverse.c:260)
+    bias = bias + fwd._tendon_bias(m, d)
   d = fwd.sensor_acc(m, d)
 
   ma = d.qM @ d.qacc
@@ -93,6 +96,8 @@ def compare_fwd_inv(m: Model, d: Data):
   qfrc_fwd = d.qfrc_constraint
   d_inv = inv_constraint(m, d)
   bias = smooth.rne(m, d)
+  if m.has_tendon_armature:
+    bias = bias + fwd._tendon_bias(m, d)
   qfrc_inverse = bias + d.qM @ d.qacc - d.qfrc_passive - d_inv.qfrc_constraint
   qforce = (d.qfrc_applied + d.qfrc_actuator
             + _xfrc_qfrc(m, d))

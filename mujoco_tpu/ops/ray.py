@@ -171,7 +171,9 @@ def ray(m: Model, d: Data, pnt, vec, geomgroup=None, flg_static: bool = True,
   with dist = -1 / geomid = -1 when nothing is hit.
 
   Static geom-type dispatch; the whole scene evaluates branchlessly.
-  geomgroup/flg_static filtering uses static model metadata.
+  geomgroup/flg_static filtering uses static model metadata; geomgroup is a
+  sequence of per-group enables indexed by clamped geom_group (mj_ray's
+  geomgroup filter, engine_ray.c:1305).
   """
   dtype = d.qpos.dtype
   dists = jnp.full((m.ngeom,), _INF, dtype=dtype)
@@ -183,6 +185,10 @@ def ray(m: Model, d: Data, pnt, vec, geomgroup=None, flg_static: bool = True,
       continue
     if not flg_static and int(m.body_weldid[m.geom_bodyid[g]]) == 0:
       continue
+    if geomgroup is not None:
+      grp = min(max(int(m.geom_group[g]), 0), len(geomgroup) - 1)
+      if not geomgroup[grp]:
+        continue
     x = _RAY_FUNC[t](d.geom_xpos[g], d.geom_xmat[g], m.geom_size[g], pnt, vec)
     dists = dists.at[g].set(x)
   geomid = jnp.argmin(dists)

@@ -451,11 +451,52 @@ def solve_pgs(m: Model, d: Data) -> Data:
                                             dtype=jnp.int32))
 
 
+def _qcqp(ac, bc, mu_vec, r):
+  """Solve min ½xᵀAx + xᵀb s.t. Σ(x_i/µ_i)² ≤ r² (mju_QCQP/QCQP2/QCQP3,
+  engine_util_solve.c:1189-1338): Newton iteration on the Lagrange
+  multiplier λ of the scaled problem, fixed 20 iterations with freeze-on-
+  convergence masks mirroring the reference's break conditions."""
+  n = ac.shape[0]
+  dtype = ac.dtype
+  scale = mu_vec
+  a_s = ac * scale[:, None] * scale[None, :]
+  b_s = bc * scale
+
+  def body(_, carry):
+    la, done = carry
+    p = jnp.linalg.inv(a_s + la * jnp.eye(n, dtype=dtype))
+    det = jnp.linalg.det(a_s + la * jnp.eye(n, dtype=dtype))
+    bad = det < 1e-10
+    v = -(p @ b_s)
+    val = jnp.dot(v, v) - r * r
+    deriv = -2.0 * jnp.dot(v, p @ v)
+    delta = -val / jnp.where(jnp.abs(deriv) > mjm.MINVAL, deriv, mjm.MINVAL)
+    stop = bad | (val < 1e-10) | (delta < 1e-10)
+    la_new = jnp.where(done | stop, la, la + delta)
+    return la_new, done | stop
+
+  la0 = jnp.zeros((), dtype=dtype)
+  la, _ = jax.lax.fori_loop(0, 20, body, (la0, jnp.zeros((), dtype=bool)))
+  amat = a_s + la * jnp.eye(n, dtype=dtype)
+  det = jnp.linalg.det(amat)
+  bad = det < 1e-10
+  v = -(jnp.linalg.inv(amat) @ b_s)
+  # flg_active: λ != 0 → project exactly onto the ellipsoid
+  # (projectEllipsoid with feasible=0, engine_solver.c:384)
+  x = v * scale
+  s = jnp.sum((x / jnp.maximum(scale, mjm.MINVAL)) ** 2)
+  proj = x * jnp.sqrt(r * r / jnp.maximum(s, mjm.MINVAL))
+  x = jnp.where(la != 0, proj, x)
+  return jnp.where(bad, 0.0, x)
+
+
 def _noslip(m: Model, d: Data, f):
   """Noslip post-pass (solNoSlip, engine_solver.c:767): unregularized
-  Gauss-Seidel over friction rows — dry-friction rows individually, each
+  Gauss-Seidel over friction rows — dry-friction rows individually; each
   pyramidal contact's opposing edge pairs jointly with the normal sum held
-  fixed."""
+  fixed; each elliptic contact's friction block via a QCQP over the friction
+  ellipsoid with the normal force held fixed (solveQCQP, engine_solver.c:402).
+  """
   from mujoco_tpu.ops import smooth
   meta = m.efc
   ne, nf = meta.ne, meta.nf
@@ -468,16 +509,20 @@ def _noslip(m: Model, d: Data, f):
   ainv = jnp.where(d.efc_active & (a_diag > mjm.MINVAL),
                    1.0 / jnp.maximum(a_diag, mjm.MINVAL), 0.0)
   floss = d.efc_frictionloss
+  elliptic = int(m.opt.cone) == int(ConeType.ELLIPTIC)
 
   # static pyramidal edge-pair table: (row_j, row_j+1) per opposing pair
+  # (pyramidal contacts have 2·(dim−1) rows; elliptic have dim rows and are
+  # handled by the QCQP branch below instead)
   pairs = []
-  for c in range(m.con.ncon):
-    dim = int(m.con.condim[c])
-    if dim == 1:
-      continue
-    adr = int(meta.con_efcadr[c])
-    for j in range(adr, adr + 2 * (dim - 1), 2):
-      pairs.append(j)
+  if not elliptic:
+    for c in range(m.con.ncon):
+      dim = int(m.con.condim[c])
+      if dim == 1:
+        continue
+      adr = int(meta.con_efcadr[c])
+      for j in range(adr, adr + 2 * (dim - 1), 2):
+        pairs.append(j)
   pairs = np.array(pairs, dtype=np.int32)
 
   def one_iter(_, f):
@@ -510,6 +555,27 @@ def _noslip(m: Model, d: Data, f):
         f1 = jnp.where(good, mid - y, mid)
         return jax.lax.dynamic_update_slice(f, jnp.stack([f0, f1]), (j,))
       f = jax.lax.fori_loop(0, len(pairs), pair_update, f)
+
+    # elliptic contacts: sequential Gauss-Seidel over contact slots, one QCQP
+    # per contact (reference sweep order, engine_solver.c:891-925)
+    if elliptic:
+      for c in range(m.con.ncon):
+        dim = int(m.con.condim[c])
+        if dim == 1:
+          continue
+        adr = int(meta.con_efcadr[c])
+        nfr = dim - 1
+        fb = f[adr + 1:adr + dim]
+        ac = a_nor[adr + 1:adr + dim, adr + 1:adr + dim]
+        res = a_nor[adr + 1:adr + dim] @ f + b[adr + 1:adr + dim]
+        bc = res - ac @ fb
+        mu_vec = d.contact.friction[c, :nfr]
+        r = f[adr]
+        v = _qcqp(ac, bc, mu_vec, r)
+        v = jnp.where(r < mjm.MINVAL, jnp.zeros_like(v), v)
+        active = d.efc_active[adr]
+        v = jnp.where(active, v, fb)
+        f = f.at[adr + 1:adr + dim].set(v)
     return f
 
   return jax.lax.fori_loop(0, int(m.opt.noslip_iterations), one_iter, f)

@@ -57,3 +57,30 @@ def test_muscle_trajectory(seed):
   np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-9)
   np.testing.assert_allclose(np.asarray(d.actuator_force),
                              mjd.actuator_force, atol=1e-9)
+
+
+def test_muscle_implicitfast_trajectory():
+  """Muscles under implicitfast: qDeriv must include the FV-curve velocity
+  derivative (mjd_muscleGain_vel, engine_derivative.c:969)."""
+  xml = MUSCLE_XML.replace('<option timestep="0.002"/>',
+                           '<option timestep="0.004" integrator="implicitfast"/>')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(4)
+  mjd.qpos[:] = 0.3 * rng.randn(mjm.nq)
+  mjd.qvel[:] = 0.5 * rng.randn(mjm.nv)
+  mjd.ctrl[:] = rng.rand(mjm.nu)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()),
+                ctrl=jnp.asarray(mjd.ctrl.copy()))
+
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(200):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9,
+                             err_msg="muscle implicitfast qpos drift")
+  np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-9)

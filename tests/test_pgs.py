@@ -86,3 +86,53 @@ def test_noslip_vs_oracle():
   d = forward.forward(m, d)
   np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-5,
                              err_msg="qacc with noslip")
+
+
+def test_noslip_elliptic_vs_oracle():
+  """Elliptic cone + noslip: the QCQP friction-block branch
+  (solveQCQP/mju_QCQP, engine_solver.c:402) vs the oracle."""
+  xml = _ball_xml('solver="Newton" cone="elliptic" noslip_iterations="20"')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(7)
+  mjd.qvel[:] = 0.4 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-5,
+                             err_msg="qacc with elliptic noslip")
+  # fixed-shape rows vs the oracle's compact rows: compare J^T f
+  np.testing.assert_allclose(np.asarray(d.qfrc_constraint),
+                             mjd.qfrc_constraint, atol=1e-5,
+                             err_msg="qfrc_constraint elliptic noslip")
+
+
+def test_noslip_elliptic_condim4_vs_oracle():
+  """condim-4 (torsional) elliptic contacts through the QCQP3 path."""
+  xml = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" cone="elliptic"
+          noslip_iterations="25"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="4 4 0.1" friction="1 0.05 0.002"/>
+    <body pos="0 0 0.09">
+      <freejoint/>
+      <geom type="sphere" size="0.1" condim="4" friction="0.7 0.06 0.003"/>
+    </body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(11)
+  mjd.qvel[:] = 0.5 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-5,
+                             err_msg="qacc condim4 elliptic noslip")

@@ -182,3 +182,58 @@ def test_get_data_viewer_bridge():
   mjd = io.get_data(mjm, d)
   np.testing.assert_allclose(mjd.qpos, np.asarray(d.qpos))
   np.testing.assert_allclose(mjd.xpos, np.asarray(d.xpos), atol=1e-12)
+
+
+def test_camera_name_lookup():
+  """Cameras are in the name tables (mjOBJ_CAMERA, ADVICE r1)."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <camera name="track_cam" pos="0 -2 1"/>
+    <body><joint type="hinge"/><geom size="0.1"/>
+      <camera name="body_cam" pos="0 0 0.5"/>
+    </body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  assert state.name2id(m, "camera", "track_cam") == 0
+  assert state.name2id(m, "camera", "body_cam") == 1
+  assert state.name2id(m, "camera", "nope") == -1
+  assert state.id2name(m, "camera", 1) == "body_cam"
+
+
+def test_ray_geomgroup_filter():
+  """mj_ray's geomgroup filter: geoms in disabled groups are skipped."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom name="g0" type="sphere" size="0.1" pos="0 0 1" group="0"/>
+    <geom name="g1" type="sphere" size="0.1" pos="0 0 2" group="1"/>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  from mujoco_tpu.ops import forward as fwd_mod, ray as ray_mod
+  d = fwd_mod.forward(m, d)
+  pnt = jnp.array([0.0, 0.0, 3.0])
+  vec = jnp.array([0.0, 0.0, -1.0])
+  # no filter: nearest is g1 (top sphere)
+  dist, gid = ray_mod.ray(m, d, pnt, vec)
+  assert int(gid) == 1
+  # group 1 disabled: g0 is hit instead
+  dist0, gid0 = ray_mod.ray(m, d, pnt, vec, geomgroup=[1, 0, 1, 1, 1, 1])
+  assert int(gid0) == 0
+  np.testing.assert_allclose(float(dist0), 1.9, atol=1e-6)
+
+  # oracle cross-check
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  geomid = np.zeros(1, dtype=np.int32)
+  dref = mujoco.mj_ray(mjm, mjd, np.array([0.0, 0, 3.0]),
+                       np.array([0.0, 0, -1.0]),
+                       np.array([1, 0, 1, 1, 1, 1], dtype=np.uint8), 1, -1,
+                       geomid)
+  assert geomid[0] == 0
+  np.testing.assert_allclose(float(dist0), dref, atol=1e-6)

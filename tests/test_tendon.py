@@ -291,3 +291,49 @@ def test_tendon_armature():
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+
+
+def test_tendon_armature_inverse():
+  """mj_inverse adds the tendon-armature bias (engine_inverse.c:260):
+  qfrc_inverse and the fwd/inv check must match the oracle."""
+  xml = """
+  <mujoco>
+    <option timestep="0.003"/>
+    <worldbody>
+      <site name="a0" pos="0 0 1.5"/>
+      <body pos="0 0 1.2">
+        <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.03" fromto="0 0 0 0.4 0 0"/>
+        <site name="s1" pos="0.2 0 0.04"/>
+        <body pos="0.4 0 0">
+          <joint name="j2" type="hinge" axis="0 1 0" damping="0.05"/>
+          <geom type="capsule" size="0.025" fromto="0 0 0 0.3 0 0"/>
+          <site name="s2" pos="0.3 0 0.03"/>
+        </body>
+      </body>
+    </worldbody>
+    <tendon>
+      <spatial name="t" armature="0.05" stiffness="10" springlength="0.5">
+        <site site="a0"/><site site="s1"/><site site="s2"/>
+      </spatial>
+    </tendon>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  if not hasattr(mjm, "tendon_armature") or mjm.tendon_armature[0] == 0:
+    pytest.skip("oracle lacks tendon armature")
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(2)
+  mjd.qpos[:] = 0.3 * rng.randn(mjm.nq)
+  mjd.qvel[:] = 0.8 * rng.randn(mjm.nv)
+  mjd.qacc[:] = 1.5 * rng.randn(mjm.nv)
+  mujoco.mj_inverse(mjm, mjd)
+
+  from mujoco_tpu.ops import inverse as inv_mod
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()),
+                qacc=jnp.asarray(mjd.qacc.copy()))
+  d = inv_mod.inverse(m, d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_inverse), mjd.qfrc_inverse,
+                             atol=1e-8, err_msg="qfrc_inverse w/ tendon armature")
