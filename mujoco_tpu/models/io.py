@@ -15,9 +15,10 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_tpu.models.types import (ConeType, Contact, ContactMeta, Data,
-                                     DisableBit, EfcMeta, EqType, GeomType,
-                                     JointType, Model, Option, TreeTopology)
+from mujoco_tpu.models.types import (BiasType, ConeType, Contact, ContactMeta,
+                                     Data, DisableBit, DynType, EfcMeta,
+                                     EqType, GainType, GeomType, JointType,
+                                     Model, Option, TreeTopology)
 
 # Contact capacity per (type1, type2) pair — the static slot budget each
 # candidate geom pair owns. Sized to the reference narrowphase's maximums
@@ -357,6 +358,96 @@ def _names(mjm: Any) -> dict:
   return out
 
 
+def _actuator_meta(mjm: Any):
+  """Remap actuator type enums to the reference v3.11 values by NAME (the pip
+  package may use different numeric codes), guard unsupported types loudly,
+  and precompute static DC-motor/PID slot layouts and servo wrap periods.
+
+  Counterparts: mjtDyn/mjtGain/mjtBias (mjtype.h:243-273), mj_dcmotorSlots
+  (engine_util_misc.c:1202), wrapPeriod (engine_forward.c:295).
+  """
+  import mujoco as _mj
+  from mujoco_tpu.models.types import TrnType
+
+  dyn_map = {int(v): DynType[k[len("mjDYN_"):]].value
+             for k, v in _mj.mjtDyn.__members__.items()}
+  gain_map = {int(v): GainType[k[len("mjGAIN_"):]].value
+              for k, v in _mj.mjtGain.__members__.items()}
+  bias_map = {int(v): BiasType[k[len("mjBIAS_"):]].value
+              for k, v in _mj.mjtBias.__members__.items()}
+  nu = int(mjm.nu)
+  dyntype = np.array([dyn_map[int(t)] for t in mjm.actuator_dyntype],
+                     dtype=np.int32)
+  gaintype = np.array([gain_map[int(t)] for t in mjm.actuator_gaintype],
+                      dtype=np.int32)
+  biastype = np.array([bias_map[int(t)] for t in mjm.actuator_biastype],
+                      dtype=np.int32)
+
+  for i in range(nu):
+    if dyntype[i] == DynType.USER or gaintype[i] == GainType.USER or \
+       biastype[i] == BiasType.USER:
+      raise NotImplementedError(
+          f"actuator {i}: USER dyn/gain/bias callbacks not supported under jit")
+    if gaintype[i] == GainType.SO3 or biastype[i] == BiasType.SO3:
+      raise NotImplementedError(
+          f"actuator {i}: SO3 geodesic servo not implemented yet")
+
+  dynprm = np.asarray(mjm.actuator_dynprm, dtype=np.float64)
+  gainprm = np.asarray(mjm.actuator_gainprm, dtype=np.float64)
+  biasprm = np.asarray(mjm.actuator_biasprm, dtype=np.float64)
+  slots = np.full((nu, 7), -1, dtype=np.int32)
+  for i in range(nu):
+    n = 0
+    if dyntype[i] == DynType.DCMOTOR:
+      # mj_dcmotorSlots order: slew, integral, temperature, bristle, current
+      if dynprm[i, 7] > 0:
+        slots[i, 0] = n; n += 1
+      if gainprm[i, 5] > 0:
+        slots[i, 1] = n; n += 1
+      if dynprm[i, 2] > 0:
+        slots[i, 2] = n; n += 1
+      if dynprm[i, 5] > 0:
+        slots[i, 3] = n; n += 1
+      if dynprm[i, 0] > 0:
+        slots[i, 4] = n; n += 1
+      slots[i, 6] = int(gainprm[i, 8])
+      if n != int(mjm.actuator_actnum[i]):
+        raise ValueError(
+            f"actuator {i}: DC motor state size {mjm.actuator_actnum[i]} "
+            f"does not match its parameter slots ({n})")
+    elif dyntype[i] == DynType.PID:
+      # PID slot order: slew, integral (engine_forward.c:451)
+      if dynprm[i, 1] > 0:
+        slots[i, 0] = n; n += 1
+      if gainprm[i, 0] > 0:
+        slots[i, 1] = n; n += 1
+    slots[i, 5] = n
+
+  # wrap period, frozen from put_model-time numpy values
+  wrapprd = np.zeros((nu,), dtype=np.float64)
+  trntype = np.asarray(mjm.actuator_trntype)
+  gear = np.asarray(mjm.actuator_gear, dtype=np.float64)
+  for i in range(nu):
+    servo = (gaintype[i] == GainType.FIXED
+             and biastype[i] == BiasType.AFFINE
+             and gainprm[i, 0] == -biasprm[i, 1]
+             and dyntype[i] in (DynType.NONE, DynType.INTEGRATOR))
+    pid = gaintype[i] == GainType.PID
+    if not servo and not pid:
+      continue
+    trn = int(trntype[i])
+    if trn == int(TrnType.SITE) and int(mjm.actuator_trnid[i, 1]) >= 0 and \
+       not gear[i, :3].any():
+      wrapprd[i] = 2 * np.pi * np.linalg.norm(gear[i, 3:6])
+    elif trn in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT)) and \
+         int(mjm.jnt_type[mjm.actuator_trnid[i, 0]]) == 1:  # mjJNT_BALL
+      wrapprd[i] = 2 * np.pi * np.linalg.norm(gear[i, :3])
+
+  group = np.array(getattr(mjm, "actuator_group", np.zeros(nu)),
+                   dtype=np.int32)
+  return dyntype, gaintype, biastype, slots, wrapprd, group
+
+
 def put_model(mjm: Any, dtype=None) -> Model:
   """Convert a compiled ``mujoco.MjModel`` into a TPU Model pytree."""
   dtype = dtype or jnp.zeros(0).dtype
@@ -373,6 +464,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
                         mjm.dof_jntid, mjm.jnt_type, mjm.jnt_dofadr)
   con = _contact_meta(mjm)
   efc = _efc_meta(mjm, con, int(mjm.opt.cone))
+  (act_dyntype, act_gaintype, act_biastype, act_slots, act_wrapprd,
+   act_group) = _actuator_meta(mjm)
 
   opt = Option(
       timestep=jx(mjm.opt.timestep),
@@ -392,6 +485,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       noslip_iterations=int(mjm.opt.noslip_iterations),
       disableflags=int(mjm.opt.disableflags),
       enableflags=int(mjm.opt.enableflags),
+      disableactuator=int(getattr(mjm.opt, "disableactuator", 0)),
   )
 
   return Model(
@@ -408,6 +502,9 @@ def put_model(mjm: Any, dtype=None) -> Model:
       has_tendon_armature=bool(
           np.any(np.asarray(getattr(mjm, 'tendon_armature',
                                     np.zeros(mjm.ntendon))) > 0)),
+      has_actgravcomp=bool(
+          np.any(np.asarray(getattr(mjm, 'jnt_actgravcomp',
+                                    np.zeros(mjm.njnt))))),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
       tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
@@ -428,6 +525,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       jnt_dofadr=si(mjm.jnt_dofadr), jnt_bodyid=si(mjm.jnt_bodyid),
       jnt_limited=si(mjm.jnt_limited),
       jnt_actfrclimited=si(mjm.jnt_actfrclimited),
+      jnt_actgravcomp=si(getattr(mjm, "jnt_actgravcomp",
+                                 np.zeros(mjm.njnt))),
       jnt_solref=jx(mjm.jnt_solref), jnt_solimp=jx(mjm.jnt_solimp),
       jnt_pos=jx(mjm.jnt_pos), jnt_axis=jx(mjm.jnt_axis),
       jnt_stiffness=jx(mjm.jnt_stiffness), jnt_range=jx(mjm.jnt_range),
@@ -484,9 +583,12 @@ def put_model(mjm: Any, dtype=None) -> Model:
       wrap_sideid=np.round(np.asarray(mjm.wrap_prm)).astype(np.int32),
       wrap_prm=jx(mjm.wrap_prm),
       actuator_trntype=si(mjm.actuator_trntype),
-      actuator_dyntype=si(mjm.actuator_dyntype),
-      actuator_gaintype=si(mjm.actuator_gaintype),
-      actuator_biastype=si(mjm.actuator_biastype),
+      actuator_dyntype=act_dyntype,
+      actuator_gaintype=act_gaintype,
+      actuator_biastype=act_biastype,
+      actuator_slots=act_slots,
+      actuator_wrapprd=act_wrapprd,
+      actuator_group=act_group,
       actuator_trnid=si(mjm.actuator_trnid),
       actuator_actadr=si(mjm.actuator_actadr),
       actuator_actnum=si(mjm.actuator_actnum),

@@ -87,26 +87,36 @@ class TrnType(enum.IntEnum):
 
 
 class DynType(enum.IntEnum):
+  """mjtDyn (mjtype.h:243-252, v3.11 values; put_model remaps by name)."""
   NONE = 0
   INTEGRATOR = 1
   FILTER = 2
   FILTEREXACT = 3
   MUSCLE = 4
-  USER = 5
+  DCMOTOR = 5
+  PID = 6
+  USER = 7
 
 
 class GainType(enum.IntEnum):
+  """mjtGain (mjtype.h:255-263, v3.11 values)."""
   FIXED = 0
   AFFINE = 1
   MUSCLE = 2
-  USER = 3
+  DCMOTOR = 3
+  SO3 = 4
+  PID = 5
+  USER = 6
 
 
 class BiasType(enum.IntEnum):
+  """mjtBias (mjtype.h:266-273, v3.11 values)."""
   NONE = 0
   AFFINE = 1
   MUSCLE = 2
-  USER = 3
+  DCMOTOR = 3
+  SO3 = 4
+  USER = 5
 
 
 class WrapType(enum.IntEnum):
@@ -257,6 +267,9 @@ class Option:
   noslip_iterations: int = static_field(default=0)
   disableflags: int = static_field(default=0)
   enableflags: int = static_field(default=0)
+  # actuator-group disable bitmask (mjOption.disableactuator, mjmodel.h:83;
+  # bit g disables actuators with actuator_group == g)
+  disableactuator: int = static_field(default=0)
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +392,7 @@ class Model:
   has_dof_damping: bool = static_field()
   has_fluid: bool = static_field()
   has_tendon_armature: bool = static_field()
+  has_actgravcomp: bool = static_field()
 
   opt: Option = field()
 
@@ -422,6 +436,7 @@ class Model:
   jnt_bodyid: np.ndarray = static_field()
   jnt_limited: np.ndarray = static_field()
   jnt_actfrclimited: np.ndarray = static_field()
+  jnt_actgravcomp: np.ndarray = static_field()
   jnt_solref: jax.Array = field()
   jnt_solimp: jax.Array = field()
   jnt_pos: jax.Array = field()
@@ -526,6 +541,15 @@ class Model:
   actuator_forcelimited: np.ndarray = static_field()
   actuator_actlimited: np.ndarray = static_field()
   actuator_actearly: np.ndarray = static_field()
+  actuator_group: np.ndarray = static_field()
+  # DC-motor / PID activation slot layout, computed at put_model from the
+  # (numpy) prm values (mj_dcmotorSlots, engine_util_misc.c:1202): columns
+  # [slew, integral, temperature, bristle, current, num_slots, input_mode];
+  # absent slot = -1. PID uses the slew/integral columns only.
+  actuator_slots: np.ndarray = static_field()
+  # rotational servo wrap period 2π·|gear| (wrapPeriod, engine_forward.c:295),
+  # 0 for non-wrap-eligible actuators; frozen at put_model time
+  actuator_wrapprd: np.ndarray = static_field()
   actuator_dynprm: jax.Array = field()
   actuator_gainprm: jax.Array = field()
   actuator_biasprm: jax.Array = field()

@@ -38,6 +38,28 @@ def actuator_vel(m: Model, d: Data):
     bias_vel = jnp.zeros((), dtype=dtype)
     if int(m.actuator_biastype[i]) == int(BiasType.AFFINE):
       bias_vel = m.actuator_biasprm[i, 2]
+    elif int(m.actuator_biastype[i]) == int(BiasType.DCMOTOR):
+      # back-EMF of a stateless DC motor (engine_derivative.c:2405)
+      if int(m.actuator_slots[i, 4]) < 0:
+        r = jnp.maximum(mjm.MINVAL, m.actuator_gainprm[i, 0])
+        k = m.actuator_gainprm[i, 1]
+        bias_vel = bias_vel - k * k / r
+    if int(m.actuator_gaintype[i]) == int(GainType.DCMOTOR):
+      # controller damping + LuGre micro-damping (engine_derivative.c:2431)
+      gainprm, dynprm = m.actuator_gainprm[i], m.actuator_dynprm[i]
+      input_mode = int(m.actuator_slots[i, 6])
+      dvdw = (-gainprm[6] if input_mode == 1
+              else (-gainprm[4] if input_mode == 2 else None))
+      r = jnp.maximum(mjm.MINVAL, gainprm[0])
+      k = gainprm[1]
+      if int(m.actuator_slots[i, 4]) >= 0:
+        s = 1.0 - jnp.exp(-m.opt.timestep / dynprm[0])
+        dvdw0 = dvdw if dvdw is not None else jnp.zeros((), dtype=dtype)
+        bias_vel = bias_vel + k * (dvdw0 - k) * s / r
+      elif dvdw is not None:
+        bias_vel = bias_vel + k * dvdw / r
+      if int(m.actuator_slots[i, 3]) >= 0:
+        bias_vel = bias_vel - dynprm[6]
     if int(m.actuator_gaintype[i]) == int(GainType.AFFINE):
       gain_vel = m.actuator_gainprm[i, 2]
     elif int(m.actuator_gaintype[i]) == int(GainType.MUSCLE):

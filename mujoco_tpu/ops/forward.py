@@ -160,28 +160,43 @@ def sensor_acc(m: Model, d: Data) -> Data:
 
 def integrate_pos(m: Model, qpos, qvel, dt):
   """Manifold-aware position integration (mj_integratePos): quaternions via
-  the exponential map, everything else linear."""
-  out = qpos + 0.0
-  lin_mask = np.ones(m.nq, dtype=bool)
+  the exponential map, everything else linear. Scatter-free: static
+  gather maps route velocities to qpos entries and batched quaternion
+  integration covers all ball/free joints in one call."""
+  dtype = qpos.dtype
+  # linear part: qpos_i += dt · qvel[dof_of(i)] via a padded static gather
+  dof_to_q = _dof_to_qpos_map(m)
+  dof_of_q = np.full(m.nq, m.nv, dtype=np.int64)
+  for v, qi in enumerate(dof_to_q):
+    if qi >= 0:
+      dof_of_q[qi] = v
+  qvel_pad = jnp.concatenate([qvel, jnp.zeros((1,), dtype=dtype)])
+  out = qpos + dt * qvel_pad[dof_of_q]
+
+  # quaternion spans: grouped batched exponential-map integration
+  qadrs, dadrs = [], []
   for j in range(m.njnt):
     jt = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    dadr = int(m.jnt_dofadr[j])
     if jt == JointType.BALL:
-      lin_mask[qadr:qadr + 4] = False
-      q = mjm.quat_integrate(mjm.normalize(qpos[qadr:qadr + 4]),
-                             qvel[dadr:dadr + 3], dt)
-      out = out.at[qadr:qadr + 4].set(q)
+      qadrs.append(int(m.jnt_qposadr[j]))
+      dadrs.append(int(m.jnt_dofadr[j]))
     elif jt == JointType.FREE:
-      lin_mask[qadr + 3:qadr + 7] = False
-      q = mjm.quat_integrate(mjm.normalize(qpos[qadr + 3:qadr + 7]),
-                             qvel[dadr + 3:dadr + 6], dt)
-      out = out.at[qadr + 3:qadr + 7].set(q)
-  # linear dofs: qpos[qadr_of_dof] += dt * qvel. Build static scatter map.
-  dof_to_q = _dof_to_qpos_map(m)
-  valid = dof_to_q >= 0
-  idx = dof_to_q[valid]
-  out = out.at[idx].add(dt * qvel[np.nonzero(valid)[0]])
+      qadrs.append(int(m.jnt_qposadr[j]) + 3)
+      dadrs.append(int(m.jnt_dofadr[j]) + 3)
+  if qadrs:
+    qadrs = np.array(qadrs)[:, None]
+    dadrs = np.array(dadrs)[:, None]
+    q = mjm.normalize(qpos[qadrs + np.arange(4)])
+    w = qvel[dadrs + np.arange(3)]
+    quats = mjm.quat_integrate(q, w, dt)                 # (njq, 4)
+    flat = jnp.concatenate([quats.reshape(-1),
+                            jnp.zeros((1,), dtype=dtype)])
+    qmask = np.zeros(m.nq, dtype=bool)
+    qmap = np.full(m.nq, len(qadrs) * 4, dtype=np.int64)
+    for r, qa in enumerate(qadrs[:, 0]):
+      qmask[qa:qa + 4] = True
+      qmap[qa:qa + 4] = 4 * r + np.arange(4)
+    out = jnp.where(jnp.asarray(qmask), flat[qmap], out)
   return out
 
 
@@ -200,21 +215,53 @@ def _dof_to_qpos_map(m: Model) -> np.ndarray:
 
 
 def next_activation(m: Model, d: Data, act_dot):
-  """Advance activations one step (mj_nextActivation): Euler except
-  FILTEREXACT (exact exponential), then actrange clamp."""
+  """Advance activations one step (mj_nextActivation, engine_support.c:706):
+  Euler except FILTEREXACT (exact exponential), DC-motor current (exact
+  exponential) and bristle (exact ZOH); integral slots clamp to ±Imax; then
+  actrange clamp (skipped for DC motors)."""
   if m.na == 0:
     return d.act
-  act = d.act + m.opt.timestep * act_dot
+  h = m.opt.timestep
+  act = d.act + h * act_dot
   for i in range(m.nu):
     adr, num = int(m.actuator_actadr[i]), int(m.actuator_actnum[i])
     if num == 0:
       continue
     last = adr + num - 1
-    if m.actuator_dyntype[i] == DynType.FILTEREXACT:
+    dyn = int(m.actuator_dyntype[i])
+    if dyn == DynType.FILTEREXACT:
       tau = jnp.maximum(m.actuator_dynprm[i, 0], mjm.MINVAL)
-      a = d.act[last] + act_dot[last] * tau * (
-          1.0 - jnp.exp(-m.opt.timestep / tau))
+      a = d.act[last] + act_dot[last] * tau * (1.0 - jnp.exp(-h / tau))
       act = act.at[last].set(a)
+    elif dyn == DynType.DCMOTOR:
+      slots = m.actuator_slots[i]
+      dynprm = m.actuator_dynprm[i]
+      cur_s, brist_s, integ_s = int(slots[4]), int(slots[3]), int(slots[1])
+      if cur_s >= 0:
+        # current filter: exact integration (engine_support.c:726)
+        te = jnp.maximum(dynprm[0], mjm.MINVAL)
+        a = d.act[adr + cur_s] + act_dot[adr + cur_s] * te * (
+            1.0 - jnp.exp(-h / te))
+        act = act.at[adr + cur_s].set(a)
+      if brist_s >= 0:
+        # LuGre bristle: exact ZOH (engine_support.c:732)
+        from mujoco_tpu.ops import actuation as act_mod
+        biasprm = m.actuator_biasprm[i]
+        vel = d.actuator_velocity[i]
+        g = act_mod._lugre_stribeck(vel, biasprm[3], biasprm[4], biasprm[5])
+        a_rate = -dynprm[5] * jnp.abs(vel) / jnp.maximum(mjm.MINVAL, g)
+        exp_ah = jnp.exp(a_rate * h)
+        int_h = jnp.where(jnp.abs(a_rate) > mjm.MINVAL,
+                          (exp_ah - 1.0) / a_rate, h)
+        act = act.at[adr + brist_s].set(
+            exp_ah * d.act[adr + brist_s] + int_h * vel)
+      if integ_s >= 0:
+        # integral: Euler + anti-windup clamp (engine_support.c:750)
+        imax = dynprm[8]
+        a = act[adr + integ_s]
+        act = act.at[adr + integ_s].set(
+            jnp.where(imax > 0, jnp.clip(a, -imax, imax), a))
+      continue  # no actrange clamp for DC motors (engine_support.c:770)
     if m.actuator_actlimited[i]:
       act = act.at[last].set(
           jnp.clip(act[last], m.actuator_actrange[i, 0],
@@ -226,6 +273,17 @@ def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
   """State advance shared by all integrators (mj_advance,
   engine_forward.c:1264)."""
   act = next_activation(m, d, act_dot)
+  # rotational INTEGRATOR servo setpoints: re-anchor to the representative
+  # nearest the transmission length (engine_forward.c:1330-1340)
+  for i in range(m.nu):
+    if int(m.actuator_dyntype[i]) != DynType.INTEGRATOR:
+      continue
+    period = float(m.actuator_wrapprd[i])
+    if period > 0:
+      adr = int(m.actuator_actadr[i]) + int(m.actuator_actnum[i]) - 1
+      from mujoco_tpu.ops import actuation as act_mod
+      act = act.at[adr].set(
+          act_mod._wrap_setpoint(act[adr], d.actuator_length[i], period))
   qvel = d.qvel + m.opt.timestep * qacc
   qpos = integrate_pos(m, d.qpos, qvel_pos if qvel_pos is not None else qvel,
                        m.opt.timestep)

@@ -17,27 +17,54 @@ from mujoco_tpu.utils import math as mjm
 
 
 def _joint_springs(m: Model, d: Data):
-  """-k · (qpos ⊖ qpos_spring) per joint, scattered into qfrc."""
+  """-k · (qpos ⊖ qpos_spring) per joint, assembled scatter-free: grouped
+  by joint type, then merged into dof order with one static gather (each dof
+  receives at most one spring contribution)."""
   dtype = d.qpos.dtype
-  qfrc = jnp.zeros((m.nv,), dtype=dtype)
-  for j in range(m.njnt):
-    jt = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    dadr = int(m.jnt_dofadr[j])
-    k = m.jnt_stiffness[j]
-    if jt in (JointType.SLIDE, JointType.HINGE):
-      qfrc = qfrc.at[dadr].add(-k * (d.qpos[qadr] - m.qpos_spring[qadr]))
-    elif jt == JointType.BALL:
-      dif = mjm.quat_sub(mjm.normalize(d.qpos[qadr:qadr + 4]),
-                         m.qpos_spring[qadr:qadr + 4])
-      qfrc = qfrc.at[dadr:dadr + 3].add(-k * dif)
-    else:  # FREE
-      qfrc = qfrc.at[dadr:dadr + 3].add(
-          -k * (d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]))
-      dif = mjm.quat_sub(mjm.normalize(d.qpos[qadr + 3:qadr + 7]),
-                         m.qpos_spring[qadr + 3:qadr + 7])
-      qfrc = qfrc.at[dadr + 3:dadr + 6].add(-k * dif)
-  return qfrc
+  jt_all = np.asarray(m.jnt_type)
+  parts = []             # flat contribution chunks
+  dof_map = np.full(m.nv, -1, dtype=np.int64)
+  pos = 0
+
+  lin = np.nonzero((jt_all == JointType.SLIDE) | (jt_all == JointType.HINGE))[0]
+  if len(lin):
+    qadr = np.asarray(m.jnt_qposadr)[lin]
+    dadr = np.asarray(m.jnt_dofadr)[lin]
+    k = m.jnt_stiffness[lin]
+    parts.append(-k * (d.qpos[qadr] - m.qpos_spring[qadr]))
+    dof_map[dadr] = pos + np.arange(len(lin))
+    pos += len(lin)
+
+  ball = np.nonzero(jt_all == JointType.BALL)[0]
+  if len(ball):
+    qadr = np.asarray(m.jnt_qposadr)[ball][:, None]
+    dadr = np.asarray(m.jnt_dofadr)[ball][:, None]
+    k = m.jnt_stiffness[ball][:, None]
+    dif = mjm.quat_sub(mjm.normalize(d.qpos[qadr + np.arange(4)]),
+                       m.qpos_spring[qadr + np.arange(4)])
+    parts.append((-k * dif).reshape(-1))
+    dof_map[(dadr + np.arange(3)).ravel()] = pos + np.arange(3 * len(ball))
+    pos += 3 * len(ball)
+
+  free = np.nonzero(jt_all == JointType.FREE)[0]
+  if len(free):
+    qadr = np.asarray(m.jnt_qposadr)[free][:, None]
+    dadr = np.asarray(m.jnt_dofadr)[free][:, None]
+    k = m.jnt_stiffness[free][:, None]
+    trn = -k * (d.qpos[qadr + np.arange(3)]
+                - m.qpos_spring[qadr + np.arange(3)])
+    dif = mjm.quat_sub(mjm.normalize(d.qpos[qadr + 3 + np.arange(4)]),
+                       m.qpos_spring[qadr + 3 + np.arange(4)])
+    parts.append(jnp.concatenate([trn, -k * dif], axis=-1).reshape(-1))
+    span = np.concatenate([dadr + np.arange(3), dadr + 3 + np.arange(3)],
+                          axis=-1).ravel()
+    dof_map[span] = pos + np.arange(6 * len(free))
+    pos += 6 * len(free)
+
+  if not parts:
+    return jnp.zeros((m.nv,), dtype=dtype)
+  flat = jnp.concatenate(parts + [jnp.zeros((1,), dtype=dtype)])
+  return flat[np.where(dof_map >= 0, dof_map, pos)]
 
 
 def passive(m: Model, d: Data) -> Data:
@@ -71,7 +98,15 @@ def passive(m: Model, d: Data) -> Data:
 
   qfrc_fluid = _fluid(m, d) if m.has_fluid else zero
 
-  qfrc_passive = qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid
+  # joints with jnt_actgravcomp route their gravcomp through qfrc_actuator
+  # instead (engine_passive.c:1118, engine_forward.c:988)
+  gravcomp_passive = qfrc_gravcomp
+  if m.has_actgravcomp:
+    from mujoco_tpu.ops import actuation as act_mod
+    mask = act_mod._actgravcomp_dof_mask(m)
+    gravcomp_passive = jnp.where(jnp.asarray(mask), 0.0, qfrc_gravcomp)
+
+  qfrc_passive = qfrc_spring + qfrc_damper + gravcomp_passive + qfrc_fluid
   return d.replace(qfrc_spring=qfrc_spring, qfrc_damper=qfrc_damper,
                    qfrc_gravcomp=qfrc_gravcomp, qfrc_fluid=qfrc_fluid,
                    qfrc_passive=qfrc_passive)
