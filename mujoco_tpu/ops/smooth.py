@@ -34,7 +34,8 @@ def _take_qpos(qpos, qadr: np.ndarray, width: int, nq: int):
 
 
 def normalize_qpos(m: Model, qpos):
-  """Normalize ball/free quaternions in qpos (mj_normalizeQuat analog)."""
+  """Normalize ball/free quaternions in qpos (mj_normalizeQuat analog).
+  Scatter-free: batched normalize + static gather-map merge."""
   quat_adr = []
   for j in range(m.njnt):
     if m.jnt_type[j] == JointType.BALL:
@@ -44,31 +45,50 @@ def normalize_qpos(m: Model, qpos):
   if not quat_adr:
     return qpos
   idx = np.array(quat_adr, dtype=np.int32)[:, None] + np.arange(4)[None, :]
-  quats = mjm.normalize(qpos[idx])
-  return qpos.at[idx.ravel()].set(quats.ravel())
+  flat = jnp.concatenate([mjm.normalize(qpos[idx]).reshape(-1),
+                          jnp.zeros((1,), dtype=qpos.dtype)])
+  qmask = np.zeros(m.nq, dtype=bool)
+  qmap = np.full(m.nq, len(quat_adr) * 4, dtype=np.int64)
+  qmask[idx.ravel()] = True
+  qmap[idx.ravel()] = np.arange(len(quat_adr) * 4)
+  return jnp.where(jnp.asarray(qmask), flat[qmap], qpos)
 
 
 def kinematics(m: Model, d: Data) -> Data:
   """Forward kinematics (mj_kinematics, engine_core_smooth.c).
 
-  Level-synchronous: bodies grouped by tree depth; within a level all bodies
-  are processed as one vectorized block, folding each body's joints with a
-  static inner loop and branchless type selection.
+  Level-synchronous with static (level, joint-type) grouping: bodies are
+  grouped by tree depth, and within each level the joint fold is specialized
+  per joint type over static index subsets (the masked-dense counterpart of
+  MJX's scan.body_tree type grouping, mjx/_src/scan.py:337). No scatters:
+  levels accumulate into a growing concat and a single static-permutation
+  gather restores body/joint order at the end — this keeps the XLA graph
+  small (per-type kernels only for types present) and scatter-free, which is
+  what keeps compile time bounded on large scenes.
+
+  The arithmetic and normalization sequence match the per-level masked
+  version exactly (same FP order as the reference's parent→child recursion).
   """
   dtype = d.qpos.dtype
   qpos = normalize_qpos(m, d.qpos)
   qpos0 = m.qpos0
 
   nb = m.nbody
-  xpos = jnp.zeros((nb, 3), dtype=dtype)
-  xquat = jnp.zeros((nb, 4), dtype=dtype).at[:, 0].set(1.0)
-  xanchor = jnp.zeros((m.njnt, 3), dtype=dtype)
-  xaxis = jnp.zeros((m.njnt, 3), dtype=dtype)
+  # world row: identity frame
+  pos_rows = [jnp.zeros((1, 3), dtype=dtype)]
+  quat_rows = [jnp.zeros((1, 4), dtype=dtype).at[:, 0].set(1.0)]
+  row_of = np.zeros(nb, dtype=np.int64)
+  next_row = 1
+  anchor_chunks = []   # (static jids, values)
+  axis_chunks = []
+
+  xp = pos_rows[0]     # running concat of world frames computed so far
+  xq = quat_rows[0]
 
   for bids in m.tree.levels:
-    pid = m.body_parentid[bids]
-    pq = xquat[pid]
-    pp = xpos[pid]
+    pid_rows = row_of[m.body_parentid[bids]]
+    pq = xq[pid_rows]
+    pp = xp[pid_rows]
 
     # body reference frame composed with parent
     body_pos = m.body_pos[bids]
@@ -87,57 +107,84 @@ def kinematics(m: Model, d: Data) -> Data:
 
     jnum = m.body_jntnum[bids]
     jadr = m.body_jntadr[bids]
+    nlev = len(bids)
     for k in range(int(jnum.max()) if len(jnum) else 0):
       has = k < jnum                      # static numpy bool per body
-      jid = np.where(has, jadr + k, 0)
-      jt = np.where(has, m.jnt_type[jid], -1)
-      qadr = m.jnt_qposadr[jid]
+      jid_all = np.where(has, jadr + k, 0)
+      jt_all = np.where(has, m.jnt_type[jid_all], -1)
 
-      axis_w = mjm.rot_vec_quat(m.jnt_axis[jid], bq)
-      anchor = bp + mjm.rot_vec_quat(m.jnt_pos[jid], bq)
+      groups = []                         # (sel, new_bp, new_bq)
+      for jt in (int(JointType.FREE), int(JointType.BALL),
+                 int(JointType.SLIDE), int(JointType.HINGE)):
+        sel = np.nonzero(jt_all == jt)[0]
+        if not len(sel):
+          continue
+        jid = jid_all[sel]
+        qadr = m.jnt_qposadr[jid]
+        bq_s, bp_s = bq[sel], bp[sel]
 
-      q1 = qpos[np.minimum(qadr, m.nq - 1)]
+        if jt == JointType.FREE:
+          q7 = _take_qpos(qpos, qadr, 7, m.nq)
+          new_bp = q7[:, :3]
+          new_bq = mjm.normalize(q7[:, 3:7])
+          anchor = new_bp
+          axis_out = jnp.asarray(m.jnt_axis[jid], dtype=dtype) + \
+              jnp.zeros((len(sel), 3), dtype=dtype)
+        else:
+          axis_w = mjm.rot_vec_quat(m.jnt_axis[jid], bq_s)
+          anchor = bp_s + mjm.rot_vec_quat(m.jnt_pos[jid], bq_s)
+          if jt == JointType.SLIDE:
+            q1 = qpos[np.minimum(qadr, m.nq - 1)]
+            q0 = qpos0[np.minimum(qadr, m.nq - 1)]
+            new_bp = bp_s + axis_w * (q1 - q0)[:, None]
+            new_bq = bq_s
+          else:
+            if jt == JointType.BALL:
+              qloc = mjm.normalize(_take_qpos(qpos, qadr, 4, m.nq))
+            else:  # HINGE
+              q1 = qpos[np.minimum(qadr, m.nq - 1)]
+              q0 = qpos0[np.minimum(qadr, m.nq - 1)]
+              qloc = mjm.axis_angle_to_quat(m.jnt_axis[jid], q1 - q0)
+            new_bq = mjm.mul_quat(bq_s, qloc)
+            new_bp = anchor - mjm.rot_vec_quat(m.jnt_pos[jid], new_bq)
+          axis_out = axis_w
 
-      # slide
-      slide_p = bp + axis_w * (q1 - qpos0[np.minimum(qadr, m.nq - 1)])[:, None]
+        anchor_chunks.append((jid, anchor))
+        axis_chunks.append((jid, axis_out))
+        groups.append((sel, new_bp, new_bq))
 
-      # hinge
-      qloc_h = mjm.axis_angle_to_quat(
-          m.jnt_axis[jid], q1 - qpos0[np.minimum(qadr, m.nq - 1)])
-      # ball
-      qloc_b = mjm.normalize(_take_qpos(qpos, qadr, 4, m.nq))
-      is_ball = jnp.asarray(jt == JointType.BALL)
-      qloc = jnp.where(is_ball[:, None], qloc_b, qloc_h)
-      rot_q = mjm.mul_quat(bq, qloc)
-      rot_p = anchor - mjm.rot_vec_quat(m.jnt_pos[jid], rot_q)
-
-      # free
-      q7 = _take_qpos(qpos, qadr, 7, m.nq)
-      free_p = q7[:, :3]
-      free_q = mjm.normalize(q7[:, 3:7])
-      free_anchor = free_p
-
-      is_rot = jnp.asarray((jt == JointType.BALL) | (jt == JointType.HINGE))
-      is_slide = jnp.asarray(jt == JointType.SLIDE)
-      is_free = jnp.asarray(jt == JointType.FREE)
-
-      bp = jnp.where(is_slide[:, None], slide_p, bp)
-      bp = jnp.where(is_rot[:, None], rot_p, bp)
-      bp = jnp.where(is_free[:, None], free_p, bp)
-      bq = jnp.where(is_rot[:, None], rot_q, bq)
-      bq = jnp.where(is_free[:, None], free_q, bq)
-
-      anchor = jnp.where(is_free[:, None], free_anchor, anchor)
-      axis_out = jnp.where(is_free[:, None], m.jnt_axis[jid], axis_w)
-
-      sel = np.nonzero(has)[0]
-      if len(sel):
-        xanchor = xanchor.at[jid[sel]].set(anchor[sel])
-        xaxis = xaxis.at[jid[sel]].set(axis_out[sel])
+      if groups:
+        # merge type groups back into level order with one static gather
+        sels = np.concatenate([g[0] for g in groups])
+        rest = np.setdiff1d(np.arange(nlev), sels)
+        order = np.concatenate([sels, rest])
+        inv = np.empty(nlev, dtype=np.int64)
+        inv[order] = np.arange(nlev)
+        bp = jnp.concatenate([jnp.concatenate([g[1] for g in groups]),
+                              bp[rest]])[inv]
+        bq = jnp.concatenate([jnp.concatenate([g[2] for g in groups]),
+                              bq[rest]])[inv]
 
     bq = mjm.normalize(bq)
-    xpos = xpos.at[bids].set(bp)
-    xquat = xquat.at[bids].set(bq)
+    xp = jnp.concatenate([xp, bp])
+    xq = jnp.concatenate([xq, bq])
+    row_of[bids] = next_row + np.arange(len(bids))
+    next_row += len(bids)
+
+  # restore body order with one static-permutation gather
+  xpos = xp[row_of]
+  xquat = xq[row_of]
+
+  # joints: concat chunks, restore joint order
+  if m.njnt:
+    jids = np.concatenate([c[0] for c in anchor_chunks])
+    jinv = np.empty(m.njnt, dtype=np.int64)
+    jinv[jids] = np.arange(m.njnt)
+    xanchor = jnp.concatenate([c[1] for c in anchor_chunks])[jinv]
+    xaxis = jnp.concatenate([c[1] for c in axis_chunks])[jinv]
+  else:
+    xanchor = jnp.zeros((0, 3), dtype=dtype)
+    xaxis = jnp.zeros((0, 3), dtype=dtype)
 
   xmat = mjm.quat_to_mat(xquat)
   xipos = xpos + mjm.rot_vec_quat(m.body_ipos, xquat)
@@ -386,46 +433,58 @@ def tendon(m: Model, d: Data) -> Data:
 
 def transmission(m: Model, d: Data) -> Data:
   """Actuator lengths and moment arms (mj_transmission,
-  engine_core_smooth.c): JOINT/JOINTINPARENT for all 4 joint types, TENDON.
-  SITE/SLIDERCRANK/BODY transmissions land with the site-transmission
-  milestone. Static per-actuator unroll (nu is small and structure static).
+  engine_core_smooth.c): JOINT/JOINTINPARENT for all 4 joint types, TENDON,
+  SITE, SLIDERCRANK. Static per-actuator unroll (nu is small and structure
+  static); moment rows are built scatter-free — per-actuator values land in
+  per-row lists and static one-hot dof masks replace scatters, keeping the
+  batched XLA graph free of scatter ops.
   """
   if m.nu == 0:
     return d
   from mujoco_tpu.models.types import JointType, TrnType
   dtype = d.qpos.dtype
-  length = jnp.zeros((m.nu,), dtype=dtype)
-  moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
+  lengths = []
+  rows = []
+
+  def onehot(dadr, n=1):
+    mask = np.zeros((m.nv,), dtype=np.float32 if dtype == jnp.float32
+                    else np.float64)
+    mask[dadr:dadr + n] = 1.0
+    return mask
 
   for i in range(m.nu):
     trn = int(m.actuator_trntype[i])
     gear = m.actuator_gear[i]
     tid = int(m.actuator_trnid[i, 0])
+    length = jnp.zeros((), dtype=dtype)
+    row = None
     if trn in (TrnType.JOINT, TrnType.JOINTINPARENT):
       jt = int(m.jnt_type[tid])
       qadr = int(m.jnt_qposadr[tid])
       dadr = int(m.jnt_dofadr[tid])
       if jt in (JointType.SLIDE, JointType.HINGE):
-        length = length.at[i].set(d.qpos[qadr] * gear[0])
-        moment = moment.at[i, dadr].set(gear[0])
+        length = d.qpos[qadr] * gear[0]
+        row = onehot(dadr) * gear[0]
       elif jt == JointType.BALL:
         quat = mjm.normalize(d.qpos[qadr:qadr + 4])
         axis = mjm.quat_to_vel(quat)
         gear_axis = gear[:3]
         if trn == TrnType.JOINTINPARENT:
           gear_axis = mjm.rot_vec_quat(gear[:3], mjm.conj_quat(quat))
-        length = length.at[i].set(jnp.dot(axis, gear_axis))
-        moment = moment.at[i, dadr:dadr + 3].set(gear_axis)
+        length = jnp.dot(axis, gear_axis)
+        row = jnp.concatenate([jnp.zeros((dadr,), dtype=dtype), gear_axis,
+                               jnp.zeros((m.nv - dadr - 3,), dtype=dtype)])
       else:  # FREE
         gear_rot = gear[3:6]
         if trn == TrnType.JOINTINPARENT:
           quat = mjm.normalize(d.qpos[qadr + 3:qadr + 7])
           gear_rot = mjm.rot_vec_quat(gear[3:6], mjm.conj_quat(quat))
-        moment = moment.at[i, dadr:dadr + 3].set(gear[:3])
-        moment = moment.at[i, dadr + 3:dadr + 6].set(gear_rot)
+        row = jnp.concatenate([
+            jnp.zeros((dadr,), dtype=dtype), gear[:3], gear_rot,
+            jnp.zeros((m.nv - dadr - 6,), dtype=dtype)])
     elif trn == TrnType.TENDON:
-      length = length.at[i].set(d.ten_length[tid] * gear[0])
-      moment = moment.at[i].set(d.ten_J[tid] * gear[0])
+      length = d.ten_length[tid] * gear[0]
+      row = d.ten_J[tid] * gear[0]
     elif trn == TrnType.SLIDERCRANK:
       # slider-crank (engine_core_smooth.c mjTRN_SLIDERCRANK):
       # length = a·v − √(det), det = (a·v)² + rod² − v·v
@@ -449,9 +508,8 @@ def transmission(m: Model, d: Data) -> Data:
       jacp_site, _ = support.jac(m, d, d.site_xpos[sid],
                                  int(m.site_bodyid[sid]))
       jac_v = jacp_site - jacp_s
-      row = dlda @ jac_a + dldv @ jac_v
-      length = length.at[i].set(leng * gear[0])
-      moment = moment.at[i].set(row * gear[0])
+      length = leng * gear[0]
+      row = (dlda @ jac_a + dldv @ jac_v) * gear[0]
     elif trn == TrnType.SITE:
       from mujoco_tpu.ops import support
       sid = tid
@@ -462,7 +520,6 @@ def transmission(m: Model, d: Data) -> Data:
         wrench_t = d.site_xmat[sid] @ gear[:3]
         wrench_r = d.site_xmat[sid] @ gear[3:6]
         row = wrench_t @ jacp + wrench_r @ jacr
-        moment = moment.at[i].set(row)
       else:
         refbody = int(m.site_bodyid[refid])
         # static common-ancestor dof chain (engine_core_smooth.c:1600-1627)
@@ -503,11 +560,14 @@ def transmission(m: Model, d: Data) -> Data:
         leng = leng + jnp.dot(vec_r, gear[3:6])
         wrench_r = d.site_xmat[refid] @ gear[3:6]
         row = row + wrench_r @ ((jacr - jacr_r) * chain[None, :])
-        length = length.at[i].set(leng)
-        moment = moment.at[i].set(row)
+        length = leng
     else:
       raise NotImplementedError(f"transmission type {trn}")
-  return d.replace(actuator_length=length, actuator_moment=moment)
+    lengths.append(length)
+    rows.append(jnp.asarray(row, dtype=dtype) if row is not None
+                else jnp.zeros((m.nv,), dtype=dtype))
+  return d.replace(actuator_length=jnp.stack(lengths),
+                   actuator_moment=jnp.stack(rows))
 
 
 def com_acc(m: Model, d: Data):
