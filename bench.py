@@ -2,48 +2,47 @@
 """Benchmark: batched humanoid env-steps/s on one chip.
 
 Protocol mirrors the reference's mjx benchmark (jit(vmap(scan(step))),
-/root/reference/mjx/mujoco/mjx/_src/test_util.py:51-106) on our flagship
-humanoid (BASELINE.md config 3). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
-vs_baseline is relative to MJX-JAX's published v5e per-chip humanoid number
-(≈340K steps/s/chip, /root/reference/doc/mjx.rst:666-676).
+/root/reference/mjx/mujoco/mjx/_src/test_util.py:51-106). Primary metric:
+our flagship humanoid at the tuned batch. Also reported, per VERDICT r1:
+  - the reference MJX benchmark humanoid (29 geoms / nv 27) loaded through
+    put_model at bench time ("mjx_humanoid_sps") — the apples-to-apples
+    number against MJX's published v5e figure
+  - the 4096-env batch ("sps_4096"), matching BASELINE.json's metric name
+The step loop runs the per-env divergence guard (check_reset) like the
+reference's in-step mj_checkPos/Vel.
+
+Prints ONE JSON line.
 """
 
 import json
 import os
-import sys
 import time
 
 BASELINE_PER_CHIP = 340_000.0
+MJX_HUMANOID = ("/root/reference/mjx/mujoco/mjx/test_data/humanoid/"
+                "humanoid.xml")
 
 
-def main():
-  nbatch = int(os.environ.get("BENCH_BATCH", "3072"))
-  nstep = int(os.environ.get("BENCH_NSTEP", "200"))
-
-  import jax
-  import jax.numpy as jnp
-  import numpy as np
-
-  from mujoco_tpu.models import zoo
+def _measure(m, nbatch, nstep, jax, jnp):
+  from mujoco_tpu.models import io
   from mujoco_tpu.ops import forward
   from mujoco_tpu.parallel import rollout as par
 
-  m = zoo.humanoid(dtype=jnp.float32)
   d0 = par.make_batch(m, nbatch, dtype=jnp.float32)
-
-  # randomize initial states slightly so envs don't march in lockstep
   key = jax.random.PRNGKey(0)
   qpos = d0.qpos + 0.01 * jax.random.normal(key, d0.qpos.shape,
                                             dtype=d0.qpos.dtype)
   d0 = d0.replace(qpos=qpos)
+  d_fresh = io.make_data(m, dtype=jnp.float32)
 
   step = jax.vmap(lambda dd: forward.step(m, dd))
 
   @jax.jit
   def run(d):
     def body(dd, _):
-      return step(dd), ()
+      dd = step(dd)
+      dd = par.check_reset(m, dd, d_fresh)
+      return dd, ()
     d, _ = jax.lax.scan(body, d, None, length=nstep)
     return d
 
@@ -56,11 +55,25 @@ def main():
   d = run(d)
   jax.block_until_ready(d.qpos)
   run_time = time.perf_counter() - t0
-
-  steps = nbatch * nstep
-  sps = steps / run_time
+  sps = nbatch * nstep / run_time
   finite = bool(jnp.isfinite(d.qpos).all())
-  print(json.dumps({
+  return sps, jit_time, run_time, finite
+
+
+def main():
+  nbatch = int(os.environ.get("BENCH_BATCH", "3072"))
+  nstep = int(os.environ.get("BENCH_NSTEP", "200"))
+  extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
+
+  import jax
+  import jax.numpy as jnp
+
+  from mujoco_tpu.models import zoo
+
+  m = zoo.humanoid(dtype=jnp.float32)
+  sps, jit_time, run_time, finite = _measure(m, nbatch, nstep, jax, jnp)
+
+  out = {
       "metric": "env-steps/s/chip (batched humanoid, %d envs)" % nbatch,
       "value": round(sps, 1),
       "unit": "env-steps/s",
@@ -70,7 +83,30 @@ def main():
       "nstep": nstep,
       "finite": finite,
       "device": str(jax.devices()[0]),
-  }))
+  }
+
+  if extras:
+    # the reference's own benchmark humanoid through put_model
+    try:
+      import mujoco
+      from mujoco_tpu.models import io as mio
+      mjm = mujoco.MjModel.from_xml_path(MJX_HUMANOID)
+      m2 = mio.put_model(mjm, dtype=jnp.float32)
+      sps2, jit2, _, fin2 = _measure(m2, nbatch, nstep, jax, jnp)
+      out["mjx_humanoid_sps"] = round(sps2, 1)
+      out["mjx_humanoid_vs_baseline"] = round(sps2 / BASELINE_PER_CHIP, 4)
+      out["mjx_humanoid_finite"] = fin2
+    except Exception as e:  # missing asset: report, don't fail the bench
+      out["mjx_humanoid_error"] = str(e)[:120]
+    # the BASELINE.json batch size
+    try:
+      sps3, _, _, fin3 = _measure(m, 4096, nstep, jax, jnp)
+      out["sps_4096"] = round(sps3, 1)
+      out["sps_4096_finite"] = fin3
+    except Exception as e:
+      out["sps_4096_error"] = str(e)[:120]
+
+  print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ MJCF compiler is a later layer.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -240,6 +241,54 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       slot_pairid.append(pid)
       slot_first.append(k == 0)
 
+  # ----- flex contact slots: K budgeted slots per compatible (geom, flex)
+  # pair (mj_collideGeomElem / mj_collidePlaneFlex candidates, top-K selected
+  # by depth at runtime — the fixed-shape analog of filterFlexContacts,
+  # engine_collision_driver.c:447)
+  nflex = int(getattr(mjm, "nflex", 0))
+  slot_flex2 = [-1] * len(slot_g1)
+  fp_geom, fp_flex, fp_adr = [], [], []
+  flex_budget = int(os.environ.get("MJTPU_FLEX_BUDGET", "8"))
+  flex_ok_types = {GeomType.PLANE, GeomType.SPHERE, GeomType.CAPSULE,
+                   GeomType.BOX}
+  for f in range(nflex):
+    fvertbody = set(int(b) for b in np.asarray(
+        mjm.flex_vertbodyid[mjm.flex_vertadr[f]:
+                            mjm.flex_vertadr[f] + mjm.flex_vertnum[f]]))
+    for g in range(mjm.ngeom):
+      c1 = mjm.geom_contype[g] & mjm.flex_conaffinity[f]
+      c2 = mjm.flex_contype[f] & mjm.geom_conaffinity[g]
+      if not (c1 or c2):
+        continue
+      if int(mjm.flex_dim[f]) != 2:
+        raise NotImplementedError(
+            f"flex {f}: collision only implemented for dim-2 (shell) flexes")
+      t = GeomType(mjm.geom_type[g])
+      if t not in flex_ok_types:
+        raise NotImplementedError(f"flex vs geom type {t.name}")
+      # geoms fully attached to flex vertex bodies never collide with it
+      if t != GeomType.PLANE and int(mjm.geom_bodyid[g]) in fvertbody and \
+         int(mjm.flex_elemnum[f]) <= 1:
+        continue
+      p1, p2 = int(mjm.geom_priority[g]), int(mjm.flex_priority[f])
+      if p1 != p2:
+        condim = int(mjm.geom_condim[g] if p1 > p2 else mjm.flex_condim[f])
+      else:
+        condim = int(max(mjm.geom_condim[g], mjm.flex_condim[f]))
+      if condim > 3:
+        raise NotImplementedError("flex contacts with condim > 3")
+      fp_geom.append(g)
+      fp_flex.append(f)
+      fp_adr.append(len(slot_g1))
+      for k in range(flex_budget):
+        slot_g1.append(g)
+        slot_g2.append(-1)
+        slot_types.append((int(t), -1))
+        slot_condim.append(condim)
+        slot_pairid.append(-1)
+        slot_first.append(k == 0)
+        slot_flex2.append(f)
+
   return ContactMeta(
       ncon=len(slot_g1),
       geom1=np.array(slot_g1, dtype=np.int32).reshape(-1),
@@ -248,7 +297,91 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       condim=np.array(slot_condim, dtype=np.int32).reshape(-1),
       pairid=np.array(slot_pairid, dtype=np.int32).reshape(-1),
       con_first=np.array(slot_first, dtype=bool).reshape(-1),
+      flex2=np.array(slot_flex2, dtype=np.int32).reshape(-1),
+      flexpair_geom=np.array(fp_geom, dtype=np.int32).reshape(-1),
+      flexpair_flex=np.array(fp_flex, dtype=np.int32).reshape(-1),
+      flexpair_adr=np.array(fp_adr, dtype=np.int32).reshape(-1),
+      flex_budget=flex_budget,
   )
+
+
+def _flex_meta(mjm: Any):
+  """Static flex topology (FlexMeta) from the compiled model; guards the
+  features not implemented yet (interpolated/nodal flexes, element-level
+  stretch/bending stiffness, self/internal collision)."""
+  from mujoco_tpu.models.types import FlexMeta
+  nflex = int(getattr(mjm, "nflex", 0))
+  zi = lambda n: np.zeros((n,), dtype=np.int32)
+  if nflex == 0:
+    return FlexMeta(
+        nflex=0, nvert=0, nedge=0, nelem=0, dim=zi(0), vertadr=zi(0),
+        vertnum=zi(0), edgeadr=zi(0), edgenum=zi(0), elemadr=zi(0),
+        elemnum=zi(0), vertbodyid=zi(0), centered=zi(0).astype(bool),
+        vert_iszero=zi(0).astype(bool), edge=zi(0).reshape(0, 2),
+        edge_flexid=zi(0), edge_rigid=zi(0).astype(bool),
+        elem=zi(0).reshape(0, 4), elem_flexid=zi(0),
+        rigid=zi(0).astype(bool), edgeequality=zi(0), condim=zi(0),
+        priority=zi(0), contype=zi(0), conaffinity=zi(0))
+
+  interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
+  if (interp != 0).any():
+    raise NotImplementedError("interpolated/nodal flexes (flex_interp != 0)")
+  if np.asarray(mjm.flex_selfcollide).any() and mjm.nflexelem:
+    raise NotImplementedError("flex self-collision")
+  if np.asarray(mjm.flex_internal).any():
+    raise NotImplementedError("flex internal collision")
+  if getattr(mjm, "flex_bending", np.zeros(0)).size:
+    raise NotImplementedError("flex bending stiffness")
+  if getattr(mjm, "flex_stiffness", np.zeros(0)).size:
+    raise NotImplementedError("flex element stretch stiffness")
+  if (np.asarray(mjm.flex_edgeequality) > 1).any():
+    raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
+
+  nvert = int(mjm.nflexvert)
+  nedge = int(mjm.nflexedge)
+  nelem = int(mjm.nflexelem)
+  dim = np.asarray(mjm.flex_dim, dtype=np.int32)
+  vertadr = np.asarray(mjm.flex_vertadr, dtype=np.int32)
+  edgeadr = np.asarray(mjm.flex_edgeadr, dtype=np.int32)
+  elemadr = np.asarray(mjm.flex_elemadr, dtype=np.int32)
+  elemnum = np.asarray(mjm.flex_elemnum, dtype=np.int32)
+
+  edge_flexid = np.zeros(nedge, dtype=np.int32)
+  elem_flexid = np.zeros(nelem, dtype=np.int32)
+  edge_global = np.zeros((nedge, 2), dtype=np.int32)
+  elem_global = np.full((nelem, 4), -1, dtype=np.int32)
+  for f in range(nflex):
+    ea, en = edgeadr[f], int(mjm.flex_edgenum[f])
+    edge_flexid[ea:ea + en] = f
+    edge_global[ea:ea + en] = (np.asarray(mjm.flex_edge[ea:ea + en])
+                               + vertadr[f])
+    ca, cn, dm = elemadr[f], elemnum[f], int(dim[f])
+    elem_flexid[ca:ca + cn] = f
+    edata = np.asarray(mjm.flex_elem[
+        int(mjm.flex_elemdataadr[f]):int(mjm.flex_elemdataadr[f])
+        + cn * (dm + 1)]).reshape(cn, dm + 1)
+    elem_global[ca:ca + cn, :dm + 1] = edata + vertadr[f]
+
+  vert = np.asarray(mjm.flex_vert, dtype=np.float64).reshape(nvert, 3)
+  return FlexMeta(
+      nflex=nflex, nvert=nvert, nedge=nedge, nelem=nelem,
+      dim=dim, vertadr=vertadr,
+      vertnum=np.asarray(mjm.flex_vertnum, dtype=np.int32),
+      edgeadr=edgeadr, edgenum=np.asarray(mjm.flex_edgenum, dtype=np.int32),
+      elemadr=elemadr, elemnum=elemnum,
+      vertbodyid=np.asarray(mjm.flex_vertbodyid, dtype=np.int32),
+      centered=np.asarray(mjm.flex_centered, dtype=bool),
+      vert_iszero=(vert == 0).all(axis=1),
+      edge=edge_global, edge_flexid=edge_flexid,
+      edge_rigid=np.asarray(getattr(mjm, "flexedge_rigid",
+                                    np.zeros(nedge)), dtype=bool),
+      elem=elem_global, elem_flexid=elem_flexid,
+      rigid=np.asarray(mjm.flex_rigid, dtype=bool),
+      edgeequality=np.asarray(mjm.flex_edgeequality, dtype=np.int32),
+      condim=np.asarray(mjm.flex_condim, dtype=np.int32),
+      priority=np.asarray(mjm.flex_priority, dtype=np.int32),
+      contype=np.asarray(mjm.flex_contype, dtype=np.int32),
+      conaffinity=np.asarray(mjm.flex_conaffinity, dtype=np.int32))
 
 
 def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
@@ -256,8 +389,22 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
   mj_makeConstraint (/root/reference/src/engine/engine_core_constraint.c):
   equality → dof friction → limits → contacts, with compile-time counts."""
   eq_id, eq_row = [], []
+  flexedge_rigid = np.asarray(getattr(mjm, "flexedge_rigid",
+                                      np.zeros(getattr(mjm, "nflexedge", 0))),
+                              dtype=bool)
   for i in range(mjm.neq):
     t = EqType(mjm.eq_type[i])
+    if t == EqType.FLEX:
+      # one row per non-rigid edge of the flex (mjEQ_FLEX,
+      # engine_core_constraint.c:982); eq_row carries the GLOBAL edge id
+      f = int(mjm.eq_obj1id[i])
+      ea, en = int(mjm.flex_edgeadr[f]), int(mjm.flex_edgenum[f])
+      for e in range(ea, ea + en):
+        if flexedge_rigid[e]:
+          continue
+        eq_id.append(i)
+        eq_row.append(e)
+      continue
     nrow = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
             EqType.TENDON: 1}.get(t)
     if nrow is None:
@@ -466,6 +613,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
   efc = _efc_meta(mjm, con, int(mjm.opt.cone))
   (act_dyntype, act_gaintype, act_biastype, act_slots, act_wrapprd,
    act_group) = _actuator_meta(mjm)
+  flx = _flex_meta(mjm)
 
   opt = Option(
       timestep=jx(mjm.opt.timestep),
@@ -505,6 +653,26 @@ def put_model(mjm: Any, dtype=None) -> Model:
       has_actgravcomp=bool(
           np.any(np.asarray(getattr(mjm, 'jnt_actgravcomp',
                                     np.zeros(mjm.njnt))))),
+      has_flex=flx.nflex > 0,
+      flx=flx,
+      flex_vert=jx(np.asarray(getattr(mjm, 'flex_vert',
+                                      np.zeros((0, 3)))).reshape(-1, 3)),
+      flex_radius=jx(getattr(mjm, 'flex_radius', np.zeros(0))),
+      flexedge_length0=jx(getattr(mjm, 'flexedge_length0', np.zeros(0))),
+      flexedge_invweight0=jx(getattr(mjm, 'flexedge_invweight0',
+                                     np.zeros(0))),
+      flex_edgestiffness=jx(getattr(mjm, 'flex_edgestiffness', np.zeros(0))),
+      flex_edgedamping=jx(getattr(mjm, 'flex_edgedamping', np.zeros(0))),
+      flex_damping=jx(getattr(mjm, 'flex_damping', np.zeros(0))),
+      flex_friction=jx(np.asarray(getattr(mjm, 'flex_friction',
+                                          np.zeros((0, 3)))).reshape(-1, 3)),
+      flex_solref=jx(np.asarray(getattr(mjm, 'flex_solref',
+                                        np.zeros((0, 2)))).reshape(-1, 2)),
+      flex_solimp=jx(np.asarray(getattr(mjm, 'flex_solimp',
+                                        np.zeros((0, 5)))).reshape(-1, 5)),
+      flex_margin=jx(getattr(mjm, 'flex_margin', np.zeros(0))),
+      flex_gap=jx(getattr(mjm, 'flex_gap', np.zeros(0))),
+      flex_solmix=jx(getattr(mjm, 'flex_solmix', np.zeros(0))),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
       tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),
@@ -671,6 +839,7 @@ def make_data(m: Model, dtype=None) -> Data:
       solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
                       (ncon, 1)),
       mu=z(ncon),
+      flexvert=jnp.full((ncon, 3), -1, dtype=jnp.int32),
   )
 
   return Data(
@@ -695,6 +864,8 @@ def make_data(m: Model, dtype=None) -> Data:
       subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
       crb=z(nb, 6, 6), qM=z(nv, nv), qLD=z(nv, nv), qLDiagInv=z(nv),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
+      flexvert_xpos=z(m.flx.nvert, 3), flexedge_length=z(m.flx.nedge),
+      flexedge_velocity=z(m.flx.nedge), flexedge_J=z(m.flx.nedge, nv),
       actuator_length=z(m.nu), actuator_moment=z(m.nu, nv),
       contact=contact,
       cvel=z(nb, 6), cdof_dot=z(nv, 6), qfrc_bias=z(nv),

@@ -323,6 +323,50 @@ class ContactMeta:
   # explicit <pair> overrides: -1 = combine from geoms, else pair index
   pairid: np.ndarray = static_field()
   con_first: np.ndarray = static_field()     # (ncon,) bool: first slot of pair
+  # flex contact slots (appended after geom-geom slots): flex2 is the flex id
+  # (-1 for geom-geom slots, where geom2 is valid); flexpair_* lists the
+  # (geom, flex) candidate pairs, each owning `flex_budget` top-K slots
+  flex2: np.ndarray = static_field()         # (ncon,)
+  flexpair_geom: np.ndarray = static_field() # (nflexpair,)
+  flexpair_flex: np.ndarray = static_field() # (nflexpair,)
+  flexpair_adr: np.ndarray = static_field()  # (nflexpair,) first slot
+  flex_budget: int = static_field()          # K slots per (geom, flex) pair
+
+
+@pytree_dataclass
+class FlexMeta:
+  """Static flex (deformable) topology, bridged from the compiled model.
+
+  Counterpart of the flex arrays in mjmodel.h: vertices attach to bodies
+  (flex_vertbodyid), elements are (dim+1)-vertex simplices, edges connect
+  vertex pairs. Vertex/edge/element ids here are GLOBAL (already offset by
+  the per-flex adr), so downstream code indexes flat arrays directly.
+  """
+  nflex: int = static_field()
+  nvert: int = static_field()
+  nedge: int = static_field()
+  nelem: int = static_field()
+  dim: np.ndarray = static_field()          # (nflex,)
+  vertadr: np.ndarray = static_field()      # (nflex,)
+  vertnum: np.ndarray = static_field()
+  edgeadr: np.ndarray = static_field()
+  edgenum: np.ndarray = static_field()
+  elemadr: np.ndarray = static_field()
+  elemnum: np.ndarray = static_field()
+  vertbodyid: np.ndarray = static_field()   # (nvert,) global body id
+  centered: np.ndarray = static_field()     # (nflex,) bool
+  vert_iszero: np.ndarray = static_field()  # (nvert,) bool: zero local offset
+  edge: np.ndarray = static_field()         # (nedge, 2) global vertex ids
+  edge_flexid: np.ndarray = static_field()  # (nedge,)
+  edge_rigid: np.ndarray = static_field()   # (nedge,) bool
+  elem: np.ndarray = static_field()         # (nelem, 4) global vert ids, -1 pad
+  elem_flexid: np.ndarray = static_field()  # (nelem,)
+  rigid: np.ndarray = static_field()        # (nflex,) bool
+  edgeequality: np.ndarray = static_field() # (nflex,)
+  condim: np.ndarray = static_field()       # (nflex,)
+  priority: np.ndarray = static_field()
+  contype: np.ndarray = static_field()
+  conaffinity: np.ndarray = static_field()
 
 
 @pytree_dataclass
@@ -393,6 +437,7 @@ class Model:
   has_fluid: bool = static_field()
   has_tendon_armature: bool = static_field()
   has_actgravcomp: bool = static_field()
+  has_flex: bool = static_field()
 
   opt: Option = field()
 
@@ -623,6 +668,22 @@ class Model:
   sensor_adr: np.ndarray = static_field()
   sensor_cutoff: jax.Array = field()
 
+  # ----- flex (deformables); topology in flx, numeric parameters traced
+  flx: FlexMeta = static_field()
+  flex_vert: jax.Array = field()             # (nvert, 3) local offsets
+  flex_radius: jax.Array = field()           # (nflex,)
+  flexedge_length0: jax.Array = field()      # (nedge,)
+  flexedge_invweight0: jax.Array = field()   # (nedge,)
+  flex_edgestiffness: jax.Array = field()    # (nflex,)
+  flex_edgedamping: jax.Array = field()      # (nflex,)
+  flex_damping: jax.Array = field()          # (nflex,)
+  flex_friction: jax.Array = field()         # (nflex, 3)
+  flex_solref: jax.Array = field()           # (nflex, 2)
+  flex_solimp: jax.Array = field()           # (nflex, 5)
+  flex_margin: jax.Array = field()           # (nflex,)
+  flex_gap: jax.Array = field()              # (nflex,)
+  flex_solmix: jax.Array = field()           # (nflex,)
+
   def disabled(self, bit: DisableBit) -> bool:
     return bool(self.opt.disableflags & bit)
 
@@ -650,6 +711,11 @@ class Contact:
   solimp: jax.Array        # (ncon, 5)
   mu: jax.Array            # (ncon,) regularized-cone friction (set by
                            # make_constraint, mj_makeImpedance semantics)
+  # flex contacts: global vertex ids of the contacting element (or a single
+  # vertex for plane-vertex contacts), -1 padded; selected dynamically by the
+  # top-K budget, hence traced (mjContact.flex/elem/vert analog, mjdata.h:37)
+  flexvert: jax.Array      # (ncon, 3) int32
+
 
 
 @pytree_dataclass
@@ -697,6 +763,10 @@ class Data:
   qLDiagInv: jax.Array         # (nv,) unused in dense mode; kept for parity
   ten_length: jax.Array        # (ntendon,)
   ten_J: jax.Array             # (ntendon, nv)
+  flexvert_xpos: jax.Array     # (nflexvert, 3)
+  flexedge_length: jax.Array   # (nflexedge,)
+  flexedge_velocity: jax.Array # (nflexedge,)
+  flexedge_J: jax.Array        # (nflexedge, nv)
   actuator_length: jax.Array   # (nu,)
   actuator_moment: jax.Array   # (nu, nv)
   contact: Contact = field()

@@ -60,16 +60,29 @@ def make_frame(normal, tangent):
 
 def _combine_params(m: Model, slots: np.ndarray):
   """Per-slot combined (includemargin, friction5, solref, solreffriction,
-  solimp) as traced arrays; slot→geom indices are static."""
+  solimp) as traced arrays; slot→geom indices are static. Slots with
+  flex2 >= 0 take their second-side parameters from the flex
+  (mj_contactParam with f2 >= 0, engine_collision_driver.c:1740)."""
   g1 = m.con.geom1[slots]
-  g2 = m.con.geom2[slots]
+  g2 = np.maximum(m.con.geom2[slots], 0)
+  fx2 = m.con.flex2[slots]
+  is_flex = fx2 >= 0
+  fxi = np.maximum(fx2, 0)
   pid = m.con.pairid[slots]
   dtype = m.geom_friction.dtype
 
-  p1 = m.geom_priority[g1]
-  p2 = m.geom_priority[g2]
+  def side2(geom_arr, flex_arr):
+    if not is_flex.any():
+      return geom_arr[g2]
+    return jnp.where(jnp.asarray(is_flex).reshape(
+        (-1,) + (1,) * (geom_arr.ndim - 1)), flex_arr[fxi], geom_arr[g2])
 
-  solmix1, solmix2 = m.geom_solmix[g1], m.geom_solmix[g2]
+  p1 = m.geom_priority[g1]
+  p2 = np.where(is_flex, m.flx.priority[fxi] if len(m.flx.priority) else 0,
+                m.geom_priority[g2])
+
+  solmix1 = m.geom_solmix[g1]
+  solmix2 = side2(m.geom_solmix, m.flex_solmix)
   both = (solmix1 >= mjm.MINVAL) & (solmix2 >= mjm.MINVAL)
   neither = (solmix1 < mjm.MINVAL) & (solmix2 < mjm.MINVAL)
   mix = jnp.where(
@@ -77,21 +90,24 @@ def _combine_params(m: Model, slots: np.ndarray):
       jnp.where(neither, 0.5, jnp.where(solmix1 < mjm.MINVAL, 0.0, 1.0)))
   mix = mix[:, None]
 
-  ref1, ref2 = m.geom_solref[g1], m.geom_solref[g2]
+  ref1 = m.geom_solref[g1]
+  ref2 = side2(m.geom_solref, m.flex_solref)
+  imp1 = m.geom_solimp[g1]
+  imp2 = side2(m.geom_solimp, m.flex_solimp)
+  fri1 = m.geom_friction[g1]
+  fri2 = side2(m.geom_friction, m.flex_friction)
   std = (ref1[:, :1] > 0) & (ref2[:, :1] > 0)
   solref_mixed = jnp.where(std, mix * ref1 + (1 - mix) * ref2,
                            jnp.minimum(ref1, ref2))
-  solimp_mixed = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
-  fri_mixed = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+  solimp_mixed = mix * imp1 + (1 - mix) * imp2
+  fri_mixed = jnp.maximum(fri1, fri2)
 
   # priority overrides (static selection masks)
   hi1 = jnp.asarray(p1 > p2)[:, None]
   hi2 = jnp.asarray(p2 > p1)[:, None]
   solref = jnp.where(hi1, ref1, jnp.where(hi2, ref2, solref_mixed))
-  solimp = jnp.where(hi1, m.geom_solimp[g1],
-                     jnp.where(hi2, m.geom_solimp[g2], solimp_mixed))
-  fri = jnp.where(hi1, m.geom_friction[g1],
-                  jnp.where(hi2, m.geom_friction[g2], fri_mixed))
+  solimp = jnp.where(hi1, imp1, jnp.where(hi2, imp2, solimp_mixed))
+  fri = jnp.where(hi1, fri1, jnp.where(hi2, fri2, fri_mixed))
 
   friction5 = jnp.stack(
       [fri[:, 0], fri[:, 0], fri[:, 1], fri[:, 2], fri[:, 2]], axis=-1)
@@ -100,7 +116,7 @@ def _combine_params(m: Model, slots: np.ndarray):
   # margins/gaps add (getMargin/getGap, engine_collision_driver.c:161-175);
   # includemargin = margin — the gap only widens detection, and rows with
   # dist ≥ includemargin are excluded, which fixed slots handle by masking
-  margin = m.geom_margin[g1] + m.geom_margin[g2]
+  margin = m.geom_margin[g1] + side2(m.geom_margin, m.flex_margin)
   solreffriction = jnp.zeros_like(solref)
 
   # explicit <pair> overrides (mj_collideGeomPair: pair params replace the
@@ -136,6 +152,8 @@ def collision(m: Model, d: Data) -> Data:
   keys = {}
   for c in range(ncon):
     if m.con.con_first[c]:
+      if m.con.flex2[c] >= 0:
+        continue  # flex slots are filled by collision_flex below
       t1 = int(m.con.pair_type[c, 0])
       t2 = int(m.con.pair_type[c, 1])
       # hfield/mesh colliders close over the (static) asset ids
@@ -183,6 +201,12 @@ def collision(m: Model, d: Data) -> Data:
     pos = pos.at[slot_idx].set(pp.reshape(-1, 3))
     frame = frame.at[slot_idx].set(ff.reshape(-1, 3, 3))
 
+  flexvert = jnp.full((ncon, 3), -1, dtype=jnp.int32)
+  if len(m.con.flexpair_geom):
+    from mujoco_tpu.ops import collision_flex
+    dist, pos, frame, flexvert = collision_flex.flex_collision(
+        m, d, dist, pos, frame, flexvert)
+
   all_slots = np.arange(ncon)
   includemargin, friction5, solref, solreffriction, solimp = _combine_params(
       m, all_slots)
@@ -190,5 +214,6 @@ def collision(m: Model, d: Data) -> Data:
   contact = Contact(dist=dist, pos=pos, frame=frame,
                     includemargin=includemargin, friction=friction5,
                     solref=solref, solreffriction=solreffriction,
-                    solimp=solimp, mu=jnp.zeros((ncon,), dtype=dtype))
+                    solimp=solimp, mu=jnp.zeros((ncon,), dtype=dtype),
+                    flexvert=flexvert)
   return d.replace(contact=contact)

@@ -270,6 +270,23 @@ def _equality_rows(m: Model, d: Data):
       rows_solref.append(m.eq_solref[i])
       rows_solimp.append(m.eq_solimp[i])
       rows_imp_pos.append(cpos)
+
+    elif et == EqType.FLEX:
+      # one row per non-rigid edge: pos = length − length0, J = edge
+      # Jacobian, diagA = flexedge_invweight0 (mjEQ_FLEX,
+      # engine_core_constraint.c:982, :1779)
+      f = obj1
+      edges = np.nonzero((m.flx.edge_flexid == f) & ~m.flx.edge_rigid)[0]
+      if len(edges):
+        k = len(edges)
+        pos_blk = d.flexedge_length[edges] - m.flexedge_length0[edges]
+        rows_J.append(d.flexedge_J[edges])                     # (k, nv)
+        rows_pos.append(pos_blk)
+        rows_active.append(jnp.broadcast_to(jnp.asarray(active), (k,)))
+        rows_diaga.append(m.flexedge_invweight0[edges])
+        rows_solref.append(jnp.broadcast_to(m.eq_solref[i], (k, 2)))
+        rows_solimp.append(jnp.broadcast_to(m.eq_solimp[i], (k, 5)))
+        rows_imp_pos.append(pos_blk)
     else:
       raise NotImplementedError(f"equality type {et}")
 
@@ -280,13 +297,17 @@ def _equality_rows(m: Model, d: Data):
             jnp.zeros((0, 2), dtype=dtype), jnp.zeros((0, 2), dtype=dtype),
             jnp.zeros((0, 5), dtype=dtype), z)
 
-  J = jnp.stack(rows_J)
-  pos = jnp.stack(rows_pos)
-  active = jnp.stack([jnp.asarray(a) for a in rows_active])
-  diaga = jnp.stack(rows_diaga)
-  solref = jnp.stack(rows_solref)
-  solimp = jnp.stack(rows_solimp)
-  imp_pos = jnp.stack(rows_imp_pos)
+  # rows may be single (nv,) rows or (k, nv) blocks (flex edges)
+  J = jnp.concatenate([jnp.atleast_2d(x) for x in rows_J])
+  pos = jnp.concatenate([jnp.atleast_1d(x) for x in rows_pos])
+  active = jnp.concatenate(
+      [jnp.atleast_1d(jnp.asarray(a)) for a in rows_active])
+  diaga = jnp.concatenate([jnp.atleast_1d(x) for x in rows_diaga])
+  solref = jnp.concatenate(
+      [x if x.ndim == 2 else x[None] for x in rows_solref])
+  solimp = jnp.concatenate(
+      [x if x.ndim == 2 else x[None] for x in rows_solimp])
+  imp_pos = jnp.concatenate([jnp.atleast_1d(x) for x in rows_imp_pos])
   n = J.shape[0]
   z = jnp.zeros((n,), dtype=dtype)
   return (J, pos, z, z, active, diaga, solref,
@@ -430,12 +451,46 @@ def _contact_rows(m: Model, d: Data):
   con = d.contact
   enabled = not m.disabled(DisableBit.CONTACT)
   b1 = m.geom_bodyid[m.con.geom1]
-  b2 = m.geom_bodyid[m.con.geom2]
+  b2 = m.geom_bodyid[np.maximum(m.con.geom2, 0)]
   # rotational jacobians only exist in rows when some contact has
   # torsional/rolling friction (condim > 3) — skip the work otherwise
   need_rot = bool(np.any(m.con.condim > 3))
-  jacp, jacr = _point_jac_diff(m, d, con.pos, b1, b2,
-                               with_rot=need_rot)  # (ncon, 3, nv)
+  is_flex = m.con.flex2 >= 0
+  if is_flex.any():
+    # flex side-2: inverse-distance weighted vertex-body jacobians
+    # (mj_elemBodyWeight + mj_jacSum, engine_core_constraint.c:221, :1611);
+    # the contacting vertex triple is dynamic (top-K slots), so body masks
+    # are traced gathers
+    vids = con.flexvert                                # (ncon, 3) traced
+    valid = vids >= 0
+    vsafe = jnp.maximum(vids, 0)
+    vpos = d.flexvert_xpos[vsafe]                      # (ncon, 3, 3)
+    dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)  # (ncon, 3)
+    w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
+    w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
+    vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
+    amask_all = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
+    wmask2 = jnp.einsum('cw,cwv->cv', w, amask_all[vbody])   # (ncon, nv)
+    mask2 = jnp.where(jnp.asarray(is_flex)[:, None], wmask2,
+                      jnp.asarray(m.tree.ancestor_mask[b2], dtype=dtype))
+    mask = mask2 - jnp.asarray(m.tree.ancestor_mask[b1], dtype=dtype)
+    o = d.subtree_com[m.body_rootid[m.dof_bodyid]]
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    jacp = lin[None] + jnp.cross(
+        jnp.broadcast_to(ang[None], (con.pos.shape[0],) + ang.shape),
+        con.pos[:, None, :] - o[None])
+    jacp = jnp.swapaxes(jacp * mask[..., None], 1, 2)
+    jacr = jnp.swapaxes(
+        jnp.broadcast_to(ang[None], (con.pos.shape[0],) + ang.shape)
+        * mask[..., None], 1, 2) if need_rot else None
+    # weighted flex-side inverse inertia for diagA below
+    iw = jnp.asarray(m.body_invweight0, dtype=dtype)
+    tran2_flex = jnp.einsum('cw,cw->c', w, iw[vbody, 0])
+    rot2_flex = jnp.einsum('cw,cw->c', w, iw[vbody, 1])
+  else:
+    jacp, jacr = _point_jac_diff(m, d, con.pos, b1, b2,
+                                 with_rot=need_rot)  # (ncon, 3, nv)
 
   # rotate into contact frame: rows [n, t1, t2] and rolling [n, t1, t2]
   jt = jnp.einsum('cij,cjv->civ', con.frame, jacp)     # (ncon, 3, nv)
@@ -489,9 +544,14 @@ def _contact_rows(m: Model, d: Data):
 
   active = active_slot[cid]
 
-  # diagA (mj_diagApprox): tran/rot from both bodies
+  # diagA (mj_diagApprox): tran/rot from both sides; flex side uses the
+  # inverse-distance body weighting (engine_core_constraint.c:1939)
   tran = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
   rot = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+  if is_flex.any():
+    isf = jnp.asarray(is_flex)
+    tran = jnp.where(isf, m.body_invweight0[b1, 0] + tran2_flex, tran)
+    rot = jnp.where(isf, m.body_invweight0[b1, 1] + rot2_flex, rot)
   if pyramidal:
     fri = con.friction[cid, np.clip(fdim - 1, 0, 4)]
     base = jnp.where(jnp.asarray(fdim <= 2), tran[cid], rot[cid])

@@ -31,6 +31,9 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   d = smooth.camlight(m, d)
+  if m.has_flex:
+    from mujoco_tpu.ops import flex as flex_mod
+    d = flex_mod.flex(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   # the tree factor is only consumed by the CG preconditioner and PGS's
@@ -51,6 +54,8 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   d = d.replace(
       actuator_velocity=d.actuator_moment @ d.qvel,
       ten_velocity=d.ten_J @ d.qvel if m.ntendon else d.ten_velocity,
+      flexedge_velocity=(d.flexedge_J @ d.qvel if m.has_flex
+                         else d.flexedge_velocity),
   )
   d = smooth.com_vel(m, d)
   d = passive_mod.passive(m, d)

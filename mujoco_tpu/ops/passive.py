@@ -77,6 +77,15 @@ def passive(m: Model, d: Data) -> Data:
   qfrc_spring = _joint_springs(m, d) if enbl_spring else zero
   qfrc_damper = -m.dof_damping * d.qvel if enbl_damper else zero
 
+  # flex edge spring-dampers (engine_passive.c:760-791)
+  if m.has_flex and m.flx.nedge:
+    from mujoco_tpu.ops import flex as flex_mod
+    fs, fd = flex_mod.edge_passive(m, d)
+    if enbl_spring:
+      qfrc_spring = qfrc_spring + fs
+    if enbl_damper:
+      qfrc_damper = qfrc_damper + fd
+
   # tendon spring (deadband interval) + damper
   if m.ntendon:
     lo = m.tendon_lengthspring[:, 0]

@@ -12,6 +12,7 @@ public ``ray`` entry converts to the reference's -1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,6 +147,86 @@ def ray_box(pos, mat, size, pnt, vec):
   return best
 
 
+def _ray_triangles(lpnt, lvec, v0, v1, v2):
+  """Batched Möller–Trumbore ray-triangle: min distance over all triangles
+  (the branchless all-triangle analog of mj_rayMesh's BVH walk,
+  engine_ray.c:952). v0/v1/v2: (F, 3) in the local frame."""
+  e1 = v1 - v0
+  e2 = v2 - v0
+  h = jnp.cross(lvec[None, :], e2)
+  a = jnp.sum(e1 * h, axis=-1)
+  safe_a = jnp.where(jnp.abs(a) > mjm.MINVAL, a, 1.0)
+  s = lpnt[None, :] - v0
+  u = jnp.sum(s * h, axis=-1) / safe_a
+  q = jnp.cross(s, e1)
+  v = jnp.sum(lvec[None, :] * q, axis=-1) / safe_a
+  t = jnp.sum(e2 * q, axis=-1) / safe_a
+  ok = ((jnp.abs(a) > mjm.MINVAL) & (u >= 0) & (v >= 0) & (u + v <= 1)
+        & (t >= 0))
+  return jnp.min(jnp.where(ok, t, _INF))
+
+
+def make_ray_mesh(m, meshid: int):
+  """Ray collider for one static mesh id (mj_rayMesh, engine_ray.c:952):
+  all-triangle test in the geom frame."""
+  vadr = int(m.mesh_vertadr[meshid])
+  fadr = int(m.mesh_faceadr[meshid])
+  fnum = int(m.mesh_facenum[meshid])
+  faces = m.mesh_face[fadr:fadr + fnum] + vadr   # (F, 3) global vert rows
+
+  def fn(pos, mat, size, pnt, vec):
+    lpnt, lvec = _ray_map(pos, mat, pnt, vec)
+    v0 = m.mesh_vert[faces[:, 0]]
+    v1 = m.mesh_vert[faces[:, 1]]
+    v2 = m.mesh_vert[faces[:, 2]]
+    return _ray_triangles(lpnt, lvec, v0, v1, v2)
+  return fn
+
+
+def make_ray_hfield(m, hid: int):
+  """Ray collider for one static hfield id (mj_rayHfield, engine_ray.c:562):
+  all grid triangles + the four base prism side/bottom quads are tested
+  branchlessly (no grid traversal — fixed shapes)."""
+  adr = int(m.hfield_adr[hid])
+  nrow = int(m.hfield_nrow[hid])
+  ncol = int(m.hfield_ncol[hid])
+  size = m.hfield_size_np[hid]                    # (4,) static
+
+  xs = np.linspace(-size[0], size[0], ncol)
+  ys = np.linspace(-size[1], size[1], nrow)
+  r, c = np.meshgrid(np.arange(nrow - 1), np.arange(ncol - 1), indexing="ij")
+  r = r.ravel()
+  c = c.ravel()
+
+  def fn(pos, mat, gsize, pnt, vec):
+    lpnt, lvec = _ray_map(pos, mat, pnt, vec)
+    data = jax.lax.dynamic_slice(m.hfield_data, (adr,),
+                                 (nrow * ncol,)).reshape(nrow, ncol)
+    z = data * size[2]
+    def corner(rr, cc):
+      return jnp.stack([jnp.asarray(xs[cc], dtype=lpnt.dtype),
+                        jnp.asarray(ys[rr], dtype=lpnt.dtype),
+                        z[rr, cc]], axis=-1)
+    p00 = corner(r, c)
+    p01 = corner(r, c + 1)
+    p10 = corner(r + 1, c)
+    p11 = corner(r + 1, c + 1)
+    # cell diagonal (c,r)→(c+1,r+1), matching the collision triangulation:
+    # triangle A (p00, p01, p11), triangle B (p00, p11, p10)
+    v0 = jnp.concatenate([p00, p00])
+    v1 = jnp.concatenate([p01, p11])
+    v2 = jnp.concatenate([p11, p10])
+    best = _ray_triangles(lpnt, lvec, v0, v1, v2)
+    # base box sides/bottom (depth size[3])
+    base_size = jnp.asarray([size[0], size[1], size[3] * 0.5],
+                            dtype=lpnt.dtype)
+    shift = jnp.asarray([0.0, 0.0, -size[3] * 0.5], dtype=lpnt.dtype)
+    eye = jnp.eye(3, dtype=lpnt.dtype)
+    b = ray_box(shift, eye, base_size, lpnt, lvec)
+    return jnp.minimum(best, b)
+  return fn
+
+
 _RAY_FUNC = {
     int(GeomType.PLANE): ray_plane,
     int(GeomType.SPHERE): ray_sphere,
@@ -179,7 +260,8 @@ def ray(m: Model, d: Data, pnt, vec, geomgroup=None, flg_static: bool = True,
   dists = jnp.full((m.ngeom,), _INF, dtype=dtype)
   for g in range(m.ngeom):
     t = int(m.geom_type[g])
-    if t not in _RAY_FUNC:
+    if t not in _RAY_FUNC and t not in (int(GeomType.MESH),
+                                        int(GeomType.HFIELD)):
       continue
     if bodyexclude >= 0 and int(m.geom_bodyid[g]) == bodyexclude:
       continue
@@ -189,7 +271,13 @@ def ray(m: Model, d: Data, pnt, vec, geomgroup=None, flg_static: bool = True,
       grp = min(max(int(m.geom_group[g]), 0), len(geomgroup) - 1)
       if not geomgroup[grp]:
         continue
-    x = _RAY_FUNC[t](d.geom_xpos[g], d.geom_xmat[g], m.geom_size[g], pnt, vec)
+    if t == int(GeomType.MESH):
+      fn = make_ray_mesh(m, int(m.geom_dataid[g]))
+    elif t == int(GeomType.HFIELD):
+      fn = make_ray_hfield(m, int(m.geom_dataid[g]))
+    else:
+      fn = _RAY_FUNC[t]
+    x = fn(d.geom_xpos[g], d.geom_xmat[g], m.geom_size[g], pnt, vec)
     dists = dists.at[g].set(x)
   geomid = jnp.argmin(dists)
   best = dists[geomid]

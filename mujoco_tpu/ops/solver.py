@@ -236,17 +236,37 @@ def _eval_phi(m: Model, d: Data, jar0, jp, gx0, pmp, alpha):
 
 
 def _linesearch(m: Model, d: Data, jar0, jp, gx0, pmp):
-  """Exact-ish linesearch: safeguarded Newton on φ'(α) = 0
-  (counterpart of the primal linesearch in engine_solver.c)."""
+  """Bracketed safeguarded Newton on φ'(α) = 0 (PrimalSearch,
+  engine_solver.c:1852): pure Newton steps while the slope stays negative
+  (one-sided expansion); once the slope changes sign the bracket [lo, hi]
+  is maintained and proposals falling outside it are replaced by bisection.
+  This keeps exact-Newton behavior on smooth stretches while staying robust
+  at the piecewise-quadratic kinks where many rows switch state at once
+  (e.g. duplicate flex contacts)."""
   dtype = jar0.dtype
   ls_iter = int(m.opt.ls_iterations)
+  big = jnp.asarray(jnp.inf, dtype=dtype)
 
-  def body(_, alpha):
+  def body(_, carry):
+    lo, hi, has_hi, alpha = carry
     dphi, ddphi, _ = _eval_phi(m, d, jar0, jp, gx0, pmp, alpha)
-    step = dphi / jnp.maximum(ddphi, mjm.MINVAL)
-    return alpha - step
+    neg = dphi < 0
+    lo = jnp.where(neg, jnp.maximum(lo, alpha), lo)
+    hi = jnp.where(neg, hi, jnp.minimum(hi, alpha))
+    has_hi = has_hi | ~neg
+    prop = alpha - dphi / jnp.maximum(ddphi, mjm.MINVAL)
+    mid = 0.5 * (lo + jnp.where(has_hi, hi, lo))
+    # plain Newton proposals are kept whenever they stay inside the known
+    # bracket, INCLUSIVE (exact-Newton behavior on smooth stretches — a
+    # converged proposal sits exactly on a bracket edge and must be kept);
+    # only escapes fall back to bisection
+    ok = (prop >= lo) & (prop <= hi)
+    alpha_next = jnp.where(ok, prop, jnp.where(has_hi, mid, prop))
+    return lo, hi, has_hi, alpha_next
 
-  alpha = jax.lax.fori_loop(0, ls_iter, body, jnp.zeros((), dtype=dtype))
+  carry = (jnp.zeros((), dtype=dtype), big, jnp.zeros((), dtype=bool),
+           jnp.zeros((), dtype=dtype))
+  lo, hi, has_hi, alpha = jax.lax.fori_loop(0, ls_iter, body, carry)
   return jnp.maximum(alpha, 0.0)
 
 
@@ -283,6 +303,10 @@ def solve(m: Model, d: Data) -> Data:
   def newton_step(x):
     jar = J @ x - aref
     ctx = _update(m, d, jar)
+    # full objective at x (constraint penalty + Gauss quadratic) — the
+    # convergence test compares successive full costs; constraint cost alone
+    # would mis-measure improvement and stop early
+    cost_x = ctx.cost + 0.5 * jnp.dot(x - a_s, M @ (x - a_s))
     grad = M @ (x - a_s) - J.T @ ctx.force
     jw = J * ctx.quad_w[:, None]
     h = M + jw.T @ J
@@ -297,7 +321,7 @@ def solve(m: Model, d: Data) -> Data:
     gx0 = jnp.dot(p, M @ (x - a_s))
     pmp = jnp.dot(p, M @ p)
     alpha = _linesearch(m, d, jar, jp, gx0, pmp)
-    return x + alpha * p, ctx.cost, grad
+    return x + alpha * p, cost_x, grad
 
   def cg_step(carry):
     x, g_prev, dir_prev, first = carry
@@ -320,16 +344,22 @@ def solve(m: Model, d: Data) -> Data:
 
   iterations = int(m.opt.iterations)
 
-  def loop_body(carry):
+  def loop_body(carry, need_improvement=True):
     x, prev_cost, _, it, g_prev, dir_prev, first = carry
     if use_newton:
-      x_new, cost, grad = newton_step(x)
+      x_new, cost_old, grad = newton_step(x)
       g_new, dir_new, first_new = g_prev, dir_prev, first
     else:
       x_new, g_new, dir_new, first_new = cg_step((x, g_prev, dir_prev, first))
-      cost = _update(m, d, J @ x_new - aref).cost + 0.5 * jnp.dot(
-          x_new - a_s, M @ (x_new - a_s))
       grad = g_new
+    if need_improvement:
+      # post-step full cost: the stop test compares THIS iteration's
+      # improvement, matching the reference's end-of-iteration break
+      # (engine_solver.c saveStats/termination) — a lagged comparison would
+      # run one extra iteration and drift from the oracle's trajectory
+      cost = cost_of(x_new)
+    else:
+      cost = prev_cost  # static-unroll path: never inspected
     improvement = prev_cost - cost
     return x_new, cost, improvement, it + 1, g_new, dir_new, first_new
 
@@ -337,16 +367,17 @@ def solve(m: Model, d: Data) -> Data:
     _, _, improvement, it, *_ = carry
     return (it < iterations) & (improvement > tol)
 
-  init_cost = cost_of(x0)
   big = jnp.asarray(jnp.inf, dtype=dtype)
+  init_cost = cost_of(x0)
   carry = (x0, init_cost, big, jnp.zeros((), jnp.int32),
            jnp.zeros((nv,), dtype=dtype), jnp.zeros((nv,), dtype=dtype),
            jnp.ones((), dtype=bool))
   if iterations <= 4:
     # small fixed budgets (the benchmark regime): static unroll — no
-    # while_loop barrier, lets XLA fuse across the whole solve
+    # while_loop barrier or convergence bookkeeping, lets XLA fuse across
+    # the whole solve
     for _ in range(iterations):
-      carry = loop_body(carry)
+      carry = loop_body(carry, need_improvement=False)
     x, cost, _, niter, *_ = carry
   elif iterations <= 32:
     # bounded scan with a convergence freeze: fixed trip count, so

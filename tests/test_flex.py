@@ -1,0 +1,173 @@
+"""Differential tests: flex (deformable) bodies vs the C oracle.
+
+Covers the mj_flex pipeline (engine_core_smooth.c:548), mjEQ_FLEX equality
+rows (engine_core_constraint.c:982), flex edge spring-dampers
+(engine_passive.c:760), and geom-vs-element contacts
+(mj_collidePlaneFlex / mjraw_{Sphere,Capsule,Box}Triangle) including the
+hammock driver-benchmark config (BASELINE.json configs[3]).
+"""
+
+import os
+
+os.environ.setdefault("MJTPU_FLEX_BUDGET", "32")
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_tpu.models import io
+from mujoco_tpu.ops import forward
+
+
+def _cloth_xml(body="", pins="0 4 20 24", edge='<edge equality="true" solref="0.004 1"/>'):
+  pin = f'<pin id="{pins}"/>' if pins else ""
+  return f"""
+<mujoco>
+  <option timestep="0.002" solver="Newton"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1" pos="0 0 -0.5"/>
+    <flexcomp name="cloth" type="grid" count="5 5 1" spacing="0.1 0.1 0.1"
+              radius="0.02" dim="2" mass="0.4" pos="0 0 0.35">
+      {pin}
+      {edge}
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+    {body}
+  </worldbody>
+</mujoco>"""
+
+
+def test_flex_kinematics_and_equality():
+  """flexvert positions, edge lengths/Jacobians, and mjEQ_FLEX rows →
+  qacc, all oracle-exact at f64."""
+  mjm = mujoco.MjModel.from_xml_string(_cloth_xml())
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(0)
+  mjd.qvel[:] = 0.2 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.flexvert_xpos), mjd.flexvert_xpos,
+                             atol=1e-14, err_msg="flexvert_xpos")
+  np.testing.assert_allclose(np.asarray(d.flexedge_length),
+                             mjd.flexedge_length, atol=1e-14)
+  # dense-reconstruct the oracle's sparse edge Jacobian
+  Jref = np.zeros((mjm.nflexedge, mjm.nv))
+  for e in range(mjm.nflexedge):
+    adr = mjm.flexedge_J_rowadr[e]
+    for k in range(mjm.flexedge_J_rownnz[e]):
+      Jref[e, mjm.flexedge_J_colind[adr + k]] = mjd.flexedge_J[adr + k]
+  np.testing.assert_allclose(np.asarray(d.flexedge_J), Jref, atol=1e-12,
+                             err_msg="flexedge_J")
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8,
+                             err_msg="qacc with flex equality")
+
+
+@pytest.mark.parametrize("name,body", [
+    ("sphere", '<body pos="0.05 0.03 0.7"><freejoint/>'
+               '<geom type="sphere" size="0.06" mass="0.2"/></body>'),
+    ("capsule", '<body pos="-0.12 -0.1 0.85"><freejoint/>'
+                '<geom type="capsule" size="0.035" fromto="-0.08 0 0 0.08 0 0"'
+                ' mass="0.15"/></body>'),
+    ("box", '<body pos="0.1 -0.12 1.0"><freejoint/>'
+            '<geom type="box" size="0.05 0.04 0.03" mass="0.15"/></body>'),
+])
+def test_flex_contact_trajectory(name, body):
+  """Body dropped on a pinned cloth: full 600-step trajectory parity
+  through geom-vs-element contacts."""
+  mjm = mujoco.MjModel.from_xml_string(_cloth_xml(body=body))
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  maxcon = 0
+  for _ in range(600):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    maxcon = max(maxcon, mjd.ncon)
+  assert maxcon > 0, "scene produced no contacts — not a contact test"
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-7,
+                             err_msg=f"{name}-on-cloth qpos drift")
+
+
+def test_flex_plane_drop():
+  """Unpinned cloth dropped on the floor plane: plane-vertex contacts
+  (mj_collidePlaneFlex)."""
+  xml = _cloth_xml(pins="").replace('pos="0 0 0.35"',
+                                    'pos="0 0 0.3" euler="12 7 0"')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  maxcon = 0
+  for _ in range(700):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    maxcon = max(maxcon, mjd.ncon)
+  assert maxcon >= 10
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9,
+                             err_msg="cloth-on-plane qpos drift")
+
+
+def test_flex_cable_edge_springs():
+  """Dim-1 cable with edge stiffness/damping (no equality): flex edge
+  spring-damper passive forces."""
+  xml = """
+<mujoco>
+  <option timestep="0.002" solver="Newton"/>
+  <worldbody>
+    <flexcomp name="cable" type="grid" count="8 1 1" spacing="0.08 0.08 0.08"
+              radius="0.01" dim="1" mass="0.2" pos="0 0 0.6">
+      <pin id="0"/>
+      <edge equality="false" stiffness="60" damping="0.5"/>
+      <contact contype="0" conaffinity="0" selfcollide="none"
+               internal="false"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_passive), mjd.qfrc_passive,
+                             atol=1e-12, err_msg="flex edge spring-damper")
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(500):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+
+
+def test_hammock():
+  """The hammock driver-benchmark config (humanoid on a pinned flex grid,
+  CG solver): model bridges, steps, and tracks the oracle. CG sweep-order
+  differences bound the tolerance (solver converges to 1e-6)."""
+  path = "/root/reference/model/hammock/hammock.xml"
+  if not os.path.exists(path):
+    pytest.skip("reference hammock model not available")
+  mjm = mujoco.MjModel.from_xml_path(path)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.flexvert_xpos), mjd.flexvert_xpos,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-5,
+                             err_msg="hammock initial qacc")
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(100):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-4,
+                             err_msg="hammock qpos drift (CG)")

@@ -237,3 +237,40 @@ def test_ray_geomgroup_filter():
                        geomid)
   assert geomid[0] == 0
   np.testing.assert_allclose(float(dist0), dref, atol=1e-6)
+
+
+def test_ray_mesh_hfield():
+  """mj_ray vs mesh (Möller-Trumbore all-triangle) and hfield (grid
+  triangles + base prism), oracle-exact on random rays (engine_ray.c:952,
+  :562)."""
+  xml = """
+<mujoco>
+  <asset>
+    <mesh name="tet" vertex="0 0 0  0.2 0 0  0 0.2 0  0 0 0.25  0.2 0.2 0.22"/>
+    <hfield name="hf" nrow="8" ncol="8" size="1 1 0.3 0.1"/>
+  </asset>
+  <worldbody>
+    <geom type="hfield" hfield="hf" pos="0 0 0" contype="2" conaffinity="2"/>
+    <body pos="0.3 0.2 0.8"><joint type="hinge"/>
+      <geom type="mesh" mesh="tet" contype="1" conaffinity="1"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  rng = np.random.RandomState(0)
+  mjm.hfield_data[:] = rng.rand(64).astype(np.float32)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  from mujoco_tpu.ops import forward as fwd_mod, ray as ray_mod
+  d = fwd_mod.forward(m, d)
+  for i in range(25):
+    pnt = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), 1.5])
+    vec = np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4), -1.0])
+    vec /= np.linalg.norm(vec)
+    geomid = np.zeros(1, dtype=np.int32)
+    dref = mujoco.mj_ray(mjm, mjd, pnt, vec, None, 1, -1, geomid)
+    dd, gid = ray_mod.ray(m, d, jnp.asarray(pnt), jnp.asarray(vec))
+    assert int(gid) == geomid[0], f"ray {i}: geom {int(gid)} vs {geomid[0]}"
+    np.testing.assert_allclose(float(dd), dref, atol=1e-6,
+                               err_msg=f"ray {i} distance")
