@@ -212,9 +212,9 @@ def _contact_meta(mjm: Any) -> ContactMeta:
 
   convex = {GeomType.SPHERE, GeomType.CAPSULE, GeomType.ELLIPSOID,
             GeomType.CYLINDER, GeomType.BOX, GeomType.MESH}
-  slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
-  slot_first = []
-  for g1, g2, pid in pairs:
+
+  def pair_sig(g1, g2, pid):
+    """(t1, t2, did1, did2, condim, ncontact) for a candidate pair."""
     t1, t2 = GeomType(mjm.geom_type[g1]), GeomType(mjm.geom_type[g2])
     key = (t1, t2)
     if key in _PAIR_NCON:
@@ -233,11 +233,43 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         condim = int(mjm.geom_condim[g1 if p1 > p2 else g2])
       else:
         condim = int(max(mjm.geom_condim[g1], mjm.geom_condim[g2]))
+    did1 = int(mjm.geom_dataid[g1]) if t1 in (GeomType.HFIELD,
+                                              GeomType.MESH) else -1
+    did2 = int(mjm.geom_dataid[g2]) if t2 == GeomType.MESH else -1
+    return (int(t1), int(t2), did1, did2, condim), n
+
+  # partition implicit non-plane/hfield pairs into signature groups; large
+  # groups become DYNAMIC: a fixed budget of pair slots filled per step by
+  # bounding-sphere-distance top-K (the fixed-shape broadphase cull —
+  # mj_broadphase/SAP analog, engine_collision_driver.c:1572; precedent:
+  # MJX max_geom_pairs, mjx/_src/collision_driver.py:405)
+  pair_budget = int(os.environ.get("MJTPU_PAIR_BUDGET", "24"))
+  dyn_threshold = max(2 * pair_budget, 16)
+  staged = {}
+  static_pairs = []
+  for g1, g2, pid in pairs:
+    sig, n = pair_sig(g1, g2, pid)
+    t1 = sig[0]
+    if pid >= 0 or t1 in (int(GeomType.PLANE), int(GeomType.HFIELD)):
+      static_pairs.append((g1, g2, pid, sig, n))
+    else:
+      staged.setdefault(sig, []).append((g1, g2))
+  dyn_groups = []
+  for sig, plist in sorted(staged.items()):
+    if len(plist) > dyn_threshold:
+      dyn_groups.append((sig, plist))
+    else:
+      static_pairs.extend((g1, g2, -1, sig, _PAIR_NCON.get(
+          (GeomType(sig[0]), GeomType(sig[1])), 1)) for g1, g2 in plist)
+
+  slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
+  slot_first = []
+  for g1, g2, pid, sig, n in static_pairs:
     for k in range(n):
       slot_g1.append(g1)
       slot_g2.append(g2)
-      slot_types.append((int(t1), int(t2)))
-      slot_condim.append(condim)
+      slot_types.append((sig[0], sig[1]))
+      slot_condim.append(sig[4])
       slot_pairid.append(pid)
       slot_first.append(k == 0)
 
@@ -289,6 +321,31 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         slot_first.append(k == 0)
         slot_flex2.append(f)
 
+  # ----- dynamic pair-group slots (appended last): npair budgeted pair
+  # slots × k contacts each; slot geom ids are representative (first
+  # candidate) — the real pair is selected per step and carried in
+  # Contact.geomids
+  dynslot = [False] * len(slot_g1)
+  dyn_meta = []
+  for sig, plist in dyn_groups:
+    t1, t2, did1, did2, condim = sig
+    n = _PAIR_NCON.get((GeomType(t1), GeomType(t2)), 1)
+    g1s = np.array([p[0] for p in plist], dtype=np.int32)
+    g2s = np.array([p[1] for p in plist], dtype=np.int32)
+    npair = min(pair_budget, len(plist))
+    dyn_meta.append(dict(g1=g1s, g2=g2s, adr=len(slot_g1), npair=npair, k=n,
+                         t1=t1, t2=t2, did1=did1, did2=did2))
+    for _ in range(npair):
+      for k in range(n):
+        slot_g1.append(int(g1s[0]))
+        slot_g2.append(int(g2s[0]))
+        slot_types.append((t1, t2))
+        slot_condim.append(condim)
+        slot_pairid.append(-1)
+        slot_first.append(False)     # filled by the dynamic path, not the
+        slot_flex2.append(-1)        # static type loop
+        dynslot.append(True)
+
   return ContactMeta(
       ncon=len(slot_g1),
       geom1=np.array(slot_g1, dtype=np.int32).reshape(-1),
@@ -302,6 +359,8 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       flexpair_flex=np.array(fp_flex, dtype=np.int32).reshape(-1),
       flexpair_adr=np.array(fp_adr, dtype=np.int32).reshape(-1),
       flex_budget=flex_budget,
+      dyngroups=tuple(dyn_meta),
+      dynslot=np.array(dynslot, dtype=bool).reshape(-1),
   )
 
 
@@ -840,6 +899,9 @@ def make_data(m: Model, dtype=None) -> Data:
                       (ncon, 1)),
       mu=z(ncon),
       flexvert=jnp.full((ncon, 3), -1, dtype=jnp.int32),
+      geomids=jnp.stack([jnp.asarray(m.con.geom1, dtype=jnp.int32),
+                         jnp.asarray(m.con.geom2, dtype=jnp.int32)], axis=-1)
+      if ncon else jnp.zeros((0, 2), dtype=jnp.int32),
   )
 
   return Data(

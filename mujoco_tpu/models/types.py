@@ -331,6 +331,16 @@ class ContactMeta:
   flexpair_flex: np.ndarray = static_field() # (nflexpair,)
   flexpair_adr: np.ndarray = static_field()  # (nflexpair,) first slot
   flex_budget: int = static_field()          # K slots per (geom, flex) pair
+  # dynamic pair groups — the broadphase-cull analog for large scenes
+  # (reference: mj_broadphase SAP, engine_collision_driver.c:1572; fixed-
+  # shape precedent: MJX max_geom_pairs top-K cull,
+  # mjx/_src/collision_driver.py:405). Each group is a large set of
+  # same-signature candidate pairs owning `npair` budgeted PAIR slots
+  # (selected per step by bounding-sphere distance); slot geom ids become
+  # traced (Contact.geomids). Tuple of dicts with numpy values:
+  # {g1, g2: (ncand,), adr: first contact slot, npair, k: contacts/pair}
+  dyngroups: tuple = static_field()
+  dynslot: np.ndarray = static_field()       # (ncon,) bool: dynamic slot
 
 
 @pytree_dataclass
@@ -715,6 +725,10 @@ class Contact:
   # vertex for plane-vertex contacts), -1 padded; selected dynamically by the
   # top-K budget, hence traced (mjContact.flex/elem/vert analog, mjdata.h:37)
   flexvert: jax.Array      # (ncon, 3) int32
+  # per-slot geom ids (mjContact.geom analog): equal to the static meta ids
+  # except on dynamic pair-group slots, where the contacting pair is chosen
+  # per step by the broadphase cull
+  geomids: jax.Array       # (ncon, 2) int32
 
 
 

@@ -135,6 +135,33 @@ def _combine_params(m: Model, slots: np.ndarray):
   return margin, friction5, solref, solreffriction, solimp
 
 
+def _collider_for(m: Model, t1: int, t2: int, did1: int, did2: int):
+  """Resolve the narrowphase collider fn + contacts-per-pair for a static
+  type-pair signature (mjCOLLISIONFUNC analog,
+  engine_collision_driver.c:45)."""
+  if t1 == GeomType.HFIELD:
+    from mujoco_tpu.ops import collision_hfield
+    if t2 == GeomType.SPHERE:
+      return collision_hfield.make_hfield_sphere(m, did1), 3
+    if t2 == GeomType.CAPSULE:
+      return collision_hfield.make_hfield_capsule(m, did1), 3
+    raise NotImplementedError(f"hfield vs geom type {t2}")
+  if t2 == GeomType.MESH and (GeomType(t1), GeomType(t2)) not in \
+      _COLLIDERS and t1 in (GeomType.PLANE, GeomType.SPHERE,
+                            GeomType.CAPSULE):
+    from mujoco_tpu.ops import collision_mesh
+    if t1 == GeomType.PLANE:
+      return collision_mesh.make_plane_mesh(m, did2), 4
+    if t1 == GeomType.SPHERE:
+      return collision_mesh.make_sphere_mesh(m, did2), 1
+    return collision_mesh.make_capsule_mesh(m, did2), 3
+  if (GeomType(t1), GeomType(t2)) in _COLLIDERS:
+    return _COLLIDERS[GeomType(t1), GeomType(t2)]
+  # general convex pair: fixed-iteration MPR (single contact)
+  from mujoco_tpu.ops import collision_convex
+  return collision_convex.make_convex_convex(m, t1, t2, did1, did2), 1
+
+
 def collision(m: Model, d: Data) -> Data:
   """Evaluate all candidate pairs, fill d.contact (mj_collision analog)."""
   ncon = m.con.ncon
@@ -164,31 +191,7 @@ def collision(m: Model, d: Data) -> Data:
       keys.setdefault((t1, t2, did1, did2), []).append(c)
 
   for key, first_slots in keys.items():
-    t1, t2, did1, did2 = key
-    if t1 == GeomType.HFIELD:
-      from mujoco_tpu.ops import collision_hfield
-      if t2 == GeomType.SPHERE:
-        fn, k = collision_hfield.make_hfield_sphere(m, did1), 3
-      elif t2 == GeomType.CAPSULE:
-        fn, k = collision_hfield.make_hfield_capsule(m, did1), 3
-      else:
-        raise NotImplementedError(f"hfield vs geom type {t2}")
-    elif t2 == GeomType.MESH and (GeomType(t1), GeomType(t2)) not in \
-        _COLLIDERS and t1 in (GeomType.PLANE, GeomType.SPHERE,
-                              GeomType.CAPSULE):
-      from mujoco_tpu.ops import collision_mesh
-      if t1 == GeomType.PLANE:
-        fn, k = collision_mesh.make_plane_mesh(m, did2), 4
-      elif t1 == GeomType.SPHERE:
-        fn, k = collision_mesh.make_sphere_mesh(m, did2), 1
-      else:
-        fn, k = collision_mesh.make_capsule_mesh(m, did2), 3
-    elif (GeomType(t1), GeomType(t2)) in _COLLIDERS:
-      fn, k = _COLLIDERS[GeomType(t1), GeomType(t2)]
-    else:
-      # general convex pair: fixed-iteration MPR (single contact)
-      from mujoco_tpu.ops import collision_convex
-      fn, k = collision_convex.make_convex_convex(m, t1, t2, did1, did2), 1
+    fn, k = _collider_for(m, *key)
     first_slots = np.array(first_slots, dtype=np.int32)
     g1 = m.con.geom1[first_slots]
     g2 = m.con.geom2[first_slots]
@@ -211,9 +214,83 @@ def collision(m: Model, d: Data) -> Data:
   includemargin, friction5, solref, solreffriction, solimp = _combine_params(
       m, all_slots)
 
+  geomids = jnp.stack([jnp.asarray(m.con.geom1, dtype=jnp.int32),
+                       jnp.asarray(m.con.geom2, dtype=jnp.int32)], axis=-1)
+
+  # dynamic pair groups: per-step bounding-sphere cull selects the npair
+  # closest candidate pairs, which then run the group's narrowphase
+  # (fixed-shape broadphase — mj_broadphase analog; see ContactMeta.dyngroups)
+  for grp in m.con.dyngroups:
+    fn, k = _collider_for(m, grp["t1"], grp["t2"], grp["did1"], grp["did2"])
+    g1s = jnp.asarray(grp["g1"])
+    g2s = jnp.asarray(grp["g2"])
+    p1 = d.geom_xpos[grp["g1"]]
+    p2 = d.geom_xpos[grp["g2"]]
+    score = (mjm.norm_safe(p1 - p2) - m.geom_rbound[grp["g1"]]
+             - m.geom_rbound[grp["g2"]]
+             - m.geom_margin[grp["g1"]] - m.geom_margin[grp["g2"]])
+    _, idx = jax.lax.top_k(-score, grp["npair"])
+    sg1 = g1s[idx]
+    sg2 = g2s[idx]
+    out = jax.vmap(fn)(d.geom_xpos[sg1], d.geom_xmat[sg1], m.geom_size[sg1],
+                       d.geom_xpos[sg2], d.geom_xmat[sg2], m.geom_size[sg2])
+    dd, pp, nn, tt = out
+    ff = make_frame(nn, tt)
+    adr = int(grp["adr"])
+    nslots = grp["npair"] * k
+    sl = slice(adr, adr + nslots)
+    dist = dist.at[sl].set(dd.reshape(-1))
+    pos = pos.at[sl].set(pp.reshape(-1, 3))
+    frame = frame.at[sl].set(ff.reshape(-1, 3, 3))
+    pair_ids = jnp.stack([sg1, sg2], axis=-1)            # (npair, 2)
+    geomids = geomids.at[sl].set(jnp.repeat(pair_ids, k, axis=0))
+    # combined contact parameters via traced gathers for the selected pairs
+    im_d, fr_d, sr_d, srf_d, si_d = _combine_params_traced(
+        m, jnp.repeat(sg1, k), jnp.repeat(sg2, k))
+    includemargin = includemargin.at[sl].set(im_d)
+    friction5 = friction5.at[sl].set(fr_d)
+    solref = solref.at[sl].set(sr_d)
+    solreffriction = solreffriction.at[sl].set(srf_d)
+    solimp = solimp.at[sl].set(si_d)
+
   contact = Contact(dist=dist, pos=pos, frame=frame,
                     includemargin=includemargin, friction=friction5,
                     solref=solref, solreffriction=solreffriction,
                     solimp=solimp, mu=jnp.zeros((ncon,), dtype=dtype),
-                    flexvert=flexvert)
+                    flexvert=flexvert, geomids=geomids)
   return d.replace(contact=contact)
+
+
+def _combine_params_traced(m: Model, g1, g2):
+  """mj_contactParam combination with TRACED geom indices (dynamic pair
+  slots): priority override and solmix mixing computed with jnp selects."""
+  p1 = jnp.asarray(m.geom_priority)[g1]
+  p2 = jnp.asarray(m.geom_priority)[g2]
+  solmix1 = m.geom_solmix[g1]
+  solmix2 = m.geom_solmix[g2]
+  both = (solmix1 >= mjm.MINVAL) & (solmix2 >= mjm.MINVAL)
+  neither = (solmix1 < mjm.MINVAL) & (solmix2 < mjm.MINVAL)
+  mix = jnp.where(
+      both, solmix1 / jnp.maximum(solmix1 + solmix2, mjm.MINVAL),
+      jnp.where(neither, 0.5, jnp.where(solmix1 < mjm.MINVAL, 0.0, 1.0)))
+  mix = mix[:, None]
+
+  ref1, ref2 = m.geom_solref[g1], m.geom_solref[g2]
+  std = (ref1[:, :1] > 0) & (ref2[:, :1] > 0)
+  solref_mixed = jnp.where(std, mix * ref1 + (1 - mix) * ref2,
+                           jnp.minimum(ref1, ref2))
+  solimp_mixed = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+  fri_mixed = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+
+  hi1 = (p1 > p2)[:, None]
+  hi2 = (p2 > p1)[:, None]
+  solref = jnp.where(hi1, ref1, jnp.where(hi2, ref2, solref_mixed))
+  solimp = jnp.where(hi1, m.geom_solimp[g1],
+                     jnp.where(hi2, m.geom_solimp[g2], solimp_mixed))
+  fri = jnp.where(hi1, m.geom_friction[g1],
+                  jnp.where(hi2, m.geom_friction[g2], fri_mixed))
+  friction5 = jnp.stack(
+      [fri[:, 0], fri[:, 0], fri[:, 1], fri[:, 2], fri[:, 2]], axis=-1)
+  friction5 = jnp.maximum(friction5, mjm.MINVAL)
+  margin = m.geom_margin[g1] + m.geom_margin[g2]
+  return margin, friction5, solref, jnp.zeros_like(solref), solimp

@@ -456,24 +456,42 @@ def _contact_rows(m: Model, d: Data):
   # torsional/rolling friction (condim > 3) — skip the work otherwise
   need_rot = bool(np.any(m.con.condim > 3))
   is_flex = m.con.flex2 >= 0
-  if is_flex.any():
-    # flex side-2: inverse-distance weighted vertex-body jacobians
-    # (mj_elemBodyWeight + mj_jacSum, engine_core_constraint.c:221, :1611);
-    # the contacting vertex triple is dynamic (top-K slots), so body masks
-    # are traced gathers
-    vids = con.flexvert                                # (ncon, 3) traced
-    valid = vids >= 0
-    vsafe = jnp.maximum(vids, 0)
-    vpos = d.flexvert_xpos[vsafe]                      # (ncon, 3, 3)
-    dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)  # (ncon, 3)
-    w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
-    w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
-    vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
+  is_dyn = m.con.dynslot
+  if is_flex.any() or is_dyn.any():
+    # contacting bodies may be dynamic: flex contacts carry a traced vertex
+    # triple (inverse-distance weighted body jacobians, mj_elemBodyWeight +
+    # mj_jacSum, engine_core_constraint.c:221, :1611); dynamic pair-group
+    # slots carry traced geom ids — both paths build body masks by traced
+    # gathers of the ancestor-mask table
     amask_all = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
-    wmask2 = jnp.einsum('cw,cwv->cv', w, amask_all[vbody])   # (ncon, nv)
-    mask2 = jnp.where(jnp.asarray(is_flex)[:, None], wmask2,
-                      jnp.asarray(m.tree.ancestor_mask[b2], dtype=dtype))
-    mask = mask2 - jnp.asarray(m.tree.ancestor_mask[b1], dtype=dtype)
+    gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+    iw = jnp.asarray(m.body_invweight0, dtype=dtype)
+
+    b1_t = gb[con.geomids[:, 0]]                       # traced (ncon,)
+    b2_t = gb[jnp.maximum(con.geomids[:, 1], 0)]
+    mask1 = amask_all[b1_t]
+    mask2 = amask_all[b2_t]
+    tran1 = iw[b1_t, 0]
+    rot1 = iw[b1_t, 1]
+    tran2 = iw[b2_t, 0]
+    rot2 = iw[b2_t, 1]
+
+    if is_flex.any():
+      vids = con.flexvert                              # (ncon, 3) traced
+      valid = vids >= 0
+      vsafe = jnp.maximum(vids, 0)
+      vpos = d.flexvert_xpos[vsafe]                    # (ncon, 3, 3)
+      dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)
+      w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
+      w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
+      vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
+      wmask2 = jnp.einsum('cw,cwv->cv', w, amask_all[vbody])
+      isf = jnp.asarray(is_flex)
+      mask2 = jnp.where(isf[:, None], wmask2, mask2)
+      tran2 = jnp.where(isf, jnp.einsum('cw,cw->c', w, iw[vbody, 0]), tran2)
+      rot2 = jnp.where(isf, jnp.einsum('cw,cw->c', w, iw[vbody, 1]), rot2)
+
+    mask = mask2 - mask1
     o = d.subtree_com[m.body_rootid[m.dof_bodyid]]
     ang = d.cdof[:, :3]
     lin = d.cdof[:, 3:]
@@ -484,13 +502,12 @@ def _contact_rows(m: Model, d: Data):
     jacr = jnp.swapaxes(
         jnp.broadcast_to(ang[None], (con.pos.shape[0],) + ang.shape)
         * mask[..., None], 1, 2) if need_rot else None
-    # weighted flex-side inverse inertia for diagA below
-    iw = jnp.asarray(m.body_invweight0, dtype=dtype)
-    tran2_flex = jnp.einsum('cw,cw->c', w, iw[vbody, 0])
-    rot2_flex = jnp.einsum('cw,cw->c', w, iw[vbody, 1])
+    tran_sides = tran1 + tran2                         # traced (ncon,)
+    rot_sides = rot1 + rot2
   else:
     jacp, jacr = _point_jac_diff(m, d, con.pos, b1, b2,
                                  with_rot=need_rot)  # (ncon, 3, nv)
+    tran_sides = rot_sides = None
 
   # rotate into contact frame: rows [n, t1, t2] and rolling [n, t1, t2]
   jt = jnp.einsum('cij,cjv->civ', con.frame, jacp)     # (ncon, 3, nv)
@@ -544,14 +561,14 @@ def _contact_rows(m: Model, d: Data):
 
   active = active_slot[cid]
 
-  # diagA (mj_diagApprox): tran/rot from both sides; flex side uses the
-  # inverse-distance body weighting (engine_core_constraint.c:1939)
-  tran = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
-  rot = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
-  if is_flex.any():
-    isf = jnp.asarray(is_flex)
-    tran = jnp.where(isf, m.body_invweight0[b1, 0] + tran2_flex, tran)
-    rot = jnp.where(isf, m.body_invweight0[b1, 1] + rot2_flex, rot)
+  # diagA (mj_diagApprox): tran/rot from both sides; dynamic/flex slots use
+  # the traced-body (or weighted flex-body) inverse inertias
+  # (engine_core_constraint.c:1939)
+  if tran_sides is not None:
+    tran, rot = tran_sides, rot_sides
+  else:
+    tran = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
+    rot = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
   if pyramidal:
     fri = con.friction[cid, np.clip(fdim - 1, 0, 4)]
     base = jnp.where(jnp.asarray(fdim <= 2), tran[cid], rot[cid])

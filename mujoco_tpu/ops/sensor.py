@@ -199,7 +199,8 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
   cfrc_ext = mjm.transform_spatial(wrench, True, com_all, d.xipos)
   cfrc_ext = cfrc_ext.at[0].set(0.0)
 
-  # ---- cfrc_ext += contacts
+  # ---- cfrc_ext += contacts (traced body ids: dynamic pair-group slots and
+  # flex contacts select their bodies per step)
   if m.con.ncon:
     cf = contact_force(m, d)                                 # (ncon, 6)
     frames = d.contact.frame                                 # (ncon, 3, 3)
@@ -207,15 +208,36 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     f_w = jnp.einsum('cij,cj->ci', jnp.swapaxes(frames, -1, -2), cf[:, :3])
     t_w = jnp.einsum('cij,cj->ci', jnp.swapaxes(frames, -1, -2), cf[:, 3:])
     cfrc = jnp.concatenate([t_w, f_w], axis=-1)              # (ncon, 6)
-    for c in range(m.con.ncon):
-      for sgn, g in ((-1.0, int(m.con.geom1[c])), (1.0, int(m.con.geom2[c]))):
-        k = int(m.geom_bodyid[g])
-        if k == 0:
-          continue
-        v = mjm.transform_spatial(cfrc[c], True,
-                                  d.subtree_com[m.body_rootid[k]],
-                                  d.contact.pos[c])
-        cfrc_ext = cfrc_ext.at[k].add(sgn * v)
+    gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+    rootid = jnp.asarray(m.body_rootid, dtype=jnp.int32)
+    b1s = gb[d.contact.geomids[:, 0]]                        # (ncon,) traced
+    b2s = gb[jnp.maximum(d.contact.geomids[:, 1], 0)]
+    is_flex = jnp.asarray(m.con.flex2 >= 0)
+
+    def side_add(cfrc_ext, bodies, sgn, live):
+      v = jax.vmap(lambda c, k, p: mjm.transform_spatial(
+          c, True, d.subtree_com[k], p))(cfrc, rootid[bodies], d.contact.pos)
+      v = v * (sgn * live * (bodies != 0))[:, None]
+      return cfrc_ext.at[bodies].add(v)
+
+    one = jnp.ones((m.con.ncon,), dtype=dtype)
+    cfrc_ext = side_add(cfrc_ext, b1s, -1.0, one)
+    cfrc_ext = side_add(cfrc_ext, b2s, 1.0,
+                        (~is_flex).astype(dtype))
+    if is_flex.any():
+      # flex side: distribute over the contacting element's vertex bodies
+      # with the same inverse-distance weights as the contact Jacobian
+      vids = d.contact.flexvert
+      valid = vids >= 0
+      vsafe = jnp.maximum(vids, 0)
+      vpos = d.flexvert_xpos[vsafe]
+      dvert = mjm.norm_safe(d.contact.pos[:, None, :] - vpos)
+      w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
+      w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
+      vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
+      for j in range(3):
+        cfrc_ext = side_add(cfrc_ext, vbody[:, j], 1.0,
+                            is_flex.astype(dtype) * w[:, j])
 
   # ---- cfrc_ext += connect/weld equality forces
   for e in range(m.neq):
@@ -598,20 +620,19 @@ def _touch(m: Model, d: Data, siteid: int):
   cf = contact_force(m, d)
   active = d.contact.dist < d.contact.includemargin
   site_type = int(m.site_type[siteid])
-  for c in range(m.con.ncon):
-    b1 = int(m.geom_bodyid[m.con.geom1[c]])
-    b2 = int(m.geom_bodyid[m.con.geom2[c]])
-    if bodyid not in (b1, b2):
-      continue
-    fn = cf[c, 0]
-    # normal force direction in world, flipped if sensor body is body2
-    ray_dir = d.contact.frame[c, 0] * (1.0 if bodyid == b1 else -1.0)
-    hit = ray_mod.ray_geom(d.site_xpos[siteid], d.site_xmat[siteid],
-                           m.site_size[siteid], d.contact.pos[c], ray_dir,
-                           site_type)
-    ok = active[c] & (fn > 0) & jnp.isfinite(hit)
-    total = total + jnp.where(ok, fn, 0.0)
-  return total
+  # traced body match: dynamic pair-group slots select geoms per step
+  gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+  b1s = gb[d.contact.geomids[:, 0]]
+  b2s = gb[jnp.maximum(d.contact.geomids[:, 1], 0)]
+  sel1 = b1s == bodyid
+  sel2 = (b2s == bodyid) & (d.contact.geomids[:, 1] >= 0)
+  fn = cf[:, 0]
+  ray_dir = d.contact.frame[:, 0] * jnp.where(sel1, 1.0, -1.0)[:, None]
+  hit = jax.vmap(lambda p, v: ray_mod.ray_geom(
+      d.site_xpos[siteid], d.site_xmat[siteid], m.site_size[siteid],
+      p, v, site_type))(d.contact.pos, ray_dir)
+  ok = active & (fn > 0) & jnp.isfinite(hit) & (sel1 | sel2)
+  return jnp.sum(jnp.where(ok, fn, 0.0))
 
 
 # ---------------------------------------------------------------------------

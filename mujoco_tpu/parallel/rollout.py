@@ -93,7 +93,14 @@ def randomize_model(m: Model, leaf_updates: dict):
   """
   bm = m.replace(**leaf_updates)
   axes = jax.tree.map(lambda _: None, m)
-  axes = axes.replace(**{k: 0 for k in leaf_updates})
+  ax_updates = {}
+  for k, v in leaf_updates.items():
+    old = getattr(m, k)
+    # nested pytree values (e.g. an Option with one batched leaf): only the
+    # leaves that actually gained a leading env axis get mapped
+    ax_updates[k] = jax.tree.map(
+        lambda new, o: 0 if jnp.shape(new) != jnp.shape(o) else None, v, old)
+  axes = axes.replace(**ax_updates)
   return bm, axes
 
 
