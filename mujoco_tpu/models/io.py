@@ -220,7 +220,9 @@ def _contact_meta(mjm: Any) -> ContactMeta:
     if key in _PAIR_NCON:
       n = _PAIR_NCON[key]
     elif t1 in convex and t2 in convex:
-      n = 1  # general convex pair → single-contact MPR fallback
+      # general convex pair → MPR + perturbed-support manifold
+      from mujoco_tpu.ops.collision_convex import CONVEX_NCON
+      n = CONVEX_NCON
     else:
       raise NotImplementedError(
           f"collision pair {t1.name}-{t2.name} (geoms {g1},{g2}) not yet "
@@ -254,13 +256,15 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       static_pairs.append((g1, g2, pid, sig, n))
     else:
       staged.setdefault(sig, []).append((g1, g2))
+  from mujoco_tpu.ops.collision_convex import CONVEX_NCON
   dyn_groups = []
   for sig, plist in sorted(staged.items()):
     if len(plist) > dyn_threshold:
       dyn_groups.append((sig, plist))
     else:
       static_pairs.extend((g1, g2, -1, sig, _PAIR_NCON.get(
-          (GeomType(sig[0]), GeomType(sig[1])), 1)) for g1, g2 in plist)
+          (GeomType(sig[0]), GeomType(sig[1])), CONVEX_NCON))
+          for g1, g2 in plist)
 
   slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
   slot_first = []
@@ -329,7 +333,7 @@ def _contact_meta(mjm: Any) -> ContactMeta:
   dyn_meta = []
   for sig, plist in dyn_groups:
     t1, t2, did1, did2, condim = sig
-    n = _PAIR_NCON.get((GeomType(t1), GeomType(t2)), 1)
+    n = _PAIR_NCON.get((GeomType(t1), GeomType(t2)), CONVEX_NCON)
     g1s = np.array([p[0] for p in plist], dtype=np.int32)
     g2s = np.array([p[1] for p in plist], dtype=np.int32)
     npair = min(pair_budget, len(plist))
@@ -540,6 +544,8 @@ def _names(mjm: Any) -> dict:
   Keys are lowercase type names ('body', 'joint', 'geom', 'site', 'actuator',
   'sensor', 'tendon', 'camera', 'equality', 'key'); values map name→id.
   """
+  if getattr(mjm, "is_mjtpu_compiled", False):
+    return {k: dict(v) for k, v in mjm.name_tables.items()}
   import mujoco as _mj
   types = {
       "body": (_mj.mjtObj.mjOBJ_BODY, mjm.nbody),
@@ -572,22 +578,28 @@ def _actuator_meta(mjm: Any):
   Counterparts: mjtDyn/mjtGain/mjtBias (mjtype.h:243-273), mj_dcmotorSlots
   (engine_util_misc.c:1202), wrapPeriod (engine_forward.c:295).
   """
-  import mujoco as _mj
   from mujoco_tpu.models.types import TrnType
 
-  dyn_map = {int(v): DynType[k[len("mjDYN_"):]].value
-             for k, v in _mj.mjtDyn.__members__.items()}
-  gain_map = {int(v): GainType[k[len("mjGAIN_"):]].value
-              for k, v in _mj.mjtGain.__members__.items()}
-  bias_map = {int(v): BiasType[k[len("mjBIAS_"):]].value
-              for k, v in _mj.mjtBias.__members__.items()}
   nu = int(mjm.nu)
-  dyntype = np.array([dyn_map[int(t)] for t in mjm.actuator_dyntype],
-                     dtype=np.int32)
-  gaintype = np.array([gain_map[int(t)] for t in mjm.actuator_gaintype],
-                      dtype=np.int32)
-  biastype = np.array([bias_map[int(t)] for t in mjm.actuator_biastype],
-                      dtype=np.int32)
+  if getattr(mjm, "is_mjtpu_compiled", False):
+    # the native compiler already emits the engine's (v3.11) enum values
+    dyntype = np.asarray(mjm.actuator_dyntype, dtype=np.int32)
+    gaintype = np.asarray(mjm.actuator_gaintype, dtype=np.int32)
+    biastype = np.asarray(mjm.actuator_biastype, dtype=np.int32)
+  else:
+    import mujoco as _mj
+    dyn_map = {int(v): DynType[k[len("mjDYN_"):]].value
+               for k, v in _mj.mjtDyn.__members__.items()}
+    gain_map = {int(v): GainType[k[len("mjGAIN_"):]].value
+                for k, v in _mj.mjtGain.__members__.items()}
+    bias_map = {int(v): BiasType[k[len("mjBIAS_"):]].value
+                for k, v in _mj.mjtBias.__members__.items()}
+    dyntype = np.array([dyn_map[int(t)] for t in mjm.actuator_dyntype],
+                       dtype=np.int32)
+    gaintype = np.array([gain_map[int(t)] for t in mjm.actuator_gaintype],
+                        dtype=np.int32)
+    biastype = np.array([bias_map[int(t)] for t in mjm.actuator_biastype],
+                        dtype=np.int32)
 
   for i in range(nu):
     if dyntype[i] == DynType.USER or gaintype[i] == GainType.USER or \
@@ -947,6 +959,7 @@ def make_data(m: Model, dtype=None) -> Data:
       subtree_linvel=z(nb, 3), subtree_angmom=z(nb, 3),
       sensordata=z(m.nsensordata),
       energy=z(2),
+      solver_stat=z(32, 2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),
   )
 

@@ -831,4 +831,8 @@ class Data:
   # sensors & diagnostics
   sensordata: jax.Array
   energy: jax.Array            # (2,) potential, kinetic
+  # per-iteration solver diagnostics (mjSolverStat analog, mjdata.h:86-94):
+  # rows [improvement, cost] for the first 32 iterations; filled by the
+  # bounded-scan solver path (5 ≤ iterations ≤ 32), zeros otherwise
+  solver_stat: jax.Array       # (32, 2)
   solver_niter: jax.Array      # iterations taken by the constraint solver

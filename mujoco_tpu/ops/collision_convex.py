@@ -185,10 +185,14 @@ def mpr(support1, support2, c1, c2, args1, args2, dtype):
   carry, _ = jax.lax.scan(ref_body, carry, None, length=_REFINE_ITERS)
   v1, v2, v3, a1, a2, a3, b1, b2, b3 = carry
 
-  # final portal plane normal — initialization for the MTD polish
+  # final portal plane normal — initialization for the MTD polish. A
+  # degenerate (zero-area) portal normalizes to the zero vector, which would
+  # poison the polish (h(0) = 0 beats every true positive support value when
+  # penetrating) — fall back to the center-line direction.
   n = jnp.cross(v2 - v1, v3 - v1)
   n = mjm.normalize(n)
   n = jnp.where(jnp.dot(n, v1 - v0) < 0, -n, n)
+  n = jnp.where(mjm.norm_safe(n) < 0.5, mjm.normalize(v0), n)
 
   # ---- MTD polish: the signed contact distance is −min_{|u|=1} h(u) with
   # h(u) = ⟨u, S_M(u)⟩ the Minkowski support function (origin inside ⇒
@@ -201,7 +205,7 @@ def mpr(support1, support2, c1, c2, args1, args2, dtype):
   def polish_body(carry, _):
     u, best_h, best_u, gamma = carry
     hval, w, _, _ = h_of(u)
-    better = hval < best_h
+    better = (hval < best_h) & (mjm.norm_safe(u) > 0.5)
     best_h = jnp.where(better, hval, best_h)
     best_u = jnp.where(better, u, best_u)
     grad = w - u * jnp.dot(u, w)            # tangential component of S_M(u)
@@ -268,16 +272,81 @@ def _ray_portal_bary(v0, v1, v2, v3):
   return lam / jnp.maximum(jnp.sum(lam), mjm.MINVAL)
 
 
+CONVEX_NCON = 5  # MPR primary + 4 perturbed-support manifold points
+
+
 def make_convex_convex(m: Model, t1: int, t2: int, mesh1: int, mesh2: int):
-  """Collider fn for a general convex pair (single contact)."""
+  """Collider fn for a general convex pair: the MPR/MTD contact plus a
+  4-point manifold from perturbed support directions.
+
+  Manifold expansion (the branchless analog of the reference's multiCCD
+  polygon clipping, engine_collision_gjk.c:2114): tilt the contact normal
+  by a small angle in 4 tangential directions and take the support pair of
+  each body along the tilted axis. On face-face configurations the tilted
+  supports land on the face corners (stable 4-point rest); on curved
+  surfaces they collapse onto the primary point and are masked out as
+  near-duplicates. Per-point depth is the projection onto the primary
+  normal, like the reference's clipped manifold.
+  """
   sup1 = _make_support(m, t1, mesh1)
   sup2 = _make_support(m, t2, mesh2)
+  tilt = 0.05  # ~3° support tilt
 
   def collide(p1, m1, s1, p2, m2_, s2):
     dtype = p1.dtype
-    dist, pos, n = mpr(sup1, sup2, p1, p2,
-                       (p1, m1, s1), (p2, m2_, s2), dtype)
-    return (dist[None], pos[None], n[None],
-            jnp.zeros((1, 3), dtype=dtype))
+    dist, _, n = mpr(sup1, sup2, p1, p2,
+                     (p1, m1, s1), (p2, m2_, s2), dtype)
+    t1v = mjm.normalize(_any_perp(n, dtype))
+    t2v = jnp.cross(n, t1v)
+
+    # contact-plane anchor along n: support VALUES are unique even when the
+    # support points are degenerate on flat features
+    a0 = sup1(p1, m1, s1, n)
+    b0 = sup2(p2, m2_, s2, -n)
+    h0 = 0.5 * (jnp.dot(n, a0) + jnp.dot(n, b0))
+
+    # tangential extent of each body's contact feature via tilted supports,
+    # then the manifold rectangle = interval intersection per tangent axis
+    # (the branchless 1D analog of the reference's polygon clipping)
+    def extent(t):
+      ua_hi = jnp.dot(t, sup1(p1, m1, s1, mjm.normalize(n + tilt * t)))
+      ua_lo = jnp.dot(t, sup1(p1, m1, s1, mjm.normalize(n - tilt * t)))
+      ub_hi = jnp.dot(t, sup2(p2, m2_, s2, mjm.normalize(-n + tilt * t)))
+      ub_lo = jnp.dot(t, sup2(p2, m2_, s2, mjm.normalize(-n - tilt * t)))
+      lo = jnp.maximum(jnp.minimum(ua_lo, ua_hi), jnp.minimum(ub_lo, ub_hi))
+      hi = jnp.minimum(jnp.maximum(ua_lo, ua_hi), jnp.maximum(ub_lo, ub_hi))
+      # disjoint guard (hi < lo on curved/degenerate features): both bounds
+      # collapse to the midpoint
+      mid = 0.5 * (lo + hi)
+      return jnp.minimum(lo, mid), jnp.maximum(hi, mid)
+
+    lo1, hi1 = extent(t1v)
+    lo2, hi2 = extent(t2v)
+    eps = 0.05 * jnp.minimum(jnp.max(s1), jnp.max(s2)) + 1e-9
+    # collapse near-degenerate axes SYMMETRICALLY before forming corners —
+    # a greedy point-dedup would keep a lopsided subset (e.g. both +x
+    # corners of a thin line contact), injecting spurious torque
+    def collapse(lo, hi):
+      mid = 0.5 * (lo + hi)
+      thin = hi - lo < eps
+      return jnp.where(thin, mid, lo), jnp.where(thin, mid, hi)
+    lo1, hi1 = collapse(lo1, hi1)
+    lo2, hi2 = collapse(lo2, hi2)
+    center = h0 * n + 0.5 * (lo1 + hi1) * t1v + 0.5 * (lo2 + hi2) * t2v
+
+    dists = [dist]
+    poss = [center]
+    pts = [center]
+    for u, v in ((lo1, lo2), (hi1, lo2), (lo1, hi2), (hi1, hi2)):
+      pi = h0 * n + u * t1v + v * t2v
+      bad = jnp.zeros((), dtype=bool)
+      for pj in pts:
+        bad = bad | (mjm.norm_safe(pi - pj) < eps)
+      pts.append(jnp.where(bad, pi + 4 * eps, pi))  # keep dedup transitive
+      dists.append(jnp.where(bad, _BIG, dist))
+      poss.append(pi)
+    nn = jnp.broadcast_to(n, (CONVEX_NCON, 3))
+    return (jnp.stack(dists), jnp.stack(poss), nn,
+            jnp.zeros((CONVEX_NCON, 3), dtype=dtype))
 
   return collide

@@ -157,9 +157,10 @@ def _collider_for(m: Model, t1: int, t2: int, did1: int, did2: int):
     return collision_mesh.make_capsule_mesh(m, did2), 3
   if (GeomType(t1), GeomType(t2)) in _COLLIDERS:
     return _COLLIDERS[GeomType(t1), GeomType(t2)]
-  # general convex pair: fixed-iteration MPR (single contact)
+  # general convex pair: MPR + perturbed-support manifold
   from mujoco_tpu.ops import collision_convex
-  return collision_convex.make_convex_convex(m, t1, t2, did1, did2), 1
+  return (collision_convex.make_convex_convex(m, t1, t2, did1, did2),
+          collision_convex.CONVEX_NCON)
 
 
 def collision(m: Model, d: Data) -> Data:

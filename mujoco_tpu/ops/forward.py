@@ -28,24 +28,32 @@ from mujoco_tpu.utils import math as mjm
 def fwd_position(m: Model, d: Data) -> Data:
   """Position-dependent computations (mj_fwdPosition, engine_forward.c:131)."""
   from mujoco_tpu.models.types import SolverType
-  d = smooth.kinematics(m, d)
-  d = smooth.com_pos(m, d)
-  d = smooth.camlight(m, d)
+  with jax.named_scope("kinematics"):
+    d = smooth.kinematics(m, d)
+    d = smooth.com_pos(m, d)
+    d = smooth.camlight(m, d)
   if m.has_flex:
     from mujoco_tpu.ops import flex as flex_mod
-    d = flex_mod.flex(m, d)
-  d = smooth.tendon(m, d)
-  d = smooth.crb(m, d)
+    with jax.named_scope("flex"):
+      d = flex_mod.flex(m, d)
+  with jax.named_scope("tendon"):
+    d = smooth.tendon(m, d)
+  with jax.named_scope("crb"):
+    d = smooth.crb(m, d)
   # the tree factor is only consumed by the CG preconditioner and PGS's
   # multi-rhs M-solve; the Newton path solves M⁻¹f with the Pallas SPD
   # kernel directly, so skip the factorization there
   if int(m.opt.solver) == int(SolverType.CG):
-    d = smooth.factor_m(m, d)
+    with jax.named_scope("factor_m"):
+      d = smooth.factor_m(m, d)
   if m.con.ncon or m.efc.nefc:
     from mujoco_tpu.ops import collision_driver, constraint
-    d = collision_driver.collision(m, d)
-    d = constraint.make_constraint(m, d)
-  d = smooth.transmission(m, d)
+    with jax.named_scope("collision"):
+      d = collision_driver.collision(m, d)
+    with jax.named_scope("make_constraint"):
+      d = constraint.make_constraint(m, d)
+  with jax.named_scope("transmission"):
+    d = smooth.transmission(m, d)
   return d
 
 
@@ -118,22 +126,34 @@ def fwd_constraint(m: Model, d: Data) -> Data:
 
 
 def forward(m: Model, d: Data) -> Data:
-  """Full forward dynamics (mj_forward, engine_forward.c:1843)."""
+  """Full forward dynamics (mj_forward, engine_forward.c:1843).
+
+  Every stage runs under a jax.named_scope so profiler traces carry the
+  reference's timer taxonomy (mjtTimer stage names, mjtype.h:563-588; MJX
+  precedent mjx/_src/forward.py:59-66)."""
   energy_enabled = bool(m.opt.enableflags & EnableBit.ENERGY)
-  d = fwd_position(m, d)
+  with jax.named_scope("fwd_position"):
+    d = fwd_position(m, d)
   if energy_enabled:
     from mujoco_tpu.ops import sensor
     d = sensor.energy_pos(m, d)
-  d = sensor_pos(m, d)
-  d = fwd_velocity(m, d)
+  with jax.named_scope("sensor_pos"):
+    d = sensor_pos(m, d)
+  with jax.named_scope("fwd_velocity"):
+    d = fwd_velocity(m, d)
   if energy_enabled:
     from mujoco_tpu.ops import sensor
     d = sensor.energy_vel(m, d)
-  d = sensor_vel(m, d)
-  d = fwd_actuation(m, d)
-  d = fwd_acceleration(m, d)
-  d = fwd_constraint(m, d)
-  d = sensor_acc(m, d)
+  with jax.named_scope("sensor_vel"):
+    d = sensor_vel(m, d)
+  with jax.named_scope("fwd_actuation"):
+    d = fwd_actuation(m, d)
+  with jax.named_scope("fwd_acceleration"):
+    d = fwd_acceleration(m, d)
+  with jax.named_scope("fwd_constraint"):
+    d = fwd_constraint(m, d)
+  with jax.named_scope("sensor_acc"):
+    d = sensor_acc(m, d)
   return d
 
 

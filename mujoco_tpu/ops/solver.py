@@ -372,6 +372,7 @@ def solve(m: Model, d: Data) -> Data:
   carry = (x0, init_cost, big, jnp.zeros((), jnp.int32),
            jnp.zeros((nv,), dtype=dtype), jnp.zeros((nv,), dtype=dtype),
            jnp.ones((), dtype=bool))
+  solver_stat = jnp.zeros((32, 2), dtype=dtype)
   if iterations <= 4:
     # small fixed budgets (the benchmark regime): static unroll — no
     # while_loop barrier or convergence bookkeeping, lets XLA fuse across
@@ -382,13 +383,16 @@ def solve(m: Model, d: Data) -> Data:
   elif iterations <= 32:
     # bounded scan with a convergence freeze: fixed trip count, so
     # reverse-mode AD works (MJX's scan-based while_loop,
-    # mjx/_src/solver.py:239)
+    # mjx/_src/solver.py:239); emits per-iteration [improvement, cost]
+    # diagnostics (mjSolverStat analog, mjdata.h:86)
     def scan_body(c, _):
       keep = loop_cond(c)
       new = loop_body(c)
       c = jax.tree.map(lambda a, b: jnp.where(keep, b, a), c, new)
-      return c, ()
-    carry, _ = jax.lax.scan(scan_body, carry, None, length=iterations)
+      stat = jnp.where(keep, jnp.stack([new[2], new[1]]), 0.0)
+      return c, stat
+    carry, stats = jax.lax.scan(scan_body, carry, None, length=iterations)
+    solver_stat = solver_stat.at[:iterations].set(stats)
     x, cost, _, niter, *_ = carry
   else:
     # large budgets: early-exit while_loop (not reverse-differentiable —
@@ -407,7 +411,7 @@ def solve(m: Model, d: Data) -> Data:
   else:
     qfrc = J.T @ force
   return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
-                   solver_niter=niter)
+                   solver_niter=niter, solver_stat=solver_stat)
 
 
 # ---------------------------------------------------------------------------
