@@ -1,0 +1,676 @@
+"""Compiler core: spec tree → CompiledModel (flat numpy model arrays).
+
+Counterpart of mjCModel::Compile (/root/reference/src/user/user_model.cc:4862)
+for the supported subset: per-element compilation (orientation resolution,
+geom inertia — user_objects.cc), addressing, name tables, and the
+qpos0-derived constants (mj_setConst, engine_setconst.c:860-1332) computed
+with THIS engine's forward kinematics.
+
+The output CompiledModel is attribute-compatible with the subset of
+mujoco.MjModel that models/io.put_model consumes, so a single bridge serves
+both the reference compiler and this one.
+"""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mujoco_tpu.compiler.parser import Element, Spec, parse_mjcf
+
+_SOLREF = (0.02, 1.0)
+_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
+
+_GEOMTYPES = {"plane": 0, "hfield": 1, "sphere": 2, "capsule": 3,
+              "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}
+_JNTTYPES = {"free": 0, "ball": 1, "slide": 2, "hinge": 3}
+_JNT_NQ = {0: 7, 1: 4, 2: 1, 3: 1}
+_JNT_NV = {0: 6, 1: 3, 2: 1, 3: 1}
+_CAMLIGHT_MODES = {"fixed": 0, "track": 1, "trackcom": 2, "targetbody": 3,
+                   "targetbodycom": 4}
+_INTEGRATORS = {"Euler": 0, "RK4": 1, "implicit": 2, "implicitfast": 3}
+_CONES = {"pyramidal": 0, "elliptic": 1}
+_SOLVERS = {"PGS": 0, "CG": 1, "Newton": 2}
+
+_DISABLE_BITS = {
+    "constraint": 1 << 0, "equality": 1 << 1, "frictionloss": 1 << 2,
+    "limit": 1 << 3, "contact": 1 << 4, "spring": 1 << 5, "damper": 1 << 6,
+    "gravity": 1 << 7, "clampctrl": 1 << 8, "warmstart": 1 << 9,
+    "filterparent": 1 << 10, "actuation": 1 << 11, "refsafe": 1 << 12,
+    "sensor": 1 << 13, "midphase": 1 << 14, "eulerdamp": 1 << 15,
+    "autoreset": 1 << 16, "nativeccd": 1 << 17,
+}
+_ENABLE_BITS = {"override": 1 << 0, "energy": 1 << 1, "fwdinv": 1 << 2,
+                "invdiscrete": 1 << 3, "multiccd": 1 << 5}
+
+_SENSORS = {
+    # name: (type enum, dim, objtype kw, needstage) — mjtSensor values
+    "touch": (0, 1, "site", 3),
+    "accelerometer": (1, 3, "site", 3),
+    "velocimeter": (2, 3, "site", 2),
+    "gyro": (3, 3, "site", 2),
+    "force": (4, 3, "site", 3),
+    "torque": (5, 3, "site", 3),
+    "magnetometer": (6, 3, "site", 1),
+    "rangefinder": (7, 1, "site", 1),
+    "jointpos": (9, 1, "joint", 1),
+    "jointvel": (10, 1, "joint", 2),
+    "tendonpos": (11, 1, "tendon", 1),
+    "tendonvel": (12, 1, "tendon", 2),
+    "actuatorpos": (13, 1, "actuator", 1),
+    "actuatorvel": (14, 1, "actuator", 2),
+    "actuatorfrc": (15, 1, "actuator", 3),
+    "jointactuatorfrc": (16, 1, "joint", 3),
+    "ballquat": (18, 4, "joint", 1),
+    "ballangvel": (19, 3, "joint", 2),
+    "jointlimitpos": (20, 1, "joint", 1),
+    "jointlimitvel": (21, 1, "joint", 2),
+    "jointlimitfrc": (22, 1, "joint", 3),
+    "framepos": (26, 3, "obj", 1),
+    "framequat": (27, 4, "obj", 1),
+    "framexaxis": (28, 3, "obj", 1),
+    "frameyaxis": (29, 3, "obj", 1),
+    "framezaxis": (30, 3, "obj", 1),
+    "framelinvel": (31, 3, "obj", 2),
+    "frameangvel": (32, 3, "obj", 2),
+    "framelinacc": (33, 3, "obj", 3),
+    "frameangacc": (34, 3, "obj", 3),
+    "subtreecom": (35, 3, "body", 1),
+    "subtreelinvel": (36, 3, "body", 2),
+    "subtreeangmom": (37, 3, "body", 2),
+    "e_potential": (43, 1, "none", 1),
+    "e_kinetic": (44, 1, "none", 2),
+    "clock": (45, 1, "none", 1),
+}
+_OBJTYPE = {"body": 1, "xbody": 2, "joint": 3, "dof": 4, "geom": 5,
+            "site": 6, "camera": 7, "tendon": 18, "actuator": 19, "none": 0}
+
+
+def _f(attrs, key, default=None, n=None):
+  """Float array attribute."""
+  if key not in attrs:
+    if default is None:
+      return None
+    v = np.array(default, dtype=np.float64)
+  else:
+    v = np.fromstring(attrs[key], sep=" ", dtype=np.float64)
+  v = np.atleast_1d(v)
+  if n is not None:
+    out = np.zeros(n, dtype=np.float64)
+    out[:min(n, len(v))] = v[:n]
+    return out
+  return v
+
+
+def _s(attrs, key, default=None):
+  return attrs.get(key, default)
+
+
+def _b(attrs, key, default=False):
+  v = attrs.get(key)
+  if v is None:
+    return default
+  return v in ("true", "1")
+
+
+class _AutoLimited:
+  """limited="auto": infer from range presence (compiler autolimits)."""
+
+  @staticmethod
+  def parse(attrs, key, range_key, autolimits):
+    v = attrs.get(key, "auto")
+    if v == "auto":
+      return 1 if (autolimits and range_key in attrs) else 0
+    return 1 if v == "true" else 0
+
+
+def _quat_from_attrs(attrs, deg: bool, eulerseq: str = "xyz"):
+  """Orientation resolver (mjCAlternative::Set, user_objects.cc)."""
+  if "quat" in attrs:
+    q = _f(attrs, "quat", n=4)
+    return q / max(np.linalg.norm(q), 1e-15)
+  scale = math.pi / 180.0 if deg else 1.0
+  if "euler" in attrs:
+    e = _f(attrs, "euler", n=3) * scale
+    q = np.array([1.0, 0, 0, 0])
+    for axis_ch, ang in zip(eulerseq, e):
+      axis = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1],
+              "X": [1, 0, 0], "Y": [0, 1, 0], "Z": [0, 0, 1]}[axis_ch]
+      r = _axis_angle_quat(np.array(axis, dtype=float), ang)
+      if axis_ch.islower():
+        q = _mulquat(q, r)       # intrinsic: post-multiply
+      else:
+        q = _mulquat(r, q)       # extrinsic: pre-multiply
+    return q
+  if "axisangle" in attrs:
+    aa = _f(attrs, "axisangle", n=4)
+    axis = aa[:3] / max(np.linalg.norm(aa[:3]), 1e-15)
+    return _axis_angle_quat(axis, aa[3] * scale)
+  if "xyaxes" in attrs:
+    xy = _f(attrs, "xyaxes", n=6)
+    x = xy[:3] / max(np.linalg.norm(xy[:3]), 1e-15)
+    y = xy[3:]
+    y = y - x * np.dot(x, y)
+    y = y / max(np.linalg.norm(y), 1e-15)
+    z = np.cross(x, y)
+    return _mat2quat(np.stack([x, y, z], axis=1))
+  if "zaxis" in attrs:
+    z = _f(attrs, "zaxis", n=3)
+    z = z / max(np.linalg.norm(z), 1e-15)
+    # minimal rotation taking (0,0,1) to z (mjuu_z2quat)
+    axis = np.cross(np.array([0.0, 0, 1]), z)
+    s = np.linalg.norm(axis)
+    if s < 1e-10:
+      return np.array([1.0, 0, 0, 0]) if z[2] > 0 else \
+          np.array([0.0, 1, 0, 0])
+    ang = math.atan2(s, z[2])
+    return _axis_angle_quat(axis / s, ang)
+  return np.array([1.0, 0, 0, 0])
+
+
+def _axis_angle_quat(axis, ang):
+  return np.concatenate([[math.cos(ang / 2)], axis * math.sin(ang / 2)])
+
+
+def _mulquat(a, b):
+  w1, x1, y1, z1 = a
+  w2, x2, y2, z2 = b
+  return np.array([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _rotvec(v, q):
+  w, r = q[0], q[1:]
+  return v + 2 * np.cross(r, np.cross(r, v) + w * v)
+
+
+def _conj(q):
+  return q * np.array([1.0, -1, -1, -1])
+
+
+def _mat2quat(mat):
+  t = np.trace(mat)
+  if t > 0:
+    s = math.sqrt(t + 1.0) * 2
+    return np.array([0.25 * s, (mat[2, 1] - mat[1, 2]) / s,
+                     (mat[0, 2] - mat[2, 0]) / s,
+                     (mat[1, 0] - mat[0, 1]) / s])
+  i = int(np.argmax(np.diag(mat)))
+  j, k = (i + 1) % 3, (i + 2) % 3
+  s = math.sqrt(max(1e-15, 1.0 + mat[i, i] - mat[j, j] - mat[k, k])) * 2
+  q = np.zeros(4)
+  q[0] = (mat[k, j] - mat[j, k]) / s
+  q[1 + i] = 0.25 * s
+  q[1 + j] = (mat[j, i] + mat[i, j]) / s
+  q[1 + k] = (mat[k, i] + mat[i, k]) / s
+  return q / np.linalg.norm(q)
+
+
+def _quat2mat(q):
+  w, x, y, z = q
+  return np.array([
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _geom_mass_inertia(gtype: int, size, density: float,
+                       mass: Optional[float]):
+  """Geom mass + diagonal inertia in the geom frame (mjCGeom::SetInertia,
+  user_objects.cc). Returns (mass, diag_inertia(3,))."""
+  r = size[0]
+  if gtype == 2:  # sphere
+    vol = 4.0 / 3.0 * math.pi * r ** 3
+    m = mass if mass is not None else density * vol
+    i = 2.0 / 5.0 * m * r * r
+    return m, np.array([i, i, i])
+  if gtype == 3:  # capsule: cylinder + two half spheres
+    h = size[1]
+    vol_c = math.pi * r * r * (2 * h)
+    vol_s = 4.0 / 3.0 * math.pi * r ** 3
+    vol = vol_c + vol_s
+    m = mass if mass is not None else density * vol
+    mc = m * vol_c / vol
+    ms = m * vol_s / vol
+    # cylinder part
+    izz = mc * r * r / 2
+    ixx_c = mc * (r * r / 4 + h * h / 3)
+    # sphere part: two hemispheres at ±h
+    i_s = 2.0 / 5.0 * ms * r * r
+    ixx_s = i_s + ms * (h * h + 3.0 / 8.0 * 2 * h * r)
+    return m, np.array([ixx_c + ixx_s, ixx_c + ixx_s, izz + i_s])
+  if gtype == 4:  # ellipsoid
+    a, b, c = size[:3]
+    vol = 4.0 / 3.0 * math.pi * a * b * c
+    m = mass if mass is not None else density * vol
+    return m, m / 5.0 * np.array([b * b + c * c, a * a + c * c,
+                                  a * a + b * b])
+  if gtype == 5:  # cylinder
+    h = size[1]
+    vol = math.pi * r * r * (2 * h)
+    m = mass if mass is not None else density * vol
+    izz = m * r * r / 2
+    ixx = m * (3 * r * r + 4 * h * h) / 12.0
+    return m, np.array([ixx, ixx, izz])
+  if gtype == 6:  # box
+    a, b, c = size[:3]
+    vol = 8.0 * a * b * c
+    m = mass if mass is not None else density * vol
+    return m, m / 3.0 * np.array([b * b + c * c, a * a + c * c,
+                                  a * a + b * b])
+  if gtype in (0, 1):  # plane/hfield: massless
+    return 0.0, np.zeros(3)
+  raise NotImplementedError(
+      "geom inertia for this type needs an explicit <inertial> "
+      f"(geom type {gtype})")
+
+
+class CompiledModel(SimpleNamespace):
+  """Flat model arrays, attribute-compatible with the put_model surface."""
+  is_mjtpu_compiled = True
+
+
+def load_xml(xml: str) -> "CompiledModel":
+  """MJCF string → CompiledModel (mj_loadXML analog)."""
+  return compile_spec(parse_mjcf(xml))
+
+
+def compile_spec(spec: Spec) -> "CompiledModel":
+  from mujoco_tpu.compiler import setconst
+  c = _Compiler(spec)
+  m = c.run()
+  setconst.set_const(m)
+  return m
+
+
+class _Compiler:
+  def __init__(self, spec: Spec):
+    self.spec = spec
+    self.deg = _s(spec.compiler, "angle", "degree") == "degree"
+    self.eulerseq = _s(spec.compiler, "eulerseq", "xyz")
+    self.autolimits = _b(spec.compiler, "autolimits", True)
+    # element accumulation lists
+    self.bodies: List[dict] = []
+    self.joints: List[dict] = []
+    self.geoms: List[dict] = []
+    self.sites: List[dict] = []
+    self.cams: List[dict] = []
+    self.lights: List[dict] = []
+    self.meshes: List[dict] = []
+    self.hfields: List[dict] = []
+    self.names: Dict[str, Dict[str, int]] = {
+        k: {} for k in ("body", "joint", "geom", "site", "camera", "light",
+                        "actuator", "sensor", "tendon", "equality", "key",
+                        "mesh", "hfield")}
+
+  # ----- passes ------------------------------------------------------------
+
+  def run(self) -> CompiledModel:
+    self._compile_assets()
+    # world body
+    self.bodies.append(dict(name="world", parentid=0, pos=np.zeros(3),
+                            quat=np.array([1.0, 0, 0, 0]), mocap=False,
+                            explicit_inertial=None, gravcomp=0.0,
+                            jnt=[], geomids=[]))
+    self.names["body"]["world"] = 0
+    for child in self.spec.worldbody.children:
+      self._compile_element(child, parent=0,
+                            fpos=np.zeros(3), fquat=np.array([1.0, 0, 0, 0]))
+    self._compute_inertia()
+    self._address()
+    self._compile_tendons()
+    self._compile_actuators()
+    self._compile_equalities()
+    self._compile_contacts()
+    self._compile_sensors()
+    self._compile_keyframes()
+    return self._emit()
+
+  # ----- tree --------------------------------------------------------------
+
+  def _compile_element(self, el: Element, parent: int, fpos, fquat):
+    if el.kind == "frame":
+      pos = fpos + _rotvec(_f(el.attrs, "pos", [0, 0, 0], 3), fquat)
+      quat = _mulquat(fquat, _quat_from_attrs(el.attrs, self.deg,
+                                              self.eulerseq))
+      for child in el.children:
+        self._compile_element(child, parent, pos, quat)
+      return
+    if el.kind == "body":
+      self._compile_body(el, parent, fpos, fquat)
+      return
+    handler = {"joint": self._compile_joint, "geom": self._compile_geom,
+               "site": self._compile_site, "camera": self._compile_camera,
+               "light": self._compile_light,
+               "inertial": self._compile_inertial}[el.kind]
+    handler(el, parent, fpos, fquat)
+
+  def _compile_body(self, el: Element, parent: int, fpos, fquat):
+    bid = len(self.bodies)
+    pos = fpos + _rotvec(_f(el.attrs, "pos", [0, 0, 0], 3), fquat)
+    quat = _mulquat(fquat, _quat_from_attrs(el.attrs, self.deg,
+                                            self.eulerseq))
+    name = _s(el.attrs, "name", f"body{bid}")
+    self.bodies.append(dict(
+        name=name, parentid=parent, pos=pos, quat=quat,
+        mocap=_b(el.attrs, "mocap", False),
+        gravcomp=float(_s(el.attrs, "gravcomp", "0")),
+        explicit_inertial=None, jnt=[], geomids=[]))
+    self.names["body"][name] = bid
+    for child in el.children:
+      self._compile_element(child, bid, np.zeros(3),
+                            np.array([1.0, 0, 0, 0]))
+
+  def _compile_joint(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    jid = len(self.joints)
+    jtype = _JNTTYPES[_s(a, "type", "hinge")]
+    scale = math.pi / 180.0 if self.deg else 1.0
+    rng = _f(a, "range", [0, 0], 2)
+    if jtype in (1, 3):
+      rng = rng * scale
+    axis = _f(a, "axis", [0, 0, 1], 3)
+    axis = axis / max(np.linalg.norm(axis), 1e-15)
+    name = _s(a, "name", f"joint{jid}")
+    self.joints.append(dict(
+        name=name, body=body, type=jtype,
+        pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
+        axis=_rotvec(axis, fquat),
+        ref=float(_s(a, "ref", "0")) * (scale if jtype in (1, 3) else 1.0),
+        springref=float(_s(a, "springref", "0"))
+        * (scale if jtype in (1, 3) else 1.0),
+        stiffness=float(_s(a, "stiffness", "0")),
+        damping=float(_s(a, "damping", "0")),
+        armature=float(_s(a, "armature", "0")),
+        frictionloss=float(_s(a, "frictionloss", "0")),
+        limited=_AutoLimited.parse(a, "limited", "range", self.autolimits),
+        range=rng,
+        margin=float(_s(a, "margin", "0")) * (scale if jtype == 3 else 1.0),
+        solref=_f(a, "solreflimit", _SOLREF, 2),
+        solimp=_f(a, "solimplimit", _SOLIMP, 5),
+        actfrclimited=_AutoLimited.parse(a, "actuatorfrclimited",
+                                         "actuatorfrcrange", self.autolimits),
+        actfrcrange=_f(a, "actuatorfrcrange", [0, 0], 2),
+        actgravcomp=_b(a, "actuatorgravcomp", False),
+    ))
+    self.names["joint"][name] = jid
+    self.bodies[body]["jnt"].append(jid)
+
+  def _compile_geom(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    gid = len(self.geoms)
+    gtype = _GEOMTYPES[_s(a, "type", "sphere")]
+    size = _f(a, "size", [0, 0, 0], 3)
+    pos = fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat)
+    quat = _mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq))
+    if "fromto" in a:
+      ft = _f(a, "fromto", n=6)
+      p1, p2 = ft[:3], ft[3:]
+      mid = 0.5 * (p1 + p2)
+      dvec = p1 - p2  # reference convention: z along from-to reversed
+      ln = np.linalg.norm(dvec)
+      pos = fpos + _rotvec(mid, fquat)
+      zq = _quat_from_attrs({"zaxis": f"{dvec[0]} {dvec[1]} {dvec[2]}"},
+                            self.deg)
+      quat = _mulquat(fquat, zq)
+      size = np.array([size[0], ln / 2, 0.0])
+    dataid = -1
+    if gtype == 7:
+      dataid = self.names["mesh"][a["mesh"]]
+    if gtype == 1:
+      dataid = self.names["hfield"][a["hfield"]]
+    name = _s(a, "name", f"geom{gid}")
+    self.geoms.append(dict(
+        name=name, body=body, type=gtype, size=size, pos=pos, quat=quat,
+        contype=int(_s(a, "contype", "1")),
+        conaffinity=int(_s(a, "conaffinity", "1")),
+        condim=int(_s(a, "condim", "3")),
+        group=int(_s(a, "group", "0")),
+        priority=int(_s(a, "priority", "0")),
+        friction=_f(a, "friction", [1, 0.005, 0.0001], 3),
+        solmix=float(_s(a, "solmix", "1")),
+        solref=_f(a, "solref", _SOLREF, 2),
+        solimp=_f(a, "solimp", _SOLIMP, 5),
+        margin=float(_s(a, "margin", "0")),
+        gap=float(_s(a, "gap", "0")),
+        density=float(_s(a, "density", "1000")),
+        mass=float(a["mass"]) if "mass" in a else None,
+        dataid=dataid,
+    ))
+    self.names["geom"][name] = gid
+    self.bodies[body]["geomids"].append(gid)
+
+  def _compile_site(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    sid = len(self.sites)
+    name = _s(a, "name", f"site{sid}")
+    stype = _GEOMTYPES[_s(a, "type", "sphere")]
+    self.sites.append(dict(
+        name=name, body=body, type=stype,
+        size=_f(a, "size", [0.005, 0.005, 0.005], 3),
+        pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
+        quat=_mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq))))
+    self.names["site"][name] = sid
+
+  def _compile_camera(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    cid = len(self.cams)
+    name = _s(a, "name", f"camera{cid}")
+    self.cams.append(dict(
+        name=name, body=body,
+        mode=_CAMLIGHT_MODES[_s(a, "mode", "fixed")],
+        target=_s(a, "target"),
+        pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
+        quat=_mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq)),
+        fovy=float(_s(a, "fovy", "45")),
+        resolution=_f(a, "resolution", [1, 1], 2),
+        intrinsic=_f(a, "intrinsic", [0, 0, 0, 0], 4),
+        sensorsize=_f(a, "sensorsize", [0, 0], 2)))
+    self.names["camera"][name] = cid
+
+  def _compile_light(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    lid = len(self.lights)
+    name = _s(a, "name", f"light{lid}")
+    d = _f(a, "dir", [0, 0, -1], 3)
+    self.lights.append(dict(
+        name=name, body=body,
+        mode=_CAMLIGHT_MODES[_s(a, "mode", "fixed")],
+        target=_s(a, "target"),
+        pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
+        dir=_rotvec(d / max(np.linalg.norm(d), 1e-15), fquat)))
+    self.names["light"][name] = lid
+
+  def _compile_inertial(self, el: Element, body: int, fpos, fquat):
+    a = el.attrs
+    mass = float(a["mass"])
+    ipos = fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat)
+    iquat = _mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq))
+    if "diaginertia" in a:
+      inertia = _f(a, "diaginertia", n=3)
+    elif "fullinertia" in a:
+      fi = _f(a, "fullinertia", n=6)
+      mat = np.array([[fi[0], fi[3], fi[4]],
+                      [fi[3], fi[1], fi[5]],
+                      [fi[4], fi[5], fi[2]]])
+      vals, fiq = _eig3(mat)
+      inertia = vals
+      iquat = _mulquat(iquat, fiq)
+    else:
+      inertia = np.zeros(3)
+    self.bodies[body]["explicit_inertial"] = (mass, ipos, iquat, inertia)
+
+  # ----- assets ------------------------------------------------------------
+
+  def _compile_assets(self):
+    mesh_vert, mesh_face = [], []
+    hf_data = []
+    for el in self.spec.assets:
+      if el.kind == "mesh":
+        if "vertex" not in el.attrs:
+          raise NotImplementedError("file meshes not supported; use inline "
+                                    "vertex data")
+        name = _s(el.attrs, "name", f"mesh{len(self.meshes)}")
+        verts = _f(el.attrs, "vertex").reshape(-1, 3)
+        scale = _f(el.attrs, "scale", [1, 1, 1], 3)
+        verts = verts * scale
+        # center on the centroid like the reference (CoM-centered frames)
+        centroid = verts.mean(axis=0)
+        verts = verts - centroid
+        if "face" in el.attrs:
+          faces = _f(el.attrs, "face").astype(np.int32).reshape(-1, 3)
+        else:
+          faces = _convex_hull_faces(verts)
+        self.names["mesh"][name] = len(self.meshes)
+        self.meshes.append(dict(name=name, vertadr=sum(
+            len(v) for v, _ in zip(mesh_vert, mesh_vert)), verts=verts,
+            faces=faces, centroid=centroid))
+      elif el.kind == "hfield":
+        name = _s(el.attrs, "name", f"hfield{len(self.hfields)}")
+        nrow = int(el.attrs["nrow"])
+        ncol = int(el.attrs["ncol"])
+        self.names["hfield"][name] = len(self.hfields)
+        self.hfields.append(dict(
+            name=name, nrow=nrow, ncol=ncol,
+            size=_f(el.attrs, "size", n=4),
+            data=np.zeros(nrow * ncol, dtype=np.float64)))
+      else:
+        raise NotImplementedError(f"asset <{el.kind}>")
+
+  # ----- inertia -----------------------------------------------------------
+
+  def _compute_inertia(self):
+    inertiafromgeom = _s(self.spec.compiler, "inertiafromgeom", "auto")
+    for b, body in enumerate(self.bodies):
+      if b == 0:
+        body.update(mass=0.0, ipos=np.zeros(3),
+                    iquat=np.array([1.0, 0, 0, 0]), inertia=np.zeros(3))
+        continue
+      use_geom = (inertiafromgeom == "true"
+                  or (inertiafromgeom == "auto"
+                      and body["explicit_inertial"] is None))
+      if not use_geom and body["explicit_inertial"] is not None:
+        mass, ipos, iquat, inertia = body["explicit_inertial"]
+        body.update(mass=mass, ipos=ipos, iquat=iquat, inertia=inertia)
+        continue
+      # accumulate geom inertias (mjCBody::InertiaFromGeom,
+      # user_objects.cc:2457): geoms with tiny mass are skipped; a single
+      # geom copies its frame verbatim; multiple geoms eig-decompose with
+      # the reference's exact Jacobi solver
+      sel = []
+      for gid in body["geomids"]:
+        g = self.geoms[gid]
+        gm, gi = _geom_mass_inertia(g["type"], g["size"], g["density"],
+                                    g["mass"])
+        if gm > 1e-14:
+          sel.append((g, gm, gi))
+      if not sel:
+        body.update(mass=0.0, ipos=np.zeros(3),
+                    iquat=np.array([1.0, 0, 0, 0]), inertia=np.zeros(3))
+        continue
+      if len(sel) == 1:
+        g, gm, gi = sel[0]
+        body.update(mass=gm, ipos=g["pos"].copy(), iquat=g["quat"].copy(),
+                    inertia=gi)
+        continue
+      total_m = sum(gm for _, gm, _ in sel)
+      com = sum(gm * g["pos"] for g, gm, _ in sel) / total_m
+      itot = np.zeros((3, 3))
+      for g, gm, gi in sel:
+        rot = _quat2mat(g["quat"])
+        i_world = rot @ np.diag(gi) @ rot.T
+        r = g["pos"] - com
+        i_world += gm * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
+        itot += i_world
+      vals, quat = _eig3(itot)
+      body.update(mass=total_m, ipos=com, iquat=quat, inertia=vals)
+
+def _eig3(mat):
+  """Faithful port of the reference's Jacobi eigensolver (mju_eig3,
+  engine_util_solve.c:1089-1181): same rotation order, quaternion
+  accumulation, and descending bubble sort — so principal inertia frames
+  are BIT-compatible with the reference compiler even in degenerate
+  (axisymmetric) cases."""
+  eps = 1e-15 * 1000
+  quat = np.array([1.0, 0, 0, 0])
+  eigval = np.zeros(3)
+  for _ in range(500):
+    vec = _quat2mat(quat)
+    D = vec.T @ mat @ vec
+    eigval[:] = np.diag(D)
+    if abs(D[0, 1]) > abs(D[0, 2]) and abs(D[0, 1]) > abs(D[1, 2]):
+      rk, ck, rotk = 0, 1, 2
+    elif abs(D[0, 2]) > abs(D[1, 2]):
+      rk, ck, rotk = 0, 2, 1
+    else:
+      rk, ck, rotk = 1, 2, 0
+    if abs(D[rk, ck]) < eps:
+      break
+    tau = (D[ck, ck] - D[rk, rk]) / (2 * D[rk, ck])
+    if tau >= 0:
+      t = 1.0 / (tau + math.sqrt(1 + tau * tau))
+    else:
+      t = -1.0 / (-tau + math.sqrt(1 + tau * tau))
+    c = 1.0 / math.sqrt(1 + t * t)
+    if c > 1.0 - eps:
+      break
+    tmp = np.zeros(4)
+    tmp[rotk + 1] = (-math.sqrt(0.5 - 0.5 * c) if tau >= 0
+                     else math.sqrt(0.5 - 0.5 * c))
+    if rotk == 1:
+      tmp[rotk + 1] = -tmp[rotk + 1]
+    tmp[0] = math.sqrt(1.0 - tmp[rotk + 1] ** 2)
+    tmp /= np.linalg.norm(tmp)
+    quat = _mulquat(quat, tmp)
+    quat /= np.linalg.norm(quat)
+  # sort eigenvalues descending (bubble: 0, 1, 0) with axis-swap rotations
+  for j in (0, 1, 0):
+    if eigval[j] + eps < eigval[j + 1]:
+      eigval[j], eigval[j + 1] = eigval[j + 1], eigval[j]
+      tmp = np.zeros(4)
+      tmp[0] = 0.707106781186548
+      tmp[(j + 2) % 3 + 1] = tmp[0]
+      quat = _mulquat(quat, tmp)
+      quat /= np.linalg.norm(quat)
+  return np.maximum(eigval, 0.0), quat
+
+
+def _convex_hull_faces(verts: np.ndarray) -> np.ndarray:
+  """Brute-force convex hull triangulation for small inline meshes (the
+  reference uses qhull, user_mesh.cc): every triple of vertices whose plane
+  has all other vertices on one side becomes a face, oriented outward."""
+  n = len(verts)
+  faces = []
+  center = verts.mean(axis=0)
+  for i in range(n):
+    for j in range(i + 1, n):
+      for k in range(j + 1, n):
+        nrm = np.cross(verts[j] - verts[i], verts[k] - verts[i])
+        ln = np.linalg.norm(nrm)
+        if ln < 1e-12:
+          continue
+        nrm = nrm / ln
+        d = (verts - verts[i]) @ nrm
+        if (d <= 1e-10).all() or (d >= -1e-10).all():
+          # orient outward from the centroid
+          if np.dot(nrm, verts[i] - center) < 0:
+            faces.append((i, k, j))
+          else:
+            faces.append((i, j, k))
+  return np.array(sorted(set(faces)), dtype=np.int32).reshape(-1, 3)
+
+
+# addressing + the remaining compile sections live in core2.py (split for
+# readability); attach them to _Compiler here
+from mujoco_tpu.compiler import core2 as _core2  # noqa: E402
+
+for _name in ("_address", "_compile_tendons", "_compile_actuators",
+              "_compile_equalities", "_compile_contacts", "_compile_sensors",
+              "_compile_keyframes", "_emit"):
+  setattr(_Compiler, _name, getattr(_core2, _name))

@@ -1,0 +1,824 @@
+"""Compiler back half: addressing, actuator/tendon/equality/sensor/keyframe
+compilation and the CompiledModel emission (continues core.py's _Compiler;
+counterpart of mjCModel::TryCompile's list passes,
+/root/reference/src/user/user_model.cc:5205-5432)."""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+
+import numpy as np
+
+from mujoco_tpu.compiler.core import (_AutoLimited, _ENABLE_BITS,
+                                      _DISABLE_BITS, _CONES, _INTEGRATORS,
+                                      _JNT_NQ, _JNT_NV, _OBJTYPE, _SENSORS,
+                                      _SOLIMP, _SOLREF, _SOLVERS,
+                                      CompiledModel, _b, _f, _s)
+
+_DYN = {"none": 0, "integrator": 1, "filter": 2, "filterexact": 3,
+        "muscle": 4, "dcmotor": 5, "user": 7}
+_GAIN = {"fixed": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "user": 6}
+_BIAS = {"none": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "user": 5}
+
+
+def _address(self):
+  """qpos/dof addressing + body derived fields (SetSizes analog)."""
+  nq = nv = 0
+  self.dof = []  # per dof: (bodyid, jntid)
+  for j, jnt in enumerate(self.joints):
+    jnt["qposadr"] = nq
+    jnt["dofadr"] = nv
+    nq += _JNT_NQ[jnt["type"]]
+    nv += _JNT_NV[jnt["type"]]
+    for k in range(_JNT_NV[jnt["type"]]):
+      self.dof.append((jnt["body"], j))
+  self.nq, self.nv = nq, nv
+
+  nb = len(self.bodies)
+  parent = np.array([b["parentid"] for b in self.bodies], dtype=np.int32)
+  self.body_parentid = parent
+  # weldid: self if jointed, else parent's weldid
+  weldid = np.zeros(nb, dtype=np.int32)
+  for b in range(1, nb):
+    weldid[b] = b if self.bodies[b]["jnt"] else weldid[parent[b]]
+  self.body_weldid = weldid
+  # rootid: top-most non-world ancestor
+  rootid = np.zeros(nb, dtype=np.int32)
+  for b in range(1, nb):
+    rootid[b] = b if parent[b] == 0 else rootid[parent[b]]
+  self.body_rootid = rootid
+  # subtreemass
+  mass = np.array([b["mass"] for b in self.bodies])
+  subtree = mass.copy()
+  for b in range(nb - 1, 0, -1):
+    subtree[parent[b]] += subtree[b]
+  self.body_subtreemass = subtree
+  # mocap ids
+  mocapid = np.full(nb, -1, dtype=np.int32)
+  nmocap = 0
+  for b in range(nb):
+    if self.bodies[b]["mocap"]:
+      mocapid[b] = nmocap
+      nmocap += 1
+  self.body_mocapid = mocapid
+  self.nmocap = nmocap
+
+  # dof_parentid: previous dof in the same joint → previous joint in the
+  # same body → last dof of the nearest jointed ancestor body
+  last_dof_of_body = np.full(nb, -1, dtype=np.int32)
+  for j, jnt in enumerate(self.joints):
+    b = jnt["body"]
+    nvj = _JNT_NV[jnt["type"]]
+    for k in range(nvj):
+      i = jnt["dofadr"] + k
+      if k > 0:
+        pid = i - 1
+      elif last_dof_of_body[b] >= 0:
+        pid = last_dof_of_body[b]
+      else:
+        anc = parent[b]
+        while anc != 0 and last_dof_of_body[anc] < 0:
+          anc = parent[anc]
+        pid = last_dof_of_body[anc] if anc != 0 else (
+            last_dof_of_body[0])
+      jnt.setdefault("dof_parent", []).append(pid)
+      last_dof_of_body[b] = i
+
+  # qpos0 / qpos_spring
+  qpos0 = np.zeros(nq)
+  qspring = np.zeros(nq)
+  for jnt in self.joints:
+    adr = jnt["qposadr"]
+    t = jnt["type"]
+    if t in (2, 3):
+      qpos0[adr] = jnt["ref"]
+      qspring[adr] = jnt["springref"]
+    elif t == 1:
+      qpos0[adr:adr + 4] = [1, 0, 0, 0]
+      qspring[adr:adr + 4] = [1, 0, 0, 0]
+    else:  # free: global body frame
+      b = self.bodies[jnt["body"]]
+      # compose up to world (free bodies are direct children of world in
+      # the supported subset)
+      if b["parentid"] != 0:
+        raise NotImplementedError("free joints only on children of world")
+      qpos0[adr:adr + 3] = b["pos"]
+      qpos0[adr + 3:adr + 7] = b["quat"]
+      qspring[adr:adr + 7] = qpos0[adr:adr + 7]
+  self.qpos0 = qpos0
+  self.qpos_spring = qspring
+
+
+def _compile_tendons(self):
+  from mujoco_tpu.compiler.core import _f as f
+  self.tendon_list = []
+  self.wraps = []
+  for el in self.spec.tendons:
+    a = el.attrs
+    tid = len(self.tendon_list)
+    name = _s(a, "name", f"tendon{tid}")
+    adr = len(self.wraps)
+    if el.kind == "spatial":
+      for w in el.children:
+        if w.kind == "site":
+          self.wraps.append((3, self.names["site"][w.attrs["site"]], 0.0))
+        elif w.kind == "geom":
+          gid = self.names["geom"][w.attrs["geom"]]
+          gtype = self.geoms[gid]["type"]
+          wtype = 4 if gtype == 2 else 5  # sphere / cylinder wrap
+          side = w.attrs.get("sidesite")
+          prm = float(self.names["site"][side]) if side else -1.0
+          self.wraps.append((wtype, gid, prm))
+        elif w.kind == "pulley":
+          self.wraps.append((2, -1, float(w.attrs.get("divisor", "1"))))
+        else:
+          raise NotImplementedError(f"tendon wrap <{w.kind}>")
+    elif el.kind == "fixed":
+      for w in el.children:
+        if w.kind != "joint":
+          raise NotImplementedError(f"fixed tendon element <{w.kind}>")
+        self.wraps.append((1, self.names["joint"][w.attrs["joint"]],
+                           float(w.attrs.get("coef", "0"))))
+    else:
+      raise NotImplementedError(f"tendon <{el.kind}>")
+    self.names["tendon"][name] = tid
+    self.tendon_list.append(dict(
+        name=name, adr=adr, num=len(self.wraps) - adr,
+        limited=_AutoLimited.parse(a, "limited", "range", self.autolimits),
+        range=f(a, "range", [0, 0], 2),
+        solref_lim=f(a, "solreflimit", _SOLREF, 2),
+        solimp_lim=f(a, "solimplimit", _SOLIMP, 5),
+        solref_fri=f(a, "solreffriction", _SOLREF, 2),
+        solimp_fri=f(a, "solimpfriction", _SOLIMP, 5),
+        margin=float(_s(a, "margin", "0")),
+        stiffness=float(_s(a, "stiffness", "0")),
+        damping=float(_s(a, "damping", "0")),
+        armature=float(_s(a, "armature", "0")),
+        frictionloss=float(_s(a, "frictionloss", "0")),
+        springlength=f(a, "springlength", [-1, -1], 2),
+    ))
+
+
+def _compile_actuators(self):
+  self.act_list = []
+  na = 0
+  for el in self.spec.actuators:
+    a = dict(el.attrs)
+    aid = len(self.act_list)
+    name = _s(a, "name", f"actuator{aid}")
+    kind = el.kind
+    dynprm = np.zeros(10)
+    gainprm = np.zeros(10)
+    biasprm = np.zeros(10)
+    dyn, gain, bias = 0, 0, 0
+    dynprm[0] = 1.0
+    gainprm[0] = 1.0
+    if kind == "motor":
+      pass
+    elif kind == "position":
+      kp = float(_s(a, "kp", "1"))
+      kv = float(_s(a, "kv", "0"))
+      gainprm[0] = kp
+      bias = 1
+      biasprm[:3] = [0, -kp, -kv]
+    elif kind == "velocity":
+      kv = float(_s(a, "kv", "1"))
+      gainprm[0] = kv
+      bias = 1
+      biasprm[:3] = [0, 0, -kv]
+    elif kind == "muscle":
+      dyn, gain, bias = 4, 2, 2
+      dynprm[:3] = _f(a, "timeconst", [0.01, 0.04], 2).tolist() + [0.0]
+      dynprm[2] = float(_s(a, "tausmooth", "0"))
+      prm = np.array([0.75, 1.05, -1, 200, 0.5, 1.6, 1.5, 1.3, 1.2, 0])
+      prm[:2] = _f(a, "range", [0.75, 1.05], 2)
+      prm[2] = float(_s(a, "force", "-1"))
+      prm[3] = float(_s(a, "scale", "200"))
+      prm[4] = float(_s(a, "lmin", "0.5"))
+      prm[5] = float(_s(a, "lmax", "1.6"))
+      prm[6] = float(_s(a, "vmax", "1.5"))
+      prm[7] = float(_s(a, "fpmax", "1.3"))
+      prm[8] = float(_s(a, "fvmax", "1.2"))
+      gainprm[:10] = prm
+      biasprm[:10] = prm
+      a.setdefault("ctrllimited", "true")
+      a.setdefault("ctrlrange", "0 1")
+    elif kind == "general":
+      dyn = _DYN[_s(a, "dyntype", "none")]
+      gain = _GAIN[_s(a, "gaintype", "fixed")]
+      bias = _BIAS[_s(a, "biastype", "none")]
+      dynprm = _f(a, "dynprm", [1] + [0] * 9, 10)
+      gainprm = _f(a, "gainprm", [1] + [0] * 9, 10)
+      biasprm = _f(a, "biasprm", [0] * 10, 10)
+    else:
+      raise NotImplementedError(f"actuator <{kind}>")
+
+    # transmission
+    if "joint" in a:
+      trntype = 0
+      trnid = (self.names["joint"][a["joint"]], -1)
+    elif "jointinparent" in a:
+      trntype = 1
+      trnid = (self.names["joint"][a["jointinparent"]], -1)
+    elif "tendon" in a:
+      trntype = 3
+      trnid = (self.names["tendon"][a["tendon"]], -1)
+    elif "site" in a:
+      trntype = 4
+      ref = a.get("refsite")
+      trnid = (self.names["site"][a["site"]],
+               self.names["site"][ref] if ref else -1)
+    elif "cranksite" in a:
+      trntype = 2
+      trnid = (self.names["site"][a["cranksite"]],
+               self.names["site"][a["slidersite"]])
+    else:
+      raise NotImplementedError("actuator transmission")
+
+    actdim = int(_s(a, "actdim", "-1"))
+    if actdim < 0:
+      actdim = 0 if dyn == 0 else 1
+    actadr = na if actdim else -1
+    na += actdim
+
+    self.names["actuator"][name] = aid
+    self.act_list.append(dict(
+        name=name, trntype=trntype, trnid=trnid,
+        dyn=dyn, gain=gain, bias=bias,
+        dynprm=dynprm, gainprm=gainprm, biasprm=biasprm,
+        actadr=actadr, actnum=actdim,
+        ctrllimited=_AutoLimited.parse(a, "ctrllimited", "ctrlrange",
+                                       self.autolimits),
+        ctrlrange=_f(a, "ctrlrange", [0, 0], 2),
+        forcelimited=_AutoLimited.parse(a, "forcelimited", "forcerange",
+                                        self.autolimits),
+        forcerange=_f(a, "forcerange", [0, 0], 2),
+        actlimited=_AutoLimited.parse(a, "actlimited", "actrange",
+                                      self.autolimits),
+        actrange=_f(a, "actrange", [0, 0], 2),
+        actearly=_b(a, "actearly", False),
+        group=int(_s(a, "group", "0")),
+        gear=_f(a, "gear", [1, 0, 0, 0, 0, 0], 6),
+        cranklength=float(_s(a, "cranklength", "0")),
+        lengthrange=_f(a, "lengthrange", [0, 0], 2),
+    ))
+  self.na = na
+
+
+def _compile_equalities(self):
+  self.eq_list = []
+  for el in self.spec.equalities:
+    a = el.attrs
+    eid = len(self.eq_list)
+    name = _s(a, "name", f"equality{eid}")
+    data = np.zeros(11)
+    data[10] = 1.0  # torquescale default (all equality types in the model)
+    objtype = 1  # mjOBJ_BODY
+    if el.kind == "connect":
+      et = 0
+      if "site1" in a:
+        objtype = 6
+        o1 = self.names["site"][a["site1"]]
+        o2 = self.names["site"][a["site2"]]
+      else:
+        o1 = self.names["body"][a["body1"]]
+        o2 = self.names["body"][a.get("body2", "world")]
+        data[0:3] = _f(a, "anchor", [0, 0, 0], 3)
+    elif el.kind == "weld":
+      et = 1
+      if "site1" in a:
+        objtype = 6
+        o1 = self.names["site"][a["site1"]]
+        o2 = self.names["site"][a["site2"]]
+      else:
+        o1 = self.names["body"][a["body1"]]
+        o2 = self.names["body"][a.get("body2", "world")]
+        data[0:3] = _f(a, "anchor", [0, 0, 0], 3)
+        if "relpose" in a:
+          rp = _f(a, "relpose", n=7)
+          data[3:6] = rp[:3]
+          data[6:10] = rp[3:]
+      data[10] = float(_s(a, "torquescale", "1"))
+    elif el.kind == "joint":
+      et = 2
+      o1 = self.names["joint"][a["joint1"]]
+      o2 = self.names["joint"][a["joint2"]] if "joint2" in a else -1
+      data[0:5] = _f(a, "polycoef", [0, 1, 0, 0, 0], 5)
+      objtype = 0  # the reference stores joint/tendon equalities untyped
+    elif el.kind == "tendon":
+      et = 3
+      o1 = self.names["tendon"][a["tendon1"]]
+      o2 = self.names["tendon"][a["tendon2"]] if "tendon2" in a else -1
+      data[0:5] = _f(a, "polycoef", [0, 1, 0, 0, 0], 5)
+      objtype = 0
+    else:
+      raise NotImplementedError(f"equality <{el.kind}>")
+    self.names["equality"][name] = eid
+    self.eq_list.append(dict(
+        name=name, type=et, obj1=o1, obj2=o2, objtype=objtype, data=data,
+        active=_b(a, "active", True),
+        solref=_f(a, "solref", _SOLREF, 2),
+        solimp=_f(a, "solimp", _SOLIMP, 5)))
+
+
+def _compile_contacts(self):
+  self.pair_list = []
+  self.exclude_list = []
+  for el in self.spec.contacts:
+    a = el.attrs
+    if el.kind == "pair":
+      g1 = self.names["geom"][a["geom1"]]
+      g2 = self.names["geom"][a["geom2"]]
+      fr = _f(a, "friction", [1, 1, 0.005, 0.0001, 0.0001], 5)
+      self.pair_list.append(dict(
+          geom1=g1, geom2=g2,
+          condim=int(_s(a, "condim", "3")),
+          friction=fr,
+          solref=_f(a, "solref", _SOLREF, 2),
+          solreffriction=_f(a, "solreffriction", [0, 0], 2),
+          solimp=_f(a, "solimp", _SOLIMP, 5),
+          margin=float(_s(a, "margin", "0")),
+          gap=float(_s(a, "gap", "0"))))
+    elif el.kind == "exclude":
+      b1 = self.names["body"][a["body1"]]
+      b2 = self.names["body"][a["body2"]]
+      self.exclude_list.append((min(b1, b2) << 16) + max(b1, b2))
+    else:
+      raise NotImplementedError(f"contact <{el.kind}>")
+
+
+def _compile_sensors(self):
+  self.sensor_list = []
+  adr = 0
+  for el in self.spec.sensors:
+    a = el.attrs
+    if el.kind not in _SENSORS:
+      raise NotImplementedError(f"sensor <{el.kind}>")
+    stype, dim, objkind, needstage = _SENSORS[el.kind]
+    name = _s(a, "name", f"sensor{len(self.sensor_list)}")
+    reftype, refid = 0, -1
+    if objkind == "none":
+      objtype, objid = 0, -1
+    elif objkind == "obj":
+      kw = a["objtype"]
+      objtype = _OBJTYPE[kw]
+      table = {"body": "body", "xbody": "body", "geom": "geom",
+               "site": "site", "camera": "camera"}[kw]
+      objid = self.names[table][a["objname"]]
+      if "reftype" in a:
+        rkw = a["reftype"]
+        reftype = _OBJTYPE[rkw]
+        rtable = {"body": "body", "xbody": "body", "geom": "geom",
+                  "site": "site", "camera": "camera"}[rkw]
+        refid = self.names[rtable][a["refname"]]
+    else:
+      objtype = _OBJTYPE[objkind]
+      objid = self.names[
+          {"site": "site", "joint": "joint", "tendon": "tendon",
+           "actuator": "actuator", "body": "body"}[objkind]][a[objkind]]
+    self.names["sensor"][name] = len(self.sensor_list)
+    self.sensor_list.append(dict(
+        name=name, type=stype, datatype=0, needstage=needstage,
+        objtype=objtype, objid=objid, reftype=reftype, refid=refid,
+        dim=dim, adr=adr, cutoff=float(_s(a, "cutoff", "0"))))
+    adr += dim
+  self.nsensordata = adr
+
+
+def _compile_keyframes(self):
+  self.key_list = []
+  for el in self.spec.keyframes:
+    a = el.attrs
+    name = _s(a, "name", f"key{len(self.key_list)}")
+    self.names["key"][name] = len(self.key_list)
+    self.key_list.append(dict(
+        name=name,
+        time=float(_s(a, "time", "0")),
+        qpos=_f(a, "qpos", self.qpos0, self.nq),
+        qvel=_f(a, "qvel", [0] * self.nv, self.nv),
+        act=_f(a, "act", [0] * self.na, self.na),
+        ctrl=_f(a, "ctrl", [0] * len(self.act_list), len(self.act_list)),
+        mpos=_f(a, "mpos", [0] * (3 * self.nmocap), 3 * self.nmocap),
+        mquat=_f(a, "mquat", [1, 0, 0, 0] * self.nmocap, 4 * self.nmocap)))
+
+
+def _emit(self) -> CompiledModel:
+  m = CompiledModel()
+  m.is_mjtpu_compiled = True
+  m.name_tables = self.names
+
+  # ----- option
+  o = self.spec.option
+  fl = self.spec.flags
+  disable = 0
+  enable = 0
+  for k, bit in _DISABLE_BITS.items():
+    if fl.get(k, "enable") == "disable":
+      disable |= bit
+  for k, bit in _ENABLE_BITS.items():
+    if fl.get(k, "disable") == "enable":
+      enable |= bit
+  m.opt = SimpleNamespace(
+      timestep=float(_s(o, "timestep", "0.002")),
+      gravity=_f(o, "gravity", [0, 0, -9.81], 3),
+      wind=_f(o, "wind", [0, 0, 0], 3),
+      magnetic=_f(o, "magnetic", [0, -0.5, 0], 3),
+      density=float(_s(o, "density", "0")),
+      viscosity=float(_s(o, "viscosity", "0")),
+      impratio=float(_s(o, "impratio", "1")),
+      tolerance=float(_s(o, "tolerance", "1e-8")),
+      ls_tolerance=float(_s(o, "ls_tolerance", "0.01")),
+      integrator=_INTEGRATORS[_s(o, "integrator", "Euler")],
+      cone=_CONES[_s(o, "cone", "pyramidal")],
+      solver=_SOLVERS[_s(o, "solver", "Newton")],
+      iterations=int(_s(o, "iterations", "100")),
+      ls_iterations=int(_s(o, "ls_iterations", "50")),
+      noslip_iterations=int(_s(o, "noslip_iterations", "0")),
+      disableflags=disable, enableflags=enable, disableactuator=0)
+  m.stat = SimpleNamespace(meaninertia=1.0)
+
+  # ----- sizes
+  nb, nj, ng = len(self.bodies), len(self.joints), len(self.geoms)
+  m.nq, m.nv, m.na = self.nq, self.nv, self.na
+  m.nu = len(self.act_list)
+  m.nbody, m.njnt, m.ngeom = nb, nj, ng
+  m.nsite = len(self.sites)
+  m.ncam = len(self.cams)
+  m.nlight = len(self.lights)
+  m.neq = len(self.eq_list)
+  m.ntendon = len(self.tendon_list)
+  m.nwrap = len(self.wraps)
+  m.nsensor = len(self.sensor_list)
+  m.nsensordata = self.nsensordata
+  m.nmocap = self.nmocap
+  m.nkey = len(self.key_list)
+  m.npair = len(self.pair_list)
+  m.nexclude = len(self.exclude_list)
+  m.nhfield = len(self.hfields)
+  m.nflex = 0
+  m.nflexvert = m.nflexedge = m.nflexelem = 0
+
+  m.qpos0 = self.qpos0
+  m.qpos_spring = self.qpos_spring
+
+  # ----- bodies
+  def barr(key, default=0.0, n=None):
+    if n is None:
+      return np.array([b[key] for b in self.bodies])
+    return np.stack([np.asarray(b[key], dtype=np.float64)
+                     for b in self.bodies])
+
+  m.body_parentid = self.body_parentid
+  m.body_rootid = self.body_rootid
+  m.body_weldid = self.body_weldid
+  m.body_mocapid = self.body_mocapid
+  m.body_jntnum = np.array([len(b["jnt"]) for b in self.bodies],
+                           dtype=np.int32)
+  m.body_jntadr = np.array(
+      [b["jnt"][0] if b["jnt"] else -1 for b in self.bodies], dtype=np.int32)
+  m.body_dofnum = np.array(
+      [sum(_JNT_NV[self.joints[j]["type"]] for j in b["jnt"])
+       for b in self.bodies], dtype=np.int32)
+  m.body_dofadr = np.array(
+      [self.joints[b["jnt"][0]]["dofadr"] if b["jnt"] else -1
+       for b in self.bodies], dtype=np.int32)
+  m.body_geomnum = np.array([len(b["geomids"]) for b in self.bodies],
+                            dtype=np.int32)
+  m.body_geomadr = np.array(
+      [b["geomids"][0] if b["geomids"] else -1 for b in self.bodies],
+      dtype=np.int32)
+  m.body_pos = barr("pos", n=3)
+  m.body_quat = barr("quat", n=4)
+  m.body_ipos = barr("ipos", n=3)
+  m.body_iquat = barr("iquat", n=4)
+  m.body_mass = barr("mass")
+  m.body_subtreemass = self.body_subtreemass
+  m.body_inertia = barr("inertia", n=3)
+  m.body_gravcomp = barr("gravcomp")
+  m.body_invweight0 = np.zeros((nb, 2))
+
+  # ----- joints
+  def jarr(key, n=None, dtype=np.float64):
+    if n is None:
+      return np.array([j[key] for j in self.joints], dtype=dtype)
+    return (np.stack([np.asarray(j[key], dtype=np.float64)
+                      for j in self.joints])
+            if nj else np.zeros((0, n)))
+
+  m.jnt_type = jarr("type", dtype=np.int32)
+  m.jnt_qposadr = jarr("qposadr", dtype=np.int32)
+  m.jnt_dofadr = jarr("dofadr", dtype=np.int32)
+  m.jnt_bodyid = jarr("body", dtype=np.int32)
+  m.jnt_limited = jarr("limited", dtype=np.int32)
+  m.jnt_actfrclimited = jarr("actfrclimited", dtype=np.int32)
+  m.jnt_actgravcomp = jarr("actgravcomp", dtype=np.int32)
+  m.jnt_solref = jarr("solref", n=2)
+  m.jnt_solimp = jarr("solimp", n=5)
+  m.jnt_pos = jarr("pos", n=3)
+  m.jnt_axis = jarr("axis", n=3)
+  m.jnt_stiffness = jarr("stiffness")
+  m.jnt_range = jarr("range", n=2)
+  m.jnt_actfrcrange = jarr("actfrcrange", n=2)
+  m.jnt_margin = jarr("margin")
+
+  # ----- dofs
+  m.dof_bodyid = np.array([b for b, _ in self.dof], dtype=np.int32)
+  m.dof_jntid = np.array([j for _, j in self.dof], dtype=np.int32)
+  dof_parent = []
+  for jnt in self.joints:
+    dof_parent.extend(jnt.get("dof_parent", []))
+  m.dof_parentid = np.array(dof_parent, dtype=np.int32)
+  m.dof_armature = np.concatenate(
+      [[j["armature"]] * _JNT_NV[j["type"]] for j in self.joints]) \
+      if nj else np.zeros(0)
+  m.dof_damping = np.concatenate(
+      [[j["damping"]] * _JNT_NV[j["type"]] for j in self.joints]) \
+      if nj else np.zeros(0)
+  m.dof_frictionloss = np.concatenate(
+      [[j["frictionloss"]] * _JNT_NV[j["type"]] for j in self.joints]) \
+      if nj else np.zeros(0)
+  m.dof_solref = np.stack(
+      [j["solref"] for j in self.joints for _ in range(_JNT_NV[j["type"]])]
+  ) if nj else np.zeros((0, 2))
+  m.dof_solimp = np.stack(
+      [j["solimp"] for j in self.joints for _ in range(_JNT_NV[j["type"]])]
+  ) if nj else np.zeros((0, 5))
+  m.dof_invweight0 = np.zeros(self.nv)
+
+  # ----- geoms
+  def garr(key, n=None, dtype=np.float64):
+    if n is None:
+      return np.array([g[key] for g in self.geoms], dtype=dtype)
+    return (np.stack([np.asarray(g[key], dtype=np.float64)
+                      for g in self.geoms])
+            if ng else np.zeros((0, n)))
+
+  m.geom_type = garr("type", dtype=np.int32)
+  m.geom_contype = garr("contype", dtype=np.int32)
+  m.geom_conaffinity = garr("conaffinity", dtype=np.int32)
+  m.geom_condim = garr("condim", dtype=np.int32)
+  m.geom_bodyid = garr("body", dtype=np.int32)
+  m.geom_dataid = garr("dataid", dtype=np.int32)
+  m.geom_group = garr("group", dtype=np.int32)
+  m.geom_priority = garr("priority", dtype=np.int32)
+  m.geom_solmix = garr("solmix")
+  m.geom_solref = garr("solref", n=2)
+  m.geom_solimp = garr("solimp", n=5)
+  m.geom_size = garr("size", n=3)
+  m.geom_pos = garr("pos", n=3)
+  m.geom_quat = garr("quat", n=4)
+  m.geom_friction = garr("friction", n=3)
+  m.geom_margin = garr("margin")
+  m.geom_gap = garr("gap")
+  m.geom_fluid = np.zeros((ng, 12))
+  m.geom_rbound = _rbound(self)
+
+  # ----- sites / cams / lights
+  m.site_bodyid = np.array([s["body"] for s in self.sites], dtype=np.int32)
+  m.site_type = np.array([s["type"] for s in self.sites], dtype=np.int32)
+  m.site_size = (np.stack([s["size"] for s in self.sites])
+                 if self.sites else np.zeros((0, 3)))
+  m.site_pos = (np.stack([s["pos"] for s in self.sites])
+                if self.sites else np.zeros((0, 3)))
+  m.site_quat = (np.stack([s["quat"] for s in self.sites])
+                 if self.sites else np.zeros((0, 4)))
+
+  nc = len(self.cams)
+  m.cam_bodyid = np.array([c["body"] for c in self.cams], dtype=np.int32)
+  m.cam_targetbodyid = np.array(
+      [self.names["body"][c["target"]] if c["target"] else -1
+       for c in self.cams], dtype=np.int32)
+  m.cam_mode = np.array([c["mode"] for c in self.cams], dtype=np.int32)
+  m.cam_pos = (np.stack([c["pos"] for c in self.cams])
+               if nc else np.zeros((0, 3)))
+  m.cam_quat = (np.stack([c["quat"] for c in self.cams])
+                if nc else np.zeros((0, 4)))
+  m.cam_fovy = np.array([c["fovy"] for c in self.cams])
+  m.cam_resolution = (np.stack([c["resolution"] for c in self.cams])
+                      .astype(np.int32) if nc else np.zeros((0, 2),
+                                                            dtype=np.int32))
+  m.cam_intrinsic = (np.stack([c["intrinsic"] for c in self.cams])
+                     if nc else np.zeros((0, 4)))
+  m.cam_sensorsize = (np.stack([c["sensorsize"] for c in self.cams])
+                      if nc else np.zeros((0, 2)))
+  m.cam_pos0 = np.zeros((nc, 3))
+  m.cam_poscom0 = np.zeros((nc, 3))
+  m.cam_mat0 = np.zeros((nc, 9))
+
+  nl = len(self.lights)
+  m.light_bodyid = np.array([l["body"] for l in self.lights], dtype=np.int32)
+  m.light_targetbodyid = np.array(
+      [self.names["body"][l["target"]] if l["target"] else -1
+       for l in self.lights], dtype=np.int32)
+  m.light_mode = np.array([l["mode"] for l in self.lights], dtype=np.int32)
+  m.light_pos = (np.stack([l["pos"] for l in self.lights])
+                 if nl else np.zeros((0, 3)))
+  m.light_dir = (np.stack([l["dir"] for l in self.lights])
+                 if nl else np.zeros((0, 3)))
+  m.light_pos0 = np.zeros((nl, 3))
+  m.light_poscom0 = np.zeros((nl, 3))
+  m.light_dir0 = np.zeros((nl, 3))
+
+  # ----- meshes / hfields
+  if self.meshes:
+    m.mesh_vertadr = np.cumsum(
+        [0] + [len(x["verts"]) for x in self.meshes[:-1]]).astype(np.int32)
+    m.mesh_vertnum = np.array([len(x["verts"]) for x in self.meshes],
+                              dtype=np.int32)
+    m.mesh_faceadr = np.cumsum(
+        [0] + [len(x["faces"]) for x in self.meshes[:-1]]).astype(np.int32)
+    m.mesh_facenum = np.array([len(x["faces"]) for x in self.meshes],
+                              dtype=np.int32)
+    m.mesh_vert = np.concatenate([x["verts"] for x in self.meshes])
+    m.mesh_face = np.concatenate([x["faces"] for x in self.meshes])
+  else:
+    m.mesh_vertadr = np.zeros(0, dtype=np.int32)
+    m.mesh_vertnum = np.zeros(0, dtype=np.int32)
+    m.mesh_faceadr = np.zeros(0, dtype=np.int32)
+    m.mesh_facenum = np.zeros(0, dtype=np.int32)
+    m.mesh_vert = np.zeros((0, 3))
+    m.mesh_face = np.zeros((0, 3), dtype=np.int32)
+  if self.hfields:
+    m.hfield_nrow = np.array([h["nrow"] for h in self.hfields],
+                             dtype=np.int32)
+    m.hfield_ncol = np.array([h["ncol"] for h in self.hfields],
+                             dtype=np.int32)
+    m.hfield_adr = np.cumsum(
+        [0] + [h["nrow"] * h["ncol"] for h in self.hfields[:-1]]
+    ).astype(np.int32)
+    m.hfield_size = np.stack([h["size"] for h in self.hfields])
+    m.hfield_data = np.concatenate([h["data"] for h in self.hfields])
+  else:
+    m.hfield_nrow = np.zeros(0, dtype=np.int32)
+    m.hfield_ncol = np.zeros(0, dtype=np.int32)
+    m.hfield_adr = np.zeros(0, dtype=np.int32)
+    m.hfield_size = np.zeros((0, 4))
+    m.hfield_data = np.zeros(0)
+
+  # ----- pairs / excludes
+  npair = len(self.pair_list)
+  m.pair_geom1 = np.array([p["geom1"] for p in self.pair_list],
+                          dtype=np.int32)
+  m.pair_geom2 = np.array([p["geom2"] for p in self.pair_list],
+                          dtype=np.int32)
+  m.pair_dim = np.array([p["condim"] for p in self.pair_list],
+                        dtype=np.int32)
+  m.pair_friction = (np.stack([p["friction"] for p in self.pair_list])
+                     if npair else np.zeros((0, 5)))
+  m.pair_solref = (np.stack([p["solref"] for p in self.pair_list])
+                   if npair else np.zeros((0, 2)))
+  m.pair_solreffriction = (
+      np.stack([p["solreffriction"] for p in self.pair_list])
+      if npair else np.zeros((0, 2)))
+  m.pair_solimp = (np.stack([p["solimp"] for p in self.pair_list])
+                   if npair else np.zeros((0, 5)))
+  m.pair_margin = np.array([p["margin"] for p in self.pair_list])
+  m.pair_gap = np.array([p["gap"] for p in self.pair_list])
+  m.exclude_signature = np.array(self.exclude_list, dtype=np.int64)
+
+  # ----- equality
+  ne = len(self.eq_list)
+  m.eq_type = np.array([e["type"] for e in self.eq_list], dtype=np.int32)
+  m.eq_obj1id = np.array([e["obj1"] for e in self.eq_list], dtype=np.int32)
+  m.eq_obj2id = np.array([e["obj2"] for e in self.eq_list], dtype=np.int32)
+  m.eq_objtype = np.array([e["objtype"] for e in self.eq_list],
+                          dtype=np.int32)
+  m.eq_active0 = np.array([e["active"] for e in self.eq_list],
+                          dtype=np.int32)
+  m.eq_data = (np.stack([e["data"] for e in self.eq_list])
+               if ne else np.zeros((0, 11)))
+  m.eq_solref = (np.stack([e["solref"] for e in self.eq_list])
+                 if ne else np.zeros((0, 2)))
+  m.eq_solimp = (np.stack([e["solimp"] for e in self.eq_list])
+                 if ne else np.zeros((0, 5)))
+
+  # ----- tendons
+  nt = len(self.tendon_list)
+  m.tendon_adr = np.array([t["adr"] for t in self.tendon_list],
+                          dtype=np.int32)
+  m.tendon_num = np.array([t["num"] for t in self.tendon_list],
+                          dtype=np.int32)
+  m.tendon_limited = np.array([t["limited"] for t in self.tendon_list],
+                              dtype=np.int32)
+  m.tendon_range = (np.stack([t["range"] for t in self.tendon_list])
+                    if nt else np.zeros((0, 2)))
+  m.tendon_solref_lim = (np.stack([t["solref_lim"]
+                                   for t in self.tendon_list])
+                         if nt else np.zeros((0, 2)))
+  m.tendon_solimp_lim = (np.stack([t["solimp_lim"]
+                                   for t in self.tendon_list])
+                         if nt else np.zeros((0, 5)))
+  m.tendon_solref_fri = (np.stack([t["solref_fri"]
+                                   for t in self.tendon_list])
+                         if nt else np.zeros((0, 2)))
+  m.tendon_solimp_fri = (np.stack([t["solimp_fri"]
+                                   for t in self.tendon_list])
+                         if nt else np.zeros((0, 5)))
+  m.tendon_margin = np.array([t["margin"] for t in self.tendon_list])
+  m.tendon_stiffness = np.array([t["stiffness"] for t in self.tendon_list])
+  m.tendon_damping = np.array([t["damping"] for t in self.tendon_list])
+  m.tendon_armature = np.array([t["armature"] for t in self.tendon_list])
+  m.tendon_frictionloss = np.array(
+      [t["frictionloss"] for t in self.tendon_list])
+  m.tendon_lengthspring = (np.stack([t["springlength"]
+                                     for t in self.tendon_list])
+                           if nt else np.zeros((0, 2)))
+  m.tendon_length0 = np.zeros(nt)
+  m.tendon_invweight0 = np.zeros(nt)
+  m.wrap_type = np.array([w[0] for w in self.wraps], dtype=np.int32)
+  m.wrap_objid = np.array([w[1] for w in self.wraps], dtype=np.int32)
+  m.wrap_prm = np.array([w[2] for w in self.wraps])
+
+  # ----- actuators (enum values already in the engine's v3.11 convention)
+  nu = len(self.act_list)
+  al = self.act_list
+  m.actuator_trntype = np.array([x["trntype"] for x in al], dtype=np.int32)
+  m.actuator_dyntype = np.array([x["dyn"] for x in al], dtype=np.int32)
+  m.actuator_gaintype = np.array([x["gain"] for x in al], dtype=np.int32)
+  m.actuator_biastype = np.array([x["bias"] for x in al], dtype=np.int32)
+  m.actuator_trnid = (np.array([x["trnid"] for x in al], dtype=np.int32)
+                      .reshape(nu, 2) if nu else
+                      np.zeros((0, 2), dtype=np.int32))
+  m.actuator_actadr = np.array([x["actadr"] for x in al], dtype=np.int32)
+  m.actuator_actnum = np.array([x["actnum"] for x in al], dtype=np.int32)
+  m.actuator_group = np.array([x["group"] for x in al], dtype=np.int32)
+  m.actuator_ctrllimited = np.array([x["ctrllimited"] for x in al],
+                                    dtype=np.int32)
+  m.actuator_forcelimited = np.array([x["forcelimited"] for x in al],
+                                     dtype=np.int32)
+  m.actuator_actlimited = np.array([x["actlimited"] for x in al],
+                                   dtype=np.int32)
+  m.actuator_actearly = np.array([x["actearly"] for x in al],
+                                 dtype=np.int32)
+  m.actuator_dynprm = (np.stack([x["dynprm"] for x in al])
+                       if nu else np.zeros((0, 10)))
+  m.actuator_gainprm = (np.stack([x["gainprm"] for x in al])
+                        if nu else np.zeros((0, 10)))
+  m.actuator_biasprm = (np.stack([x["biasprm"] for x in al])
+                        if nu else np.zeros((0, 10)))
+  m.actuator_ctrlrange = (np.stack([x["ctrlrange"] for x in al])
+                          if nu else np.zeros((0, 2)))
+  m.actuator_forcerange = (np.stack([x["forcerange"] for x in al])
+                           if nu else np.zeros((0, 2)))
+  m.actuator_actrange = (np.stack([x["actrange"] for x in al])
+                         if nu else np.zeros((0, 2)))
+  m.actuator_gear = (np.stack([x["gear"] for x in al])
+                     if nu else np.zeros((0, 6)))
+  m.actuator_cranklength = np.array([x["cranklength"] for x in al])
+  m.actuator_lengthrange = (np.stack([x["lengthrange"] for x in al])
+                            if nu else np.zeros((0, 2)))
+  m.actuator_acc0 = np.zeros(nu)
+
+  # ----- sensors
+  ns = len(self.sensor_list)
+  sl = self.sensor_list
+  m.sensor_type = np.array([x["type"] for x in sl], dtype=np.int32)
+  m.sensor_datatype = np.array([x["datatype"] for x in sl], dtype=np.int32)
+  m.sensor_needstage = np.array([x["needstage"] for x in sl],
+                                dtype=np.int32)
+  m.sensor_objtype = np.array([x["objtype"] for x in sl], dtype=np.int32)
+  m.sensor_objid = np.array([x["objid"] for x in sl], dtype=np.int32)
+  m.sensor_reftype = np.array([x["reftype"] for x in sl], dtype=np.int32)
+  m.sensor_refid = np.array([x["refid"] for x in sl], dtype=np.int32)
+  m.sensor_dim = np.array([x["dim"] for x in sl], dtype=np.int32)
+  m.sensor_adr = np.array([x["adr"] for x in sl], dtype=np.int32)
+  m.sensor_cutoff = np.array([x["cutoff"] for x in sl])
+
+  # ----- keyframes
+  nk = len(self.key_list)
+  m.key_time = np.array([k["time"] for k in self.key_list])
+  m.key_qpos = (np.stack([k["qpos"] for k in self.key_list])
+                if nk else np.zeros((0, self.nq)))
+  m.key_qvel = (np.stack([k["qvel"] for k in self.key_list])
+                if nk else np.zeros((0, self.nv)))
+  m.key_act = (np.stack([k["act"] for k in self.key_list])
+               if nk else np.zeros((0, self.na)))
+  m.key_ctrl = (np.stack([k["ctrl"] for k in self.key_list])
+                if nk else np.zeros((0, nu)))
+  m.key_mpos = (np.stack([k["mpos"] for k in self.key_list])
+                if nk else np.zeros((0, 3 * self.nmocap)))
+  m.key_mquat = (np.stack([k["mquat"] for k in self.key_list])
+                 if nk else np.zeros((0, 4 * self.nmocap)))
+  return m
+
+
+def _rbound(self) -> np.ndarray:
+  """Bounding sphere radius per geom (mjCGeom::SetBoundingVolume)."""
+  out = np.zeros(len(self.geoms))
+  for i, g in enumerate(self.geoms):
+    t, s = g["type"], g["size"]
+    if t in (0, 1):
+      out[i] = 0.0
+    elif t == 2:
+      out[i] = s[0]
+    elif t in (3,):
+      out[i] = s[0] + s[1]
+    elif t == 5:
+      out[i] = math.hypot(s[0], s[1])
+    elif t in (4, 6):
+      out[i] = float(np.linalg.norm(s))
+    elif t == 7:
+      mesh = self.meshes[g["dataid"]]
+      out[i] = float(np.linalg.norm(mesh["verts"], axis=1).max())
+  return out

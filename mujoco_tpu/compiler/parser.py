@@ -1,0 +1,212 @@
+"""MJCF parser: XML → spec tree with resolved default classes.
+
+Counterpart of the schema-driven reader
+(/root/reference/src/xml/xml_native_reader.cc) for the supported subset.
+Elements carry their raw attribute dicts after the defaults cascade; the
+compiler core interprets them.
+"""
+
+from __future__ import annotations
+
+import copy
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# element kinds that participate in the defaults cascade (mjCDef members,
+# /root/reference/src/user/user_objects.h)
+_DEFAULT_KINDS = ("joint", "geom", "site", "camera", "light", "tendon",
+                  "general", "motor", "position", "velocity", "muscle",
+                  "pair", "equality", "mesh")
+
+
+@dataclass
+class Element:
+  kind: str
+  attrs: Dict[str, str]
+  children: List["Element"] = dfield(default_factory=list)
+
+
+@dataclass
+class Spec:
+  option: Dict[str, str]
+  flags: Dict[str, str]
+  compiler: Dict[str, str]
+  worldbody: Element
+  assets: List[Element]
+  actuators: List[Element]
+  sensors: List[Element]
+  tendons: List[Element]
+  equalities: List[Element]
+  contacts: List[Element]
+  keyframes: List[Element]
+
+
+class Defaults:
+  """Nested default classes (mjCDef tree, user_model.cc ProcessLists)."""
+
+  def __init__(self, parent: Optional["Defaults"] = None):
+    self.parent = parent
+    self.tables: Dict[str, Dict[str, str]] = {}
+    self.classes: Dict[str, "Defaults"] = {}
+
+  def lookup(self, kind: str) -> Dict[str, str]:
+    out = dict(self.parent.lookup(kind)) if self.parent else {}
+    out.update(self.tables.get(kind, {}))
+    return out
+
+  def resolve_class(self, name: Optional[str]) -> "Defaults":
+    if name is None:
+      return self
+    node = self
+    while node.parent is not None:
+      node = node.parent
+    found = _find_class(node, name)
+    if found is None:
+      raise ValueError(f"unknown default class '{name}'")
+    return found
+
+
+def _find_class(node: Defaults, name: str) -> Optional[Defaults]:
+  for cname, child in node.classes.items():
+    if cname == name:
+      return child
+    deeper = _find_class(child, name)
+    if deeper is not None:
+      return deeper
+  return None
+
+
+def _parse_defaults(el: ET.Element, parent: Optional[Defaults]) -> Defaults:
+  d = Defaults(parent)
+  for child in el:
+    if child.tag == "default":
+      name = child.get("class")
+      if name is None:
+        raise ValueError("nested <default> requires a class name")
+      d.classes[name] = _parse_defaults(child, d)
+    elif child.tag in _DEFAULT_KINDS:
+      d.tables.setdefault(child.tag, {}).update(child.attrib)
+  return d
+
+
+def _resolve(el: ET.Element, defaults: Defaults, childclass: Optional[str],
+             kind: Optional[str] = None) -> Dict[str, str]:
+  """Attributes of `el` after the defaults cascade: global/class defaults,
+  then the element's own attributes (element wins)."""
+  kind = kind or el.tag
+  cls = el.get("class", childclass)
+  table = defaults.resolve_class(cls).lookup(kind)
+  out = dict(table)
+  out.update(el.attrib)
+  out.pop("class", None)
+  return out
+
+
+def _walk_body(el: ET.Element, defaults: Defaults,
+               childclass: Optional[str]) -> Element:
+  attrs = dict(el.attrib)
+  cc = el.get("childclass", childclass)
+  out = Element(kind="body" if el.tag in ("body", "worldbody") else el.tag,
+                attrs=attrs)
+  for child in el:
+    if child.tag == "body":
+      out.children.append(_walk_body(child, defaults, cc))
+    elif child.tag == "frame":
+      # frames compose a fixed transform onto their children
+      f = Element(kind="frame", attrs=dict(child.attrib))
+      inner = _walk_body(child, defaults, cc)
+      f.children = inner.children
+      out.children.append(f)
+    elif child.tag == "freejoint":
+      # freejoint takes NO joint defaults (separate MJCF element)
+      a = dict(child.attrib)
+      a["type"] = "free"
+      out.children.append(Element(kind="joint", attrs=a))
+    elif child.tag in ("joint", "geom", "site", "camera", "light"):
+      out.children.append(
+          Element(kind=child.tag, attrs=_resolve(child, defaults, cc)))
+    elif child.tag == "inertial":
+      out.children.append(Element(kind="inertial", attrs=dict(child.attrib)))
+    else:
+      raise NotImplementedError(f"MJCF element <{child.tag}> in body")
+  return out
+
+
+def parse_mjcf(xml: str) -> Spec:
+  root = ET.fromstring(xml)
+  if root.tag != "mujoco":
+    raise ValueError("not an MJCF document")
+
+  option: Dict[str, str] = {}
+  flags: Dict[str, str] = {}
+  compiler: Dict[str, str] = {}
+  defaults = Defaults()
+  worldbody = None
+  assets: List[Element] = []
+  actuators: List[Element] = []
+  sensors: List[Element] = []
+  tendons: List[Element] = []
+  equalities: List[Element] = []
+  contacts: List[Element] = []
+  keyframes: List[Element] = []
+
+  for el in root:
+    if el.tag == "option":
+      option.update(el.attrib)
+      for sub in el:
+        if sub.tag == "flag":
+          flags.update(sub.attrib)
+    elif el.tag == "compiler":
+      compiler.update(el.attrib)
+    elif el.tag == "default":
+      defaults = _parse_defaults(el, None)
+    elif el.tag == "worldbody":
+      worldbody = _walk_body(el, defaults, None)
+    elif el.tag == "asset":
+      for sub in el:
+        assets.append(Element(kind=sub.tag,
+                              attrs=_resolve(sub, defaults, None)
+                              if sub.tag in _DEFAULT_KINDS
+                              else dict(sub.attrib)))
+    elif el.tag == "actuator":
+      for sub in el:
+        actuators.append(Element(kind=sub.tag,
+                                 attrs=_resolve(sub, defaults, None)))
+    elif el.tag == "sensor":
+      for sub in el:
+        sensors.append(Element(kind=sub.tag, attrs=dict(sub.attrib)))
+    elif el.tag == "tendon":
+      for sub in el:
+        t = Element(kind=sub.tag, attrs=_resolve(sub, defaults, None,
+                                                 kind="tendon"))
+        for w in sub:
+          t.children.append(Element(kind=w.tag, attrs=dict(w.attrib)))
+        tendons.append(t)
+    elif el.tag == "equality":
+      for sub in el:
+        equalities.append(Element(kind=sub.tag,
+                                  attrs=_resolve(sub, defaults, None,
+                                                 kind="equality")))
+    elif el.tag == "contact":
+      for sub in el:
+        contacts.append(Element(kind=sub.tag,
+                                attrs=_resolve(sub, defaults, None,
+                                               kind="pair")
+                                if sub.tag == "pair" else dict(sub.attrib)))
+    elif el.tag == "keyframe":
+      for sub in el:
+        keyframes.append(Element(kind=sub.tag, attrs=dict(sub.attrib)))
+    elif el.tag in ("size", "visual", "statistic", "custom"):
+      continue  # no effect on the physics model subset
+    else:
+      raise NotImplementedError(f"MJCF section <{el.tag}>")
+
+  if worldbody is None:
+    worldbody = Element(kind="body", attrs={})
+  return Spec(option=option, flags=flags, compiler=compiler,
+              worldbody=worldbody, assets=assets, actuators=actuators,
+              sensors=sensors, tendons=tendons, equalities=equalities,
+              contacts=contacts, keyframes=keyframes)

@@ -1,0 +1,184 @@
+"""qpos0-derived model constants, computed with this engine's own forward
+pass (mj_setConst, /root/reference/src/engine/engine_setconst.c:860-1332):
+
+  tendon_length0        tendon lengths at qpos0
+  tendon_lengthspring   springlength < 0 → resolved to length0
+  body_invweight0       mean diag of J M⁻¹ Jᵀ at the body CoM (tran, rot)
+  dof_invweight0        mean diag of the joint block of M⁻¹
+  tendon_invweight0     ten_J M⁻¹ ten_Jᵀ
+  actuator_acc0         |M⁻¹ momentᵀ| per actuator
+  actuator_lengthrange  muscles: from tendon/joint limits when computable
+  eq_data completion    connect/weld anchors resolved in the other body
+  cam/light *0 fields   tracking-mode reference poses
+  stat.meaninertia      mean diag of M at qpos0
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def set_const(cm) -> None:
+  """Fill the derived constants of a CompiledModel in place."""
+  import jax
+  import jax.numpy as jnp
+
+  from mujoco_tpu.models import io
+  from mujoco_tpu.ops import smooth, support
+
+  m = io.put_model(cm, dtype=jnp.float64)
+  d = io.make_data(m)
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.tendon(m, d)
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  d = smooth.transmission(m, d)
+
+  nv = cm.nv
+  nb = cm.nbody
+
+  # tendon length0 / springlength resolution
+  if cm.ntendon:
+    len0 = np.asarray(d.ten_length)
+    cm.tendon_length0 = len0
+    ls = cm.tendon_lengthspring
+    for t in range(cm.ntendon):
+      if ls[t, 0] < 0 and ls[t, 1] < 0:
+        ls[t] = (len0[t], len0[t])
+
+  if nv == 0:
+    cm.stat.meaninertia = 1.0
+    return
+
+  qM = np.asarray(d.qM)
+  minv = lambda rhs: np.asarray(smooth.solve_m(m, d, jnp.asarray(rhs)))
+
+  # body_invweight0 (engine_setconst.c:905-936)
+  inv = np.zeros((nb, 2))
+  for b in range(1, nb):
+    if cm.body_dofnum[cm.body_weldid[b]] == 0:
+      continue
+    jacp, jacr = support.jac(m, d, d.xipos[b], b)       # (3, nv) each
+    jac6 = np.concatenate([np.asarray(jacp), np.asarray(jacr)])
+    a = jac6 @ np.stack([minv(row) for row in jac6]).T
+    inv[b, 0] = np.trace(a[:3, :3]) / 3
+    inv[b, 1] = np.trace(a[3:, 3:]) / 3
+  cm.body_invweight0 = inv
+
+  # dof_invweight0 (engine_setconst.c:938-987)
+  dinv = np.zeros(nv)
+  for j in range(cm.njnt):
+    adr = int(cm.jnt_dofadr[j])
+    dnum = {0: 6, 1: 3}.get(int(cm.jnt_type[j]), 1)
+    jac = np.zeros((dnum, nv))
+    for k in range(dnum):
+      jac[k, adr + k] = 1.0
+    a = jac @ np.stack([minv(row) for row in jac]).T
+    if dnum == 6:
+      dinv[adr:adr + 3] = np.trace(a[:3, :3]) / 3
+      dinv[adr + 3:adr + 6] = np.trace(a[3:, 3:]) / 3
+    elif dnum == 3:
+      dinv[adr:adr + 3] = np.trace(a) / 3
+    else:
+      dinv[adr] = a[0, 0]
+  cm.dof_invweight0 = dinv
+
+  # tendon_invweight0 (engine_setconst.c:1028-1036)
+  if cm.ntendon:
+    tj = np.asarray(d.ten_J)
+    cm.tendon_invweight0 = np.array(
+        [tj[t] @ minv(tj[t]) for t in range(cm.ntendon)])
+
+  # actuator_acc0 (engine_setconst.c:1037-1044)
+  if cm.nu:
+    mom = np.asarray(d.actuator_moment)
+    cm.actuator_acc0 = np.array(
+        [np.linalg.norm(minv(mom[i])) for i in range(cm.nu)])
+    # muscle lengthrange: joint/tendon-limit bound when not user-specified
+    # (full mj_setLengthRange runs mini-simulations; the subset covers
+    # limited joint/tendon transmissions)
+    for i in range(cm.nu):
+      needs_lr = (cm.actuator_gaintype[i] == 2
+                  or cm.actuator_biastype[i] == 2)
+      if not needs_lr or cm.actuator_lengthrange[i].any():
+        continue
+      gear = cm.actuator_gear[i, 0]
+      if cm.actuator_trntype[i] == 0:
+        jid = cm.actuator_trnid[i, 0]
+        if cm.jnt_limited[jid]:
+          lo, hi = cm.jnt_range[jid] * gear
+          cm.actuator_lengthrange[i] = (min(lo, hi), max(lo, hi))
+          continue
+      elif cm.actuator_trntype[i] == 3:
+        tid = cm.actuator_trnid[i, 0]
+        if cm.tendon_limited[tid]:
+          lo, hi = cm.tendon_range[tid] * gear
+          cm.actuator_lengthrange[i] = (min(lo, hi), max(lo, hi))
+          continue
+      raise NotImplementedError(
+          f"muscle actuator {i} needs an explicit lengthrange (the "
+          "reference's mj_setLengthRange simulation is not implemented)")
+
+  # eq_data completion (engine_setconst.c:1050-1105)
+  xpos = np.asarray(d.xpos)
+  xmat = np.asarray(d.xmat)
+  xquat = np.asarray(d.xquat)
+  for i in range(cm.neq):
+    if cm.eq_objtype[i] != 1:  # body semantics only
+      continue
+    id1, id2 = int(cm.eq_obj1id[i]), int(cm.eq_obj2id[i])
+    data = cm.eq_data[i]
+    if cm.eq_type[i] == 0:  # connect: anchor is in body1 local frame
+      p = xpos[id1] + xmat[id1] @ data[0:3]
+      data[3:6] = xmat[id2].T @ (p - xpos[id2])
+    elif cm.eq_type[i] == 1:  # weld: anchor given in body2
+      if np.any(data[6:10]):
+        data[6:10] /= np.linalg.norm(data[6:10])
+        continue
+      p = xpos[id2] + xmat[id2] @ data[0:3]
+      data[3:6] = xmat[id1].T @ (p - xpos[id1])
+      data[6:10] = _mulquat(_conj(xquat[id1]), xquat[id2])
+
+  # camera / light reference poses, computed in FIXED mode (the reference
+  # temporarily forces fixed mode during setconst, engine_setconst.c:835-858)
+  subtree = np.asarray(d.subtree_com)
+  for i in range(cm.ncam):
+    b = int(cm.cam_bodyid[i])
+    cpos = xpos[b] + xmat[b] @ cm.cam_pos[i]
+    cmat = _quat2mat(_mulquat(xquat[b], cm.cam_quat[i]))
+    cm.cam_pos0[i] = cpos - xpos[b]
+    cm.cam_poscom0[i] = cpos - subtree[b]
+    cm.cam_mat0[i] = cmat.reshape(9)
+  for i in range(cm.nlight):
+    b = int(cm.light_bodyid[i])
+    lpos = xpos[b] + xmat[b] @ cm.light_pos[i]
+    ldir = xmat[b] @ cm.light_dir[i]
+    cm.light_pos0[i] = lpos - xpos[b]
+    cm.light_poscom0[i] = lpos - subtree[b]
+    cm.light_dir0[i] = ldir
+
+  # stat.meaninertia (engine_setconst.c:1324-1331)
+  cm.stat.meaninertia = float(np.trace(qM) / nv)
+
+
+def _mulquat(a, b):
+  w1, x1, y1, z1 = a
+  w2, x2, y2, z2 = b
+  return np.array([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _conj(q):
+  return q * np.array([1.0, -1, -1, -1])
+
+
+def _quat2mat(q):
+  w, x, y, z = q
+  return np.array([
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
