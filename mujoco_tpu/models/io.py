@@ -882,8 +882,33 @@ def put_model(mjm: Any, dtype=None) -> Model:
       sensor_reftype=si(mjm.sensor_reftype),
       sensor_refid=si(mjm.sensor_refid),
       sensor_dim=si(mjm.sensor_dim), sensor_adr=si(mjm.sensor_adr),
+      sensor_intprm=_opt_i(mjm, "sensor_intprm", (mjm.nsensor, 3)),
+      sensor_history=_opt_i(mjm, "sensor_history", (mjm.nsensor, 2)),
+      sensor_historyadr=_opt_i(mjm, "sensor_historyadr", (mjm.nsensor,), -1),
+      sensor_delay=_opt_f(mjm, "sensor_delay", (mjm.nsensor,)),
+      sensor_interval=_opt_f(mjm, "sensor_interval", (mjm.nsensor, 2)),
+      actuator_history=_opt_i(mjm, "actuator_history", (mjm.nu, 2)),
+      actuator_historyadr=_opt_i(mjm, "actuator_historyadr", (mjm.nu,), -1),
+      actuator_delay=_opt_f(mjm, "actuator_delay", (mjm.nu,)),
+      nhistory=int(getattr(mjm, "nhistory", 0)),
       sensor_cutoff=jx(mjm.sensor_cutoff),
   )
+
+
+def _opt_i(mjm, name, shape, fill=0):
+  """Optional int model field (absent on natively-compiled models that
+  predate the feature): numpy int32 copy or a fill-constant array."""
+  v = getattr(mjm, name, None)
+  if v is None:
+    return np.full(shape, fill, dtype=np.int32)
+  return np.asarray(v, dtype=np.int32).reshape(shape)
+
+
+def _opt_f(mjm, name, shape):
+  v = getattr(mjm, name, None)
+  if v is None:
+    return np.zeros(shape, dtype=np.float64)
+  return np.asarray(v, dtype=np.float64).reshape(shape)
 
 
 def make_data(m: Model, dtype=None) -> Data:
@@ -961,7 +986,41 @@ def make_data(m: Model, dtype=None) -> Data:
       energy=z(2),
       solver_stat=z(32, 2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),
+      history=jnp.asarray(_init_history(m), dtype=dtype),
   )
+
+
+def _init_history(m: Model) -> np.ndarray:
+  """Reset-state history buffers (mj_resetData, engine_io.c:1405-1454):
+  per-buffer layout [user, cursor, times(n), values(n*dim)], timestamps
+  seeded in the past so reads before the first insert extrapolate zeros."""
+  buf = np.zeros((m.nhistory,), dtype=np.float64)
+  if m.nhistory == 0:
+    return buf
+  dt = float(np.asarray(m.opt.timestep))
+  for i in range(m.nu):
+    n = int(m.actuator_history[i, 0])
+    if n <= 0:
+      continue
+    adr = int(m.actuator_historyadr[i])
+    buf[adr] = 0.0
+    buf[adr + 1] = n - 1
+    buf[adr + 2:adr + 2 + n] = [-(n - j) * dt for j in range(n)]
+  for i in range(m.nsensor):
+    n = int(m.sensor_history[i, 0])
+    if n <= 0:
+      continue
+    adr = int(m.sensor_historyadr[i])
+    period, phase = float(m.sensor_interval[i, 0]), float(m.sensor_interval[i, 1])
+    buf[adr] = ((-period if phase == 0 else phase) if period > 0 else -dt)
+    buf[adr + 1] = n - 1
+    if period > 0:
+      t0 = -period if phase == 0 else phase
+      buf[adr + 2:adr + 2 + n] = [
+          np.ceil((t0 - (n - 1 - j) * period) / dt) * dt for j in range(n)]
+    else:
+      buf[adr + 2:adr + 2 + n] = [-(n - j) * dt for j in range(n)]
+  return buf
 
 
 def get_data_into(mjd: Any, mjm: Any, d) -> None:
@@ -987,6 +1046,8 @@ def get_data_into(mjd: Any, mjm: Any, d) -> None:
   mjd.qacc_warmstart[:] = h(d.qacc_warmstart)
   mjd.qfrc_applied[:] = h(d.qfrc_applied)
   mjd.xfrc_applied[:] = h(d.xfrc_applied)
+  if getattr(mjm, "nhistory", 0) and d.history.shape[0] == mjm.nhistory:
+    mjd.history[:] = h(d.history)
   if mjm.nmocap:
     mjd.mocap_pos[:] = h(d.mocap_pos)
     mjd.mocap_quat[:] = h(d.mocap_quat)

@@ -605,6 +605,13 @@ class Model:
   # rotational servo wrap period 2π·|gear| (wrapPeriod, engine_forward.c:295),
   # 0 for non-wrap-eligible actuators; frozen at put_model time
   actuator_wrapprd: np.ndarray = static_field()
+  # ctrl history/delay buffers (mjmodel.h:802-804): [nsample, interp] per
+  # actuator, address into Data.history, and delay in seconds. Static model
+  # metadata — buffer layout and the delayed-vs-direct branch are baked into
+  # the trace (delays are not domain-randomizable leaves).
+  actuator_history: np.ndarray = static_field()     # (nu, 2) int
+  actuator_historyadr: np.ndarray = static_field()  # (nu,) int
+  actuator_delay: np.ndarray = static_field()       # (nu,) float
   actuator_dynprm: jax.Array = field()
   actuator_gainprm: jax.Array = field()
   actuator_biasprm: jax.Array = field()
@@ -676,6 +683,15 @@ class Model:
   sensor_refid: np.ndarray = static_field()
   sensor_dim: np.ndarray = static_field()
   sensor_adr: np.ndarray = static_field()
+  # contact-sensor int parameters [dataspec, reduce, _] (mjNSENS columns,
+  # mjmodel.h sensor_intprm)
+  sensor_intprm: np.ndarray = static_field()        # (nsensor, 3) int
+  # sensor history/delay buffers (mjmodel.h:833-835) — see actuator_history
+  sensor_history: np.ndarray = static_field()       # (nsensor, 2) int
+  sensor_historyadr: np.ndarray = static_field()    # (nsensor,) int
+  sensor_delay: np.ndarray = static_field()         # (nsensor,) float
+  sensor_interval: np.ndarray = static_field()      # (nsensor, 2) float
+  nhistory: int = static_field()
   sensor_cutoff: jax.Array = field()
 
   # ----- flex (deformables); topology in flx, numeric parameters traced
@@ -836,3 +852,8 @@ class Data:
   # bounded-scan solver path (5 ≤ iterations ≤ 32), zeros otherwise
   solver_stat: jax.Array       # (32, 2)
   solver_niter: jax.Array      # iterations taken by the constraint solver
+  # ctrl/sensor history ring buffers, reference layout per buffer:
+  # [user, cursor, times(n), values(n*dim)] (mjData.history, mjdata.h;
+  # mju_historyInit, engine_util_misc.c:1403). Shape (nhistory,); (0,) when
+  # the model has no history buffers.
+  history: jax.Array

@@ -81,6 +81,13 @@ def _ctrl_and_actdot(m: Model, d: Data):
   h = m.opt.timestep
 
   ctrl = d.ctrl
+  # delayed actuators read the history buffer instead of d.ctrl
+  # (mj_fwdActuation, engine_forward.c:377-386)
+  if m.nhistory:
+    from mujoco_tpu.ops import history as hist
+    for i in range(m.nu):
+      if float(m.actuator_delay[i]) and int(m.actuator_history[i, 0]) > 0:
+        ctrl = ctrl.at[i].set(hist.read_ctrl(m, d, i, d.time))
   if not m.disabled(DisableBit.CLAMPCTRL):
     limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
     clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],

@@ -297,6 +297,8 @@ def next_activation(m: Model, d: Data, act_dot):
 def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
   """State advance shared by all integrators (mj_advance,
   engine_forward.c:1264)."""
+  if m.nhistory:
+    d = _advance_history(m, d)
   act = next_activation(m, d, act_dot)
   # rotational INTEGRATOR servo setpoints: re-anchor to the representative
   # nearest the transmission length (engine_forward.c:1330-1340)
@@ -315,6 +317,56 @@ def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
   return d.replace(act=act, qvel=qvel, qpos=qpos,
                    time=d.time + m.opt.timestep,
                    qacc_warmstart=d.qacc)
+
+
+def _advance_history(m: Model, d: Data) -> Data:
+  """Insert ctrl and sensor samples into the history ring buffers
+  (mj_advance history block, engine_forward.c:1271-1315). Runs at the
+  pre-increment time; delayed sensors are recomputed from the current state
+  because d.sensordata holds their delayed reads."""
+  from mujoco_tpu.ops import history as hist
+  from mujoco_tpu.ops import sensor as sensor_mod
+  buf = d.history
+  t = d.time
+
+  for i in range(m.nu):
+    n = int(m.actuator_history[i, 0])
+    if n > 0:
+      adr = int(m.actuator_historyadr[i])
+      buf = hist.insert(buf, adr, n, 1, t, d.ctrl[i][None])
+
+  need_raw = any(
+      int(m.sensor_history[i, 0]) > 0 and float(m.sensor_delay[i]) > 0
+      for i in range(m.nsensor))
+  if need_raw:
+    d2 = sensor_mod.sensor_pos(m, d, history_adjust=False)
+    d2 = sensor_mod.sensor_vel(m, d2, history_adjust=False)
+    d2 = sensor_mod.sensor_acc(m, d2, history_adjust=False)
+    raw = d2.sensordata
+  else:
+    raw = d.sensordata
+
+  for i in range(m.nsensor):
+    n = int(m.sensor_history[i, 0])
+    if n <= 0:
+      continue
+    adr = int(m.sensor_historyadr[i])
+    adr_sd = int(m.sensor_adr[i])
+    dim = int(m.sensor_dim[i])
+    delay = float(m.sensor_delay[i])
+    period = float(m.sensor_interval[i, 0])
+    val = (raw if delay > 0 else d.sensordata)[adr_sd:adr_sd + dim]
+    if period > 0:
+      # interval mode: insert only when the tick fires; the user slot
+      # advances by the exact (continuous) period
+      time_prev = buf[adr]
+      fire = time_prev + period <= t
+      nbuf = hist.insert(buf, adr, n, dim, t, val)
+      nbuf = nbuf.at[adr].set(time_prev + period)
+      buf = jnp.where(fire, nbuf, buf)
+    else:
+      buf = hist.insert(buf, adr, n, dim, t, val)
+  return d.replace(history=buf)
 
 
 def euler(m: Model, d: Data) -> Data:

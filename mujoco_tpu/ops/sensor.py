@@ -143,6 +143,171 @@ def contact_force(m: Model, d: Data):
 
 
 # ---------------------------------------------------------------------------
+# contact sensor (mjSENS_CONTACT)
+# ---------------------------------------------------------------------------
+
+# per-field slot widths in dataspec bit order: found, force, torque, dist,
+# pos, normal, tangent (mjCONDATA_SIZE, engine_support.c:114)
+_CONDATA_SIZE = (1, 3, 3, 1, 3, 3, 3)
+
+
+def _con_bodies(m: Model, d: Data):
+  """Traced (ncon, 2) body ids of the contacting sides: geom body for geom
+  sides, first-element-vertex body for flex sides (mj_flexBody,
+  engine_sleep.c:293)."""
+  gids = d.contact.geomids                             # (ncon, 2) traced
+  gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+  bodies = gb[jnp.maximum(gids, 0)]
+  if m.flx.nvert:
+    vb = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)
+    fb = vb[jnp.maximum(d.contact.flexvert[:, 0], 0)]
+    bodies = jnp.where(gids < 0, fb[:, None], bodies)
+  return bodies
+
+
+def _check_match(m: Model, bodies, gids, objtype: int, objid: int, side: int):
+  """checkMatch (engine_sensor.c:320) vectorized over contact slots: does
+  sensor object (objtype, objid) match contact side `side`?"""
+  t = ObjType(objtype)
+  ncon = gids.shape[0]
+  if t == ObjType.UNKNOWN or t == ObjType.SITE:
+    return jnp.ones((ncon,), dtype=bool)
+  if t == ObjType.GEOM:
+    return gids[:, side] == objid
+  if t == ObjType.BODY:
+    return bodies[:, side] == objid
+  if t == ObjType.XBODY:
+    # id is ancestor-or-self of the contact body <=> body in subtree(id)
+    sub = jnp.asarray(m.tree.subtree_mask[objid], dtype=bool)
+    return sub[bodies[:, side]]
+  raise NotImplementedError(f"contact sensor match objtype {t}")
+
+
+def _match_contacts(m: Model, d: Data, objtype: int, objid: int,
+                    reftype: int, refid: int):
+  """matchContact (engine_sensor.c:339) over all slots: (matched, flip)."""
+  bodies = _con_bodies(m, d)
+  gids = d.contact.geomids
+  ncon = m.con.ncon
+  filled = d.contact.dist < d.contact.includemargin
+
+  t1, t2 = ObjType(objtype), ObjType(reftype)
+  if t1 == ObjType.UNKNOWN and t2 == ObjType.UNKNOWN:
+    return filled, jnp.zeros((ncon,), dtype=bool)
+
+  ok = jnp.ones((ncon,), dtype=bool)
+  if t1 == ObjType.SITE:
+    ok = jax.vmap(lambda p: inside_geom(
+        d.site_xpos[objid], d.site_xmat[objid], m.site_size[objid],
+        int(m.site_type[objid]), p) > 0.5)(d.contact.pos)
+
+  m11 = _check_match(m, bodies, gids, objtype, objid, 0)
+  m12 = _check_match(m, bodies, gids, objtype, objid, 1)
+  m21 = _check_match(m, bodies, gids, reftype, refid, 0)
+  m22 = _check_match(m, bodies, gids, reftype, refid, 1)
+  ok = ok & (m11 | m12) & (m21 | m22)
+
+  if t1 != ObjType.UNKNOWN and t2 != ObjType.UNKNOWN:
+    regular = m11 & m22
+    reverse = m12 & m21
+    ok = ok & (regular | reverse)
+    flip = reverse & ~regular
+  elif t1 != ObjType.UNKNOWN:
+    flip = ~m11    # normal points away from obj1
+  else:
+    flip = ~m22    # normal points towards obj2
+  return ok & filled, flip
+
+
+def _contact_sensor(m: Model, d: Data, i: int, ft_all):
+  """mjSENS_CONTACT (engine_sensor.c:1027): match contacts against the
+  sensor spec, reduce (none/mindist/maxforce/netforce), and pack the
+  requested data fields into fixed slots. Slot order under reduce=none
+  follows this engine's static slot enumeration rather than the reference's
+  contact-array order (documented deviation); sorted reductions match."""
+  dtype = d.qpos.dtype
+  dataspec = int(m.sensor_intprm[i, 0])
+  reduce = int(m.sensor_intprm[i, 1])
+  dim = int(m.sensor_dim[i])
+  size = sum(s for j, s in enumerate(_CONDATA_SIZE) if dataspec & (1 << j))
+  num = dim // size
+  ncon = m.con.ncon
+
+  matched, flip = _match_contacts(m, d, int(m.sensor_objtype[i]),
+                                  int(m.sensor_objid[i]),
+                                  int(m.sensor_reftype[i]),
+                                  int(m.sensor_refid[i]))
+  nmatch = jnp.sum(matched).astype(dtype)
+  con = d.contact
+
+  # field base offsets within one slot, in dataspec bit order
+  offs, off = {}, 0
+  for j, s in enumerate(_CONDATA_SIZE):
+    if dataspec & (1 << j):
+      offs[j] = off
+      off += s
+
+  out = jnp.zeros((dim,), dtype=dtype)
+  if ncon == 0:
+    return out
+
+  if reduce == 3:  # netforce: one aggregate wrench about the force centroid
+    sgn = jnp.where(flip, -1.0, 1.0)[:, None]
+    wrench = ft_all * sgn * matched[:, None]
+    weight = mjm.norm_safe(wrench[:, :3])
+    total = jnp.maximum(jnp.sum(weight), mjm.MINVAL)
+    point = jnp.sum(weight[:, None] * con.pos, axis=0) / total
+    # rotate to global: frame rows are the contact axes
+    force_g = jnp.einsum('cij,ci->cj', con.frame, wrench[:, :3])
+    torque_g = jnp.einsum('cij,ci->cj', con.frame, wrench[:, 3:])
+    induced = jnp.cross(con.pos - point, force_g)
+    force = jnp.sum(force_g, axis=0)
+    torque = jnp.sum(torque_g + induced, axis=0)
+    vals = {0: nmatch[None], 1: force, 2: torque,
+            3: jnp.zeros((1,), dtype=dtype), 4: point,
+            5: jnp.array([1.0, 0, 0], dtype=dtype),
+            6: jnp.array([0.0, 1, 0], dtype=dtype)}
+    for j, o in offs.items():
+      out = out.at[o:o + _CONDATA_SIZE[j]].set(vals[j])
+    return out
+
+  # sorting criterion (stable argsort; unmatched slots sort last)
+  inf = jnp.asarray(jnp.inf, dtype=dtype)
+  if reduce == 1:      # mindist
+    crit = con.dist
+  elif reduce == 2:    # maxforce
+    crit = -jnp.sum(ft_all[:, :3] ** 2, axis=1)
+  else:                # none: static slot order
+    crit = jnp.arange(ncon, dtype=dtype)
+  order = jnp.argsort(jnp.where(matched, crit, inf))
+
+  nslot = min(num, ncon)
+  for s in range(nslot):
+    cid = order[s]
+    valid = jnp.sum(matched) > s
+    sg = jnp.where(flip[cid], -1.0, 1.0)
+    base = s * size
+    for j, o in offs.items():
+      if j == 0:
+        val = nmatch[None]
+      elif j == 1:
+        val = ft_all[cid, :3] * jnp.array([1.0, 1, 1], dtype=dtype).at[2].set(sg)
+      elif j == 2:
+        val = ft_all[cid, 3:] * jnp.array([1.0, 1, 1], dtype=dtype).at[2].set(sg)
+      elif j == 3:
+        val = con.dist[cid][None]
+      elif j == 4:
+        val = con.pos[cid]
+      elif j == 5:
+        val = con.frame[cid, 0] * sg
+      else:
+        val = con.frame[cid, 1] * sg
+      out = out.at[base + o:base + o + _CONDATA_SIZE[j]].set(
+          jnp.where(valid, val, 0.0))
+  return out
+
+
+# ---------------------------------------------------------------------------
 # subtree velocity / momentum
 # ---------------------------------------------------------------------------
 
@@ -360,7 +525,41 @@ def _write(sensordata, adr, dim, val):
   return sensordata.at[adr:adr + dim].set(jnp.ravel(val))
 
 
-def sensor_pos(m: Model, d: Data) -> Data:
+def _history_adjust(m: Model, d: Data, sd, stage: int):
+  """Replace this stage's delayed/interval sensors with history-buffer reads
+  (compute_or_read_sensor, engine_sensor.c:1387). The raw values stay in
+  `sd` for sensors without delay; the advance step recomputes raw values for
+  delayed sensors before inserting (mj_advance, engine_forward.c:1276)."""
+  if m.nhistory == 0:
+    return sd
+  from mujoco_tpu.ops import history as hist
+  for i in range(m.nsensor):
+    if int(m.sensor_needstage[i]) != stage:
+      continue
+    n = int(m.sensor_history[i, 0])
+    if n <= 0:
+      continue
+    adr_sd = int(m.sensor_adr[i])
+    dim = int(m.sensor_dim[i])
+    interp = int(m.sensor_history[i, 1])
+    adr = int(m.sensor_historyadr[i])
+    delay = float(m.sensor_delay[i])
+    period = float(m.sensor_interval[i, 0])
+    if delay > 0:
+      val = hist.read(d.history, adr, n, dim, d.time - delay, interp)
+      sd = sd.at[adr_sd:adr_sd + dim].set(val)
+    elif period > 0:
+      # interval mode: keep the fresh value when the tick fires, otherwise
+      # hold/interpolate the buffered one
+      time_prev = d.history[adr]
+      fire = time_prev + period <= d.time
+      rd = hist.read(d.history, adr, n, dim, d.time, interp)
+      cur = jax.lax.dynamic_slice(sd, (adr_sd,), (dim,))
+      sd = sd.at[adr_sd:adr_sd + dim].set(jnp.where(fire, cur, rd))
+  return sd
+
+
+def sensor_pos(m: Model, d: Data, history_adjust: bool = True) -> Data:
   """Position-stage sensors (mj_sensorPos, engine_sensor.c)."""
   if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
     return d
@@ -486,10 +685,12 @@ def sensor_pos(m: Model, d: Data) -> Data:
     else:
       raise NotImplementedError(f"pos-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  if history_adjust:
+    sd = _history_adjust(m, d, sd, 1)
   return d.replace(sensordata=sd)
 
 
-def sensor_vel(m: Model, d: Data) -> Data:
+def sensor_vel(m: Model, d: Data, history_adjust: bool = True) -> Data:
   """Velocity-stage sensors (mj_sensorVel, engine_sensor.c:838)."""
   if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
     return d
@@ -547,10 +748,12 @@ def sensor_vel(m: Model, d: Data) -> Data:
     else:
       raise NotImplementedError(f"vel-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  if history_adjust:
+    sd = _history_adjust(m, d, sd, 2)
   return d.replace(sensordata=sd)
 
 
-def sensor_acc(m: Model, d: Data) -> Data:
+def sensor_acc(m: Model, d: Data, history_adjust: bool = True) -> Data:
   """Acceleration-stage sensors (mj_sensorAcc, engine_sensor.c:957)."""
   if m.disabled(DisableBit.SENSOR) or m.nsensor == 0:
     return d
@@ -561,6 +764,8 @@ def sensor_acc(m: Model, d: Data) -> Data:
       for t in m.sensor_type)
   if need_rnepost:
     d = rne_postconstraint(m, d)
+  need_ft = any(int(t) == ST.CONTACT for t in m.sensor_type)
+  ft_all = contact_force(m, d) if need_ft else None
   sd = d.sensordata
 
   for i in range(m.nsensor):
@@ -574,6 +779,8 @@ def sensor_acc(m: Model, d: Data) -> Data:
 
     if t == ST.TOUCH:
       val = _touch(m, d, objid)
+    elif t == ST.CONTACT:
+      val = _contact_sensor(m, d, i, ft_all)
     elif t == ST.ACCELEROMETER:
       val = object_acceleration(m, d, int(ObjType.SITE), objid, True)[3:]
     elif t in (ST.FORCE, ST.TORQUE):
@@ -606,6 +813,8 @@ def sensor_acc(m: Model, d: Data) -> Data:
     else:
       raise NotImplementedError(f"acc-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
+  if history_adjust:
+    sd = _history_adjust(m, d, sd, 3)
   return d.replace(sensordata=sd)
 
 

@@ -561,6 +561,40 @@ def transmission(m: Model, d: Data) -> Data:
         wrench_r = d.site_xmat[refid] @ gear[3:6]
         row = row + wrench_r @ ((jacr - jacr_r) * chain[None, :])
         length = leng
+    elif trn == TrnType.BODY:
+      # adhesion (mjTRN_BODY, engine_core_smooth.c:1719): length 0; moment
+      # is minus the average of the normal Jacobians of all contacts
+      # involving the body. Active rows are gathered from efc_J: elliptic /
+      # frictionless contacts weight the normal row with 1, pyramidal ones
+      # spread 0.5/(dim-1) over the edge rows (their sum reconstructs the
+      # normal direction). Contact relevance is traced (works with dynamic
+      # slots / flex budgets); the reference's gap-excluded branch
+      # (exclude==1) cannot occur here because slots use includemargin as
+      # the detection margin.
+      from mujoco_tpu.models.types import ConeType
+      ncon = m.con.ncon
+      if ncon == 0 or m.efc.ncon_rows == 0:
+        row = jnp.zeros((m.nv,), dtype=dtype)
+      else:
+        gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+        gids = d.contact.geomids
+        bodies = gb[jnp.maximum(gids, 0)]
+        rel = ((d.contact.dist < d.contact.includemargin)
+               & jnp.all(gids >= 0, axis=1)
+               & ((bodies[:, 0] == tid) | (bodies[:, 1] == tid)))
+        counter = jnp.sum(rel).astype(dtype)
+        elliptic = int(m.opt.cone) == int(ConeType.ELLIPTIC)
+        w = jnp.zeros((m.efc.nefc,), dtype=dtype)
+        for c in range(ncon):
+          cdim = int(m.con.condim[c])
+          adr = int(m.efc.con_efcadr[c])
+          sel = jnp.where(rel[c], 1.0, 0.0)
+          if cdim == 1 or elliptic:
+            w = w.at[adr].add(sel)
+          else:
+            w = w.at[adr:adr + 2 * (cdim - 1)].add(sel * 0.5 / (cdim - 1))
+        row = jnp.where(counter > 0,
+                        -(w @ d.efc_J) / jnp.maximum(counter, 1.0), 0.0)
     else:
       raise NotImplementedError(f"transmission type {trn}")
     lengths.append(length)

@@ -47,6 +47,7 @@ _COMPONENTS = (
     (StateBit.QPOS, "qpos", lambda m: m.nq),
     (StateBit.QVEL, "qvel", lambda m: m.nv),
     (StateBit.ACT, "act", lambda m: m.na),
+    (StateBit.HISTORY, "history", lambda m: m.nhistory),
     (StateBit.WARMSTART, "qacc_warmstart", lambda m: m.nv),
     (StateBit.CTRL, "ctrl", lambda m: m.nu),
     (StateBit.QFRC_APPLIED, "qfrc_applied", lambda m: m.nv),

@@ -137,4 +137,6 @@ def check_reset(m: Model, d: Data, d_fresh: Data) -> Data:
       ctrl=pick(d_fresh.ctrl, d.ctrl),
       qacc_warmstart=pick(d_fresh.qacc_warmstart, d.qacc_warmstart),
       qacc=pick(d_fresh.qacc, d.qacc),
+      **({"history": pick(d_fresh.history, d.history)}
+         if d.history.shape[-1] else {}),
   )
