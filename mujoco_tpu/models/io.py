@@ -696,6 +696,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       impratio=jx(mjm.opt.impratio),
       tolerance=jx(mjm.opt.tolerance),
       ls_tolerance=jx(mjm.opt.ls_tolerance),
+      sleep_tolerance=jx(getattr(mjm.opt, "sleep_tolerance", 0.0)),
       integrator=int(mjm.opt.integrator),
       cone=int(mjm.opt.cone),
       solver=int(mjm.opt.solver),
@@ -781,6 +782,9 @@ def put_model(mjm: Any, dtype=None) -> Model:
       geom_condim=si(mjm.geom_condim), geom_bodyid=si(mjm.geom_bodyid),
       geom_dataid=si(mjm.geom_dataid), geom_priority=si(mjm.geom_priority),
       geom_group=si(mjm.geom_group),
+      **_sleep_meta(mjm),
+      dof_length=jx(getattr(mjm, "dof_length", np.ones(mjm.nv))),
+      geom_rgba=jx(getattr(mjm, "geom_rgba", np.ones((mjm.ngeom, 4)))),
       geom_solmix=jx(mjm.geom_solmix), geom_solref=jx(mjm.geom_solref),
       geom_solimp=jx(mjm.geom_solimp), geom_size=jx(mjm.geom_size),
       geom_rbound=jx(mjm.geom_rbound), geom_pos=jx(mjm.geom_pos),
@@ -895,6 +899,36 @@ def put_model(mjm: Any, dtype=None) -> Model:
   )
 
 
+def _sleep_meta(mjm) -> dict:
+  """Kinematic-tree sleep metadata (tree_* arrays, engine_sleep.c), with
+  dense per-tree dof/body masks replacing the reference's adr/num index
+  ranges. Models bridged from sources without tree tables get ntree=0,
+  which disables the sleep machinery."""
+  ntree = int(getattr(mjm, "ntree", 0))
+  if ntree == 0:
+    return dict(ntree=0,
+                body_treeid=np.full(mjm.nbody, -1, dtype=np.int32),
+                dof_treeid=np.full(mjm.nv, -1, dtype=np.int32),
+                tree_sleep_policy=np.zeros(0, dtype=np.int32),
+                tree_dof_mask=np.zeros((0, mjm.nv), dtype=bool),
+                tree_body_mask=np.zeros((0, mjm.nbody), dtype=bool),
+                tendon_treeid=np.full((mjm.ntendon, 2), -1, dtype=np.int32),
+                tendon_treenum=np.zeros(mjm.ntendon, dtype=np.int32))
+  body_treeid = np.asarray(mjm.body_treeid, dtype=np.int32).reshape(-1)
+  dof_treeid = np.asarray(mjm.dof_treeid, dtype=np.int32).reshape(-1)
+  tree_dof_mask = dof_treeid[None, :] == np.arange(ntree)[:, None]
+  tree_body_mask = body_treeid[None, :] == np.arange(ntree)[:, None]
+  return dict(
+      ntree=ntree, body_treeid=body_treeid, dof_treeid=dof_treeid,
+      tree_sleep_policy=np.asarray(mjm.tree_sleep_policy,
+                                   dtype=np.int32).reshape(-1),
+      tree_dof_mask=tree_dof_mask, tree_body_mask=tree_body_mask,
+      tendon_treeid=np.asarray(mjm.tendon_treeid,
+                               dtype=np.int32).reshape(-1, 2),
+      tendon_treenum=np.asarray(mjm.tendon_treenum,
+                                dtype=np.int32).reshape(-1))
+
+
 def _opt_i(mjm, name, shape, fill=0):
   """Optional int model field (absent on natively-compiled models that
   predate the feature): numpy int32 copy or a fill-constant array."""
@@ -987,6 +1021,11 @@ def make_data(m: Model, dtype=None) -> Data:
       solver_stat=z(32, 2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),
       history=jnp.asarray(_init_history(m), dtype=dtype),
+      # fully awake: -(1+mjMINAWAKE) (mj_resetData, engine_io.c:1460).
+      # SLEEP_INIT trees need a forward pass to fall asleep — use
+      # state.init_sleep after make_data (documented deviation: the
+      # reference runs it inside reset).
+      tree_asleep=jnp.full((m.ntree,), -11, dtype=jnp.int32),
   )
 
 

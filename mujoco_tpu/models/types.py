@@ -258,6 +258,7 @@ class Option:
   impratio: jax.Array
   tolerance: jax.Array
   ls_tolerance: jax.Array
+  sleep_tolerance: jax.Array
   # static (structural)
   integrator: int = static_field(default=int(Integrator.EULER))
   cone: int = static_field(default=int(ConeType.PYRAMIDAL))
@@ -521,6 +522,18 @@ class Model:
   geom_dataid: np.ndarray = static_field()
   geom_priority: np.ndarray = static_field()
   geom_group: np.ndarray = static_field()
+  # ----- kinematic-tree sleep metadata (mjmodel.h tree_* arrays;
+  # engine_sleep.c). ntree == 0 disables the machinery entirely.
+  ntree: int = static_field()
+  body_treeid: np.ndarray = static_field()       # (nbody,) -1 for static
+  dof_treeid: np.ndarray = static_field()        # (nv,)
+  tree_sleep_policy: np.ndarray = static_field() # (ntree,) mjtSleepPolicy
+  tree_dof_mask: np.ndarray = static_field()     # (ntree, nv) bool
+  tree_body_mask: np.ndarray = static_field()    # (ntree, nbody) bool
+  tendon_treeid: np.ndarray = static_field()     # (ntendon, 2)
+  tendon_treenum: np.ndarray = static_field()    # (ntendon,)
+  dof_length: jax.Array = field()                # (nv,) tolerance weights
+  geom_rgba: jax.Array = field()             # (ngeom, 4) render color
   geom_solmix: jax.Array = field()
   geom_solref: jax.Array = field()
   geom_solimp: jax.Array = field()
@@ -713,6 +726,9 @@ class Model:
   def disabled(self, bit: DisableBit) -> bool:
     return bool(self.opt.disableflags & bit)
 
+  def enabled(self, bit: EnableBit) -> bool:
+    return bool(self.opt.enableflags & bit)
+
 
 # ---------------------------------------------------------------------------
 # Contact + Data
@@ -852,6 +868,12 @@ class Data:
   # bounded-scan solver path (5 ≤ iterations ≤ 32), zeros otherwise
   solver_stat: jax.Array       # (32, 2)
   solver_niter: jax.Array      # iterations taken by the constraint solver
+  # per-tree sleep state (mjData.tree_asleep, engine_sleep.c): < 0 awake
+  # countdown (-(1+mjMINAWAKE) fully awake, -1 ready to sleep); >= 0 asleep,
+  # holding the island's canonical label (smallest tree id in the island;
+  # the reference stores cycle pointers instead -- documented deviation).
+  # Shape (ntree,); (0,) when the model has no dynamic trees.
+  tree_asleep: jax.Array
   # ctrl/sensor history ring buffers, reference layout per buffer:
   # [user, cursor, times(n), values(n*dim)] (mjData.history, mjdata.h;
   # mju_historyInit, engine_util_misc.c:1403). Shape (nhistory,); (0,) when

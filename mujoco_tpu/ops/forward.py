@@ -50,8 +50,19 @@ def fwd_position(m: Model, d: Data) -> Data:
     from mujoco_tpu.ops import collision_driver, constraint
     with jax.named_scope("collision"):
       d = collision_driver.collision(m, d)
+    if _sleep_on(m):
+      # wake pass (user perturbation / collision / equality / tendon;
+      # engine_forward.c:125,150-156) before constraints see sleep state
+      from mujoco_tpu.ops import sleep as sleep_mod
+      d = sleep_mod.wake(m, d)
     with jax.named_scope("make_constraint"):
       d = constraint.make_constraint(m, d)
+    if _sleep_on(m):
+      from mujoco_tpu.ops import sleep as sleep_mod
+      d = sleep_mod.mask_sleeping_rows(m, d)
+  elif _sleep_on(m):
+    from mujoco_tpu.ops import sleep as sleep_mod
+    d = sleep_mod.wake(m, d)
   with jax.named_scope("transmission"):
     d = smooth.transmission(m, d)
   return d
@@ -115,14 +126,27 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc, qacc_smooth=qacc_smooth)
 
 
+def _sleep_on(m: Model) -> bool:
+  from mujoco_tpu.ops import sleep as sleep_mod
+  return sleep_mod.sleep_active(m)
+
+
 def fwd_constraint(m: Model, d: Data) -> Data:
   """Constraint solve → qacc (mj_fwdConstraint, engine_forward.c:1151)."""
   if not m.efc.nefc or m.disabled(DisableBit.CONSTRAINT):
-    return d.replace(qacc=d.qacc_smooth,
-                     qfrc_constraint=jnp.zeros_like(d.qfrc_constraint),
-                     efc_force=jnp.zeros_like(d.efc_force))
-  from mujoco_tpu.ops import solver
-  return solver.solve(m, d)
+    d = d.replace(qacc=d.qacc_smooth,
+                  qfrc_constraint=jnp.zeros_like(d.qfrc_constraint),
+                  efc_force=jnp.zeros_like(d.efc_force))
+  else:
+    from mujoco_tpu.ops import solver
+    d = solver.solve(m, d)
+  if _sleep_on(m):
+    # sleeping dofs keep qacc == 0 (the reference updates awake dofs only,
+    # mj_fwdAcceleration sleep_filter, engine_forward.c:1011)
+    from mujoco_tpu.ops import sleep as sleep_mod
+    mask = sleep_mod.dof_awake_mask(m, d)
+    d = d.replace(qacc=d.qacc * mask)
+  return d
 
 
 def forward(m: Model, d: Data) -> Data:
@@ -300,6 +324,12 @@ def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
   if m.nhistory:
     d = _advance_history(m, d)
   act = next_activation(m, d, act_dot)
+  if _sleep_on(m):
+    # countdown + island sleep before integration (mj_advance,
+    # engine_forward.c:1355): newly slept trees get qvel/qacc zeroed and do
+    # not receive this step's velocity update
+    from mujoco_tpu.ops import sleep as sleep_mod
+    d, qacc = sleep_mod.sleep_step(m, d, qacc)
   # rotational INTEGRATOR servo setpoints: re-anchor to the representative
   # nearest the transmission length (engine_forward.c:1330-1340)
   for i in range(m.nu):
