@@ -1,0 +1,190 @@
+"""Batched on-device camera rendering: depth / RGB / segmentation.
+
+Counterpart of the reference's batched renderer (MJX render.py + the warp
+rasterizer, /root/reference/mjx/mujoco/mjx/_src/render.py:62-80), redesigned
+for TPU: instead of a triangle rasterizer, every pixel casts one ray through
+the full branchless geom dispatch (ops/ray.py — the same machinery as
+mj_ray/mj_multiRay, engine_ray.c), so the whole image is one fused
+vmap-over-pixels kernel with fixed shapes. Works for all geom types the ray
+caster supports (plane/sphere/capsule/ellipsoid/cylinder/box/mesh/hfield),
+is vmappable over envs for batched rollouts, and differentiates like any
+other jax computation.
+
+Camera model matches the reference's pinhole convention (mju_camIntrinsics,
+engine_support.c:846; cam_project, engine_sensor.c:283): the camera looks
+along -z of cam_xmat, x is image-left (the reference negates fx), fovy-based
+focal length unless sensorsize/intrinsic calibration is present. Pixel (0, 0)
+is the top-left corner; rays go through pixel centers.
+
+Outputs:
+  depth: (H, W) ray distances (inf where nothing is hit)
+  rgb:   (H, W, 3) in [0, 1]: geom rgba shaded by a camera headlight
+         (Lambertian n.l with a small ambient floor)
+  seg:   (H, W) int32 geom id, -1 for background
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models.types import Data, GeomType, Model
+from mujoco_tpu.ops import ray as ray_mod
+from mujoco_tpu.utils import math as mjm
+
+_INF = 1e10
+
+
+# ---------------------------------------------------------------------------
+# surface normals at a hit point, per static geom type
+# ---------------------------------------------------------------------------
+
+
+def _normal_local(m: Model, g: int, lp, mesh_cache):
+  """Outward local-frame normal of geom g at local point lp (static type
+  dispatch; mesh/hfield use the supporting triangle's face normal)."""
+  t = int(m.geom_type[g])
+  size = m.geom_size[g]
+  dtype = lp.dtype
+  if t == GeomType.PLANE:
+    return jnp.array([0.0, 0, 1], dtype=dtype)
+  if t == GeomType.SPHERE:
+    return mjm.normalize(lp)
+  if t == GeomType.CAPSULE:
+    z = jnp.clip(lp[2], -size[1], size[1])
+    return mjm.normalize(lp - jnp.array([0.0, 0, 1], dtype=dtype) * z)
+  if t == GeomType.ELLIPSOID:
+    return mjm.normalize(lp / jnp.maximum(size ** 2, mjm.MINVAL))
+  if t == GeomType.CYLINDER:
+    on_cap = jnp.abs(jnp.abs(lp[2]) - size[1]) < 1e-6 * (1 + size[1])
+    side = mjm.normalize(jnp.array([lp[0], lp[1], 0.0], dtype=dtype))
+    cap = jnp.array([0.0, 0, 1], dtype=dtype) * jnp.sign(lp[2])
+    return jnp.where(on_cap, cap, side)
+  if t == GeomType.BOX:
+    r = jnp.abs(lp) / jnp.maximum(size, mjm.MINVAL)
+    face = jnp.argmax(r)
+    return jnp.sign(lp[face]) * jnp.eye(3, dtype=dtype)[face]
+  if t in (int(GeomType.MESH), int(GeomType.HFIELD)):
+    v0, v1, v2 = mesh_cache[g]
+    # face normal of the triangle whose plane is nearest to the hit point
+    n = jnp.cross(v1 - v0, v2 - v0)
+    n = n / jnp.maximum(mjm.norm_safe(n), mjm.MINVAL)[..., None]
+    dist = jnp.abs(jnp.sum((lp[None, :] - v0) * n, axis=-1))
+    best = jnp.argmin(dist)
+    nb = n[best]
+    return nb * jnp.sign(jnp.sum(nb * lp) + 1e-12)
+  raise NotImplementedError(f"render normal for geom type {t}")
+
+
+def _mesh_cache(m: Model):
+  """Static per-geom triangle arrays for mesh/hfield normals."""
+  cache = {}
+  for g in range(m.ngeom):
+    t = int(m.geom_type[g])
+    if t == int(GeomType.MESH):
+      mid = int(m.geom_dataid[g])
+      vadr = int(m.mesh_vertadr[mid])
+      fadr = int(m.mesh_faceadr[mid])
+      fnum = int(m.mesh_facenum[mid])
+      faces = m.mesh_face[fadr:fadr + fnum] + vadr
+      cache[g] = (m.mesh_vert[faces[:, 0]], m.mesh_vert[faces[:, 1]],
+                  m.mesh_vert[faces[:, 2]])
+    elif t == int(GeomType.HFIELD):
+      hid = int(m.geom_dataid[g])
+      adr = int(m.hfield_adr[hid])
+      nrow = int(m.hfield_nrow[hid])
+      ncol = int(m.hfield_ncol[hid])
+      hsize = m.hfield_size_np[hid]
+      xs = np.linspace(-hsize[0], hsize[0], ncol)
+      ys = np.linspace(-hsize[1], hsize[1], nrow)
+      r, c = np.meshgrid(np.arange(nrow - 1), np.arange(ncol - 1),
+                         indexing="ij")
+      r, c = r.ravel(), c.ravel()
+      data = jax.lax.dynamic_slice(m.hfield_data, (adr,),
+                                   (nrow * ncol,)).reshape(nrow, ncol)
+      z = data * hsize[2]
+      def corner(rr, cc):
+        return jnp.stack([jnp.asarray(xs[cc]), jnp.asarray(ys[rr]),
+                          z[rr, cc]], axis=-1)
+      p00, p01 = corner(r, c), corner(r, c + 1)
+      p10, p11 = corner(r + 1, c), corner(r + 1, c + 1)
+      cache[g] = (jnp.concatenate([p00, p00]),
+                  jnp.concatenate([p01, p11]),
+                  jnp.concatenate([p11, p10]))
+  return cache
+
+
+def _camera_rays(m: Model, d: Data, camid: int, width: int, height: int,
+                 dtype):
+  """World-frame ray directions through all pixel centers, (H*W, 3).
+  Inverts cam_project (engine_sensor.c:283): x_img = -fx x/z + cx,
+  y_img = fy y/z + cy with z < 0 in front of the camera; rows count from
+  the image top."""
+  ss = m.cam_sensorsize[camid]
+  intr = m.cam_intrinsic[camid]
+  use_cal = (ss[0] != 0) & (ss[1] != 0)
+  ssx = jnp.maximum(ss[0], mjm.MINVAL)
+  ssy = jnp.maximum(ss[1], mjm.MINVAL)
+  f_fov = 0.5 / jnp.tan(m.cam_fovy[camid] * jnp.pi / 360.0) * height
+  fx = jnp.where(use_cal, intr[0] / ssx * width, f_fov)
+  fy = jnp.where(use_cal, intr[1] / ssy * height, f_fov)
+  cx = jnp.where(use_cal, intr[2] / ssx * width, width / 2.0)
+  cy = jnp.where(use_cal, intr[3] / ssy * height, height / 2.0)
+  cols = jnp.arange(width, dtype=dtype) + 0.5
+  rows = jnp.arange(height, dtype=dtype) + 0.5
+  u = -(cols[None, :] - cx) / fx                 # x_img = -fx x/|z| + cx
+  v = (height - rows[:, None] - cy + 0.0) / fy   # y up, rows from top
+  dirs_cam = jnp.stack([jnp.broadcast_to(u, (height, width)),
+                        jnp.broadcast_to(v, (height, width)),
+                        -jnp.ones((height, width), dtype=dtype)], axis=-1)
+  dirs = jnp.einsum("ij,hwj->hwi", d.cam_xmat[camid], dirs_cam)
+  return dirs.reshape(-1, 3)
+
+
+def render(m: Model, d: Data, camid: int = 0, width: int = 64,
+           height: int = 64, geomgroup=None):
+  """Render (rgb, depth, seg) from camera `camid` at the current state.
+
+  Pure jax function of (m, d): jit it, vmap it over batched Data for
+  batched rendering (the MJX render.py contract), or differentiate depth
+  w.r.t. qpos.
+  """
+  dtype = d.qpos.dtype
+  pnt = d.cam_xpos[camid]
+  dirs = _camera_rays(m, d, camid, width, height, dtype)
+  npix = dirs.shape[0]
+
+  def cast(v):
+    return ray_mod.ray(m, d, pnt, v, geomgroup=geomgroup)
+
+  dist, gid = jax.vmap(cast)(dirs)               # (npix,), (npix,)
+  hit = jnp.isfinite(dist) & (dist < _INF) & (gid >= 0)
+  dist = jnp.where(hit, dist, jnp.inf)
+
+  # hit points and per-geom normals (static loop, traced select)
+  p = pnt[None, :] + dist[:, None] * dirs
+  p = jnp.where(hit[:, None], p, 0.0)
+  cache = _mesh_cache(m)
+  normal = jnp.zeros((npix, 3), dtype=dtype)
+  rgba = jnp.zeros((npix, 4), dtype=dtype)
+  for g in range(m.ngeom):
+    lp = jnp.einsum("ji,pj->pi", d.geom_xmat[g],
+                    p - d.geom_xpos[g][None, :])   # world→local
+    ln = jax.vmap(lambda q: _normal_local(m, g, q, cache))(lp)
+    wn = jnp.einsum("ij,pj->pi", d.geom_xmat[g], ln)
+    sel = (gid == g)[:, None]
+    normal = jnp.where(sel, wn, normal)
+    rgba = jnp.where(sel, m.geom_rgba[g][None, :], rgba)
+
+  # headlight Lambertian with ambient floor; normal flipped toward the eye
+  ndotl = jnp.abs(jnp.sum(normal * dirs, axis=-1)
+                  / jnp.maximum(mjm.norm_safe(dirs), mjm.MINVAL))
+  shade = jnp.clip(0.3 + 0.7 * ndotl, 0.0, 1.0)
+  rgb = rgba[:, :3] * shade[:, None]
+  rgb = jnp.where(hit[:, None], rgb, 0.0)
+
+  seg = jnp.where(hit, gid, -1).astype(jnp.int32)
+  return (rgb.reshape(height, width, 3),
+          dist.reshape(height, width),
+          seg.reshape(height, width))
