@@ -30,6 +30,10 @@ from mujoco_tpu.ops.forward import (euler, forward, fwd_acceleration,
 from mujoco_tpu.ops.inverse import compare_fwd_inv, inverse
 from mujoco_tpu.ops.derivative_fd import transition, transition_fd
 from mujoco_tpu.ops.ray import ray, ray_geom
+from mujoco_tpu.ops.render import render
+from mujoco_tpu.ops.sleep import init_sleep
+from mujoco_tpu.ops.history import (init_ctrl_history, init_sensor_history,
+                                    read_ctrl, read_sensor)
 from mujoco_tpu.ops.sensor import (contact_force, energy_pos, energy_vel,
                                    object_acceleration, object_velocity)
 from mujoco_tpu.ops.state import (StateBit, get_state, id2name, name2id,

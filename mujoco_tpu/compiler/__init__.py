@@ -23,6 +23,8 @@ spatial tendons, connect/weld/joint/tendon equalities, contact pairs and
 excludes, common sensors, and keyframes.
 """
 
-from mujoco_tpu.compiler.core import CompiledModel, compile_spec, load_xml
+from mujoco_tpu.compiler.core import (CompiledModel, compile_spec, load_xml, load_xml_path)
+from mujoco_tpu.compiler.spec_api import MjSpec, MjsElement
+from mujoco_tpu.compiler.urdf import load_urdf, load_urdf_path
 
-__all__ = ["CompiledModel", "compile_spec", "load_xml"]
+__all__ = ["CompiledModel", "compile_spec", "load_xml", "load_xml_path", "MjSpec", "MjsElement", "load_urdf", "load_urdf_path"]

@@ -14,6 +14,7 @@ both the reference compiler and this one.
 from __future__ import annotations
 
 import math
+import os
 from types import SimpleNamespace
 from typing import Dict, List, Optional
 
@@ -221,9 +222,13 @@ def _quat2mat(q):
 
 
 def _geom_mass_inertia(gtype: int, size, density: float,
-                       mass: Optional[float]):
+                       mass: Optional[float], mesh: Optional[dict] = None):
   """Geom mass + diagonal inertia in the geom frame (mjCGeom::SetInertia,
   user_objects.cc). Returns (mass, diag_inertia(3,))."""
+  if gtype == 7:  # mesh: volumetric quantities at unit density
+    vol = mesh["volume"]
+    m = mass if mass is not None else density * vol
+    return m, mesh["principal"] * (m / vol)
   r = size[0]
   if gtype == 2:  # sphere
     vol = 4.0 / 3.0 * math.pi * r ** 3
@@ -276,9 +281,24 @@ class CompiledModel(SimpleNamespace):
   is_mjtpu_compiled = True
 
 
-def load_xml(xml: str) -> "CompiledModel":
+def load_xml(xml: str, base_dir: Optional[str] = None) -> "CompiledModel":
   """MJCF string → CompiledModel (mj_loadXML analog)."""
-  return compile_spec(parse_mjcf(xml))
+  return compile_spec(parse_mjcf(xml, base_dir=base_dir))
+
+
+def load_xml_path(path: str) -> "CompiledModel":
+  """Compile an MJCF file; <include> and meshdir resolve relative to it."""
+  import os
+  with open(path) as f:
+    xml = f.read()
+  base = os.path.dirname(os.path.abspath(path))
+  spec = parse_mjcf(xml, base_dir=base)
+  if "meshdir" in spec.compiler and not os.path.isabs(
+      spec.compiler["meshdir"]):
+    spec.compiler["meshdir"] = os.path.join(base, spec.compiler["meshdir"])
+  elif "meshdir" not in spec.compiler:
+    spec.compiler["meshdir"] = base
+  return compile_spec(spec)
 
 
 def compile_spec(spec: Spec) -> "CompiledModel":
@@ -423,6 +443,11 @@ class _Compiler:
     dataid = -1
     if gtype == 7:
       dataid = self.names["mesh"][a["mesh"]]
+      # compose the mesh's removed CoM/principal transform into the geom
+      # frame (mjCGeom::Compile mesh branch, user_objects.cc)
+      md = self.meshes[dataid]
+      pos = pos + _rotvec(md["pos"], quat)
+      quat = _mulquat(quat, md["quat"])
     if gtype == 1:
       dataid = self.names["hfield"][a["hfield"]]
     name = _s(a, "name", f"geom{gid}")
@@ -513,24 +538,36 @@ class _Compiler:
     hf_data = []
     for el in self.spec.assets:
       if el.kind == "mesh":
-        if "vertex" not in el.attrs:
-          raise NotImplementedError("file meshes not supported; use inline "
-                                    "vertex data")
-        name = _s(el.attrs, "name", f"mesh{len(self.meshes)}")
-        verts = _f(el.attrs, "vertex").reshape(-1, 3)
+        if "vertex" in el.attrs:
+          verts = _f(el.attrs, "vertex").reshape(-1, 3)
+          faces = (_f(el.attrs, "face").astype(np.int32).reshape(-1, 3)
+                   if "face" in el.attrs else None)
+          default_name = f"mesh{len(self.meshes)}"
+        elif "file" in el.attrs:
+          from mujoco_tpu.compiler import mesh_io
+          meshdir = _s(self.spec.compiler, "meshdir", "")
+          path = os.path.join(meshdir, el.attrs["file"])
+          verts, faces = mesh_io.load_mesh_file(path)
+          default_name = os.path.splitext(
+              os.path.basename(el.attrs["file"]))[0]
+        else:
+          raise NotImplementedError("mesh asset needs vertex or file data")
+        name = _s(el.attrs, "name", default_name)
         scale = _f(el.attrs, "scale", [1, 1, 1], 3)
         verts = verts * scale
-        # center on the centroid like the reference (CoM-centered frames)
-        centroid = verts.mean(axis=0)
-        verts = verts - centroid
-        if "face" in el.attrs:
-          faces = _f(el.attrs, "face").astype(np.int32).reshape(-1, 3)
-        else:
+        if faces is None or len(faces) == 0:
           faces = _convex_hull_faces(verts)
+        # volumetric CoM + principal frame (mjCMesh::Compile inertia
+        # processing, user_mesh.cc): re-center, rotate, remember (pos, quat)
+        from mujoco_tpu.compiler import mesh_io
+        vol, com, imat = mesh_io.volumetric_frame(verts, faces)
+        vals, mq = _eig3(imat)
+        rot = _quat2mat(mq)
+        verts = (verts - com) @ rot                      # rows are axes
         self.names["mesh"][name] = len(self.meshes)
-        self.meshes.append(dict(name=name, vertadr=sum(
-            len(v) for v, _ in zip(mesh_vert, mesh_vert)), verts=verts,
-            faces=faces, centroid=centroid))
+        self.meshes.append(dict(name=name, verts=verts, faces=faces,
+                                pos=com, quat=mq, volume=vol,
+                                principal=vals))
       elif el.kind == "hfield":
         name = _s(el.attrs, "name", f"hfield{len(self.hfields)}")
         nrow = int(el.attrs["nrow"])
@@ -566,8 +603,9 @@ class _Compiler:
       sel = []
       for gid in body["geomids"]:
         g = self.geoms[gid]
-        gm, gi = _geom_mass_inertia(g["type"], g["size"], g["density"],
-                                    g["mass"])
+        gm, gi = _geom_mass_inertia(
+            g["type"], g["size"], g["density"], g["mass"],
+            self.meshes[g["dataid"]] if g["type"] == 7 else None)
         if gm > 1e-14:
           sel.append((g, gm, gi))
       if not sel:

@@ -632,6 +632,8 @@ def _emit(self) -> CompiledModel:
                               dtype=np.int32)
     m.mesh_vert = np.concatenate([x["verts"] for x in self.meshes])
     m.mesh_face = np.concatenate([x["faces"] for x in self.meshes])
+    m.mesh_pos = np.stack([x["pos"] for x in self.meshes])
+    m.mesh_quat = np.stack([x["quat"] for x in self.meshes])
   else:
     m.mesh_vertadr = np.zeros(0, dtype=np.int32)
     m.mesh_vertnum = np.zeros(0, dtype=np.int32)
@@ -639,6 +641,8 @@ def _emit(self) -> CompiledModel:
     m.mesh_facenum = np.zeros(0, dtype=np.int32)
     m.mesh_vert = np.zeros((0, 3))
     m.mesh_face = np.zeros((0, 3), dtype=np.int32)
+    m.mesh_pos = np.zeros((0, 3))
+    m.mesh_quat = np.zeros((0, 4))
   if self.hfields:
     m.hfield_nrow = np.array([h["nrow"] for h in self.hfields],
                              dtype=np.int32)
@@ -819,6 +823,9 @@ def _rbound(self) -> np.ndarray:
     elif t in (4, 6):
       out[i] = float(np.linalg.norm(s))
     elif t == 7:
-      mesh = self.meshes[g["dataid"]]
-      out[i] = float(np.linalg.norm(mesh["verts"], axis=1).max())
+      # symmetric AABB around the (CoM-centered) frame origin
+      # (mjCGeom::SetBoundingVolume mesh branch)
+      v = self.meshes[g["dataid"]]["verts"]
+      out[i] = float(np.linalg.norm(
+          np.maximum(np.abs(v.min(axis=0)), np.abs(v.max(axis=0)))))
   return out

@@ -135,10 +135,36 @@ def _walk_body(el: ET.Element, defaults: Defaults,
   return out
 
 
-def parse_mjcf(xml: str) -> Spec:
+def _splice_includes(root: ET.Element, base_dir: Optional[str]) -> None:
+  """Recursively replace <include file=.../> with the included file's
+  top-level children (ParseXML include handling, xml.cc:322; the included
+  root may be <mujoco> or <mujocoinclude>)."""
+  import os
+  for parent in root.iter():
+    i = 0
+    while i < len(parent):
+      child = parent[i]
+      if child.tag == "include":
+        fn = child.get("file")
+        if fn is None:
+          raise ValueError("<include> requires a file attribute")
+        path = os.path.join(base_dir, fn) if base_dir else fn
+        sub = ET.parse(path).getroot()
+        if sub.tag not in ("mujoco", "mujocoinclude"):
+          raise ValueError(f"included file {fn} has root <{sub.tag}>")
+        _splice_includes(sub, os.path.dirname(path))
+        parent.remove(child)
+        for j, el in enumerate(list(sub)):
+          parent.insert(i + j, el)
+      else:
+        i += 1
+
+
+def parse_mjcf(xml: str, base_dir: Optional[str] = None) -> Spec:
   root = ET.fromstring(xml)
   if root.tag != "mujoco":
     raise ValueError("not an MJCF document")
+  _splice_includes(root, base_dir)
 
   option: Dict[str, str] = {}
   flags: Dict[str, str] = {}
@@ -164,7 +190,11 @@ def parse_mjcf(xml: str) -> Spec:
     elif el.tag == "default":
       defaults = _parse_defaults(el, None)
     elif el.tag == "worldbody":
-      worldbody = _walk_body(el, defaults, None)
+      wb = _walk_body(el, defaults, None)
+      if worldbody is None:
+        worldbody = wb
+      else:
+        worldbody.children.extend(wb.children)
     elif el.tag == "asset":
       for sub in el:
         assets.append(Element(kind=sub.tag,

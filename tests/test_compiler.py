@@ -270,3 +270,118 @@ def test_defaults_and_frames():
   mjm = mujoco.MjModel.from_xml_string(xml)
   _model_fields_match(cm, mjm)
   _traj_match(xml, 300, 1e-12)
+
+
+OBJ_SOLID = """v 0 0 0
+v 1.2 0 0
+v 1.0 0.9 0
+v 0.1 0.8 0
+v 0.1 0.1 0.7
+v 1.0 0.2 0.8
+f 1 4 3 2
+f 1 2 6 5
+f 2 3 6
+f 3 4 5 6
+f 1 5 4
+"""
+
+
+def test_obj_file_mesh(tmp_path):
+  """OBJ loading + volumetric CoM/principal-frame processing
+  (user_mesh.cc LoadOBJ + mjCMesh::Compile): fields match the reference
+  (f32 mesh storage limits parity to ~1e-6) and the falling-mesh trajectory
+  is exact through impact."""
+  (tmp_path / "solid.obj").write_text(OBJ_SOLID)
+  xml = f"""
+<mujoco>
+  <compiler meshdir="{tmp_path}"/>
+  <asset><mesh name="solid" file="solid.obj"/></asset>
+  <worldbody>
+    <geom name="floor" type="plane" size="4 4 .1"/>
+    <body pos="0 0 1"><freejoint/>
+      <geom type="mesh" mesh="solid" euler="15 25 5"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  for f in ["mesh_pos", "mesh_quat", "geom_pos", "geom_quat", "geom_rbound",
+            "body_mass", "body_inertia", "mesh_vertnum", "mesh_facenum"]:
+    a = np.asarray(getattr(cm, f))
+    b = np.asarray(getattr(mjm, f)).reshape(a.shape)
+    np.testing.assert_allclose(a, b, atol=2e-5, err_msg=f)
+  _traj_match(xml, 140, 1e-9)
+
+
+def test_stl_file_mesh(tmp_path):
+  """Binary STL loading with vertex welding; volumetric mass properties
+  match. The tetra's two equal principal moments make the frame ambiguous,
+  so geometry is compared shape-invariantly (sorted vertex radii)."""
+  import struct
+  tris = [((0, 0, 0), (1, 0, 0), (0, 1, 0)),
+          ((0, 0, 0), (0, 0, 1), (1, 0, 0)),
+          ((0, 0, 0), (0, 1, 0), (0, 0, 1)),
+          ((1, 0, 0), (0, 0, 1), (0, 1, 0))]
+  with open(tmp_path / "tet.stl", "wb") as f:
+    f.write(b"\0" * 80)
+    f.write(struct.pack("<I", len(tris)))
+    for t in tris:
+      f.write(struct.pack("<3f", 0, 0, 0))
+      for v in t:
+        f.write(struct.pack("<3f", *v))
+      f.write(struct.pack("<H", 0))
+  xml = f"""
+<mujoco>
+  <compiler meshdir="{tmp_path}"/>
+  <asset><mesh name="tet" file="tet.stl" scale="0.5 0.5 0.5"/></asset>
+  <worldbody>
+    <body pos="0 0 1"><freejoint/><geom type="mesh" mesh="tet"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  np.testing.assert_allclose(cm.body_mass, mjm.body_mass, atol=1e-6)
+  np.testing.assert_allclose(cm.mesh_pos, mjm.mesh_pos, atol=1e-6)
+  np.testing.assert_allclose(np.sort(cm.body_inertia.ravel()),
+                             np.sort(mjm.body_inertia.ravel()), atol=1e-6)
+  # same shape modulo the (degenerate) principal frame
+  np.testing.assert_allclose(
+      np.sort(np.linalg.norm(cm.mesh_vert, axis=1)),
+      np.sort(np.linalg.norm(mjm.mesh_vert, axis=1)), atol=1e-6)
+  assert cm.mesh_vertnum[0] == 4 and cm.mesh_facenum[0] == 4
+
+
+def test_include_and_load_path(tmp_path):
+  """<include> splicing + load_xml_path with relative meshdir
+  (ParseXML include handling, xml.cc:322)."""
+  (tmp_path / "arm.xml").write_text("""
+<mujocoinclude>
+  <worldbody>
+    <body pos="0 0 0.6">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0"/>
+    </body>
+  </worldbody>
+  <actuator><motor joint="j1" gear="1.5"/></actuator>
+</mujocoinclude>""")
+  (tmp_path / "main.xml").write_text("""
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <geom type="plane" size="3 3 0.1"/>
+  </worldbody>
+  <include file="arm.xml"/>
+</mujoco>""")
+  from mujoco_tpu.compiler import load_xml_path
+  cm = load_xml_path(str(tmp_path / "main.xml"))
+  mjm = mujoco.MjModel.from_xml_path(str(tmp_path / "main.xml"))
+  _model_fields_match(cm, mjm)
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(300):
+    mjd.ctrl[:] = np.sin(0.05 * t)
+    d = d.replace(ctrl=jnp.asarray(mjd.ctrl.copy()))
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-12)
