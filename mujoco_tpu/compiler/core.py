@@ -45,7 +45,7 @@ _DISABLE_BITS = {
     "autoreset": 1 << 16, "nativeccd": 1 << 17,
 }
 _ENABLE_BITS = {"override": 1 << 0, "energy": 1 << 1, "fwdinv": 1 << 2,
-                "invdiscrete": 1 << 3, "multiccd": 1 << 5}
+                "invdiscrete": 1 << 3, "sleep": 1 << 4, "multiccd": 1 << 5}
 
 _SENSORS = {
     # name: (type enum, dim, objtype kw, needstage) — mjtSensor values
@@ -379,6 +379,7 @@ class _Compiler:
     name = _s(el.attrs, "name", f"body{bid}")
     self.bodies.append(dict(
         name=name, parentid=parent, pos=pos, quat=quat,
+        sleep=_s(el.attrs, "sleep", "auto"),
         mocap=_b(el.attrs, "mocap", False),
         gravcomp=float(_s(el.attrs, "gravcomp", "0")),
         explicit_inertial=None, jnt=[], geomids=[]))

@@ -428,6 +428,7 @@ def _emit(self) -> CompiledModel:
       viscosity=float(_s(o, "viscosity", "0")),
       impratio=float(_s(o, "impratio", "1")),
       tolerance=float(_s(o, "tolerance", "1e-8")),
+      sleep_tolerance=float(_s(o, "sleep_tolerance", "0")),
       ls_tolerance=float(_s(o, "ls_tolerance", "0.01")),
       integrator=_INTEGRATORS[_s(o, "integrator", "Euler")],
       cone=_CONES[_s(o, "cone", "pyramidal")],
@@ -804,7 +805,117 @@ def _emit(self) -> CompiledModel:
                 if nk else np.zeros((0, 3 * self.nmocap)))
   m.key_mquat = (np.stack([k["mquat"] for k in self.key_list])
                  if nk else np.zeros((0, 4 * self.nmocap)))
+  _tree_meta(self, m)
   return m
+
+
+def _tree_meta(self, m) -> None:
+  """Kinematic-tree tables + sleep policies (user_model.cc tree
+  assignment; AUTO policy resolution: mj_setConst,
+  engine_setconst.c:340-470). A tree is a maximal set of bodies whose
+  chain to the world carries dofs; static bodies get treeid -1."""
+  nbody = len(self.bodies)
+  nv = self.nv
+  parent = m.body_parentid
+  dofnum = m.body_dofnum
+  has_chain = np.zeros(nbody, dtype=bool)
+  treeid = np.full(nbody, -1, dtype=np.int32)
+  ntree = 0
+  for b in range(1, nbody):
+    has_chain[b] = has_chain[parent[b]] or dofnum[b] > 0
+    if has_chain[b]:
+      if has_chain[parent[b]]:
+        treeid[b] = treeid[parent[b]]
+      else:
+        treeid[b] = ntree
+        ntree += 1
+  m.ntree = ntree
+  m.body_treeid = treeid
+  m.dof_treeid = treeid[m.dof_bodyid].astype(np.int32)
+  m.tree_bodyadr = np.array(
+      [np.nonzero(treeid == t)[0][0] for t in range(ntree)], dtype=np.int32)
+  m.tree_bodynum = np.array(
+      [(treeid == t).sum() for t in range(ntree)], dtype=np.int32)
+  m.tree_dofadr = np.array(
+      [np.nonzero(m.dof_treeid == t)[0][0] for t in range(ntree)],
+      dtype=np.int32)
+  m.tree_dofnum = np.array(
+      [(m.dof_treeid == t).sum() for t in range(ntree)], dtype=np.int32)
+
+  # tendon tree spans (unique wrap-body trees, first two recorded)
+  ntendon = len(self.tendon_list)
+  m.tendon_treeid = np.full((ntendon, 2), -1, dtype=np.int32)
+  m.tendon_treenum = np.zeros(ntendon, dtype=np.int32)
+  for t in range(ntendon):
+    trees = []
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    for w in range(adr, adr + num):
+      wt, oid = int(m.wrap_type[w]), int(m.wrap_objid[w])
+      if wt == 1:    # joint
+        b = int(m.jnt_bodyid[oid])
+      elif wt == 3:  # site
+        b = int(m.site_bodyid[oid])
+      elif wt in (4, 5):  # sphere/cylinder geom
+        b = int(m.geom_bodyid[oid])
+      else:
+        continue
+      tid = int(treeid[b])
+      if tid >= 0 and tid not in trees:
+        trees.append(tid)
+    m.tendon_treenum[t] = len(trees)
+    for k, tid in enumerate(trees[:2]):
+      m.tendon_treeid[t, k] = tid
+
+  # per-tree policy: explicit body sleep attrs override AUTO
+  # (ProcessLists, user_model.cc:3215)
+  policy = np.zeros(ntree, dtype=np.int32)  # AUTO
+  names = {"never": 3, "allowed": 4, "init": 5}
+  for b, body in enumerate(self.bodies):
+    sl = body.get("sleep", "auto")
+    if sl != "auto" and treeid[b] >= 0:
+      if sl not in names:
+        raise ValueError(f"unknown sleep policy '{sl}'")
+      policy[treeid[b]] = names[sl]
+
+  # AUTO resolution: actuated trees never auto-sleep
+  def mark_never(tid):
+    if tid >= 0 and policy[tid] == 0:
+      policy[tid] = 1  # AUTO_NEVER
+  for i in range(len(m.actuator_trntype)):
+    trn = int(m.actuator_trntype[i])
+    tid0 = int(m.actuator_trnid[i, 0])
+    if trn in (0, 1):    # joint
+      mark_never(int(treeid[m.jnt_bodyid[tid0]]))
+    elif trn in (2, 4):  # slidercrank / site
+      mark_never(int(treeid[m.site_bodyid[tid0]]))
+    elif trn == 5:       # body (adhesion)
+      mark_never(int(treeid[tid0]))
+    elif trn == 3:       # tendon: all spanned trees
+      tt = int(tid0)
+      for k in range(int(m.tendon_treenum[tt])):
+        mark_never(int(m.tendon_treeid[tt, k]))
+
+  # inter-tree tendons with stiffness/damping (or >2 trees) block sleep
+  for t in range(ntendon):
+    tn = int(m.tendon_treenum[t])
+    if tn < 2:
+      continue
+    coupled = (tn > 2 or m.tendon_stiffness[t] != 0
+               or m.tendon_damping[t] != 0)
+    if not coupled:
+      continue
+    for k in range(min(tn, 2)):
+      tid = int(m.tendon_treeid[t, k])
+      if tid >= 0:
+        if policy[tid] in (4, 5):
+          raise ValueError(
+              f"tree {tid} marked sleepable but coupled by tendon {t}")
+        if policy[tid] == 0:
+          policy[tid] = 1
+
+  # remaining AUTO -> AUTO_ALLOWED (engine_setconst.c:464)
+  policy[policy == 0] = 2
+  m.tree_sleep_policy = policy
 
 
 def _rbound(self) -> np.ndarray:

@@ -158,6 +158,36 @@ def set_const(cm) -> None:
     cm.light_poscom0[i] = lpos - subtree[b]
     cm.light_dir0[i] = ldir
 
+  # body characteristic lengths → dof_length sleep-tolerance weights
+  # (engine_setconst.c:1244-1310): max of com-joint distances and
+  # rbound + com-geom distance, floored at 1e-5; rotational dofs inherit
+  # the body length, linear dofs are 1
+  xipos_n = np.asarray(d.xipos)
+  xanchor = np.asarray(d.xanchor)
+  gx = np.asarray(d.geom_xpos)
+  blen = np.zeros(nb)
+  for j in range(cm.njnt):
+    bid = int(cm.jnt_bodyid[j])
+    blen[bid] = max(blen[bid], np.linalg.norm(xipos_n[bid] - xanchor[j]))
+    pb = int(cm.body_parentid[bid])
+    blen[pb] = max(blen[pb], np.linalg.norm(xipos_n[pb] - xanchor[j]))
+  blen[0] = 0.0
+  for b in range(1, nb):
+    for g in range(int(cm.body_geomadr[b]),
+                   int(cm.body_geomadr[b]) + int(cm.body_geomnum[b])):
+      if cm.geom_rbound[g] > 0:
+        blen[b] = max(blen[b], cm.geom_rbound[g]
+                      + np.linalg.norm(xipos_n[b] - gx[g]))
+  blen[1:] = np.maximum(blen[1:], 1e-5)
+  dof_length = np.ones(nv)
+  for v in range(nv):
+    j = int(cm.dof_jntid[v])
+    t = int(cm.jnt_type[j])
+    off = v - int(cm.jnt_dofadr[j])
+    if t in (1, 3) or (t == 0 and off >= 3):  # ball/hinge/free-rot
+      dof_length[v] = blen[int(cm.dof_bodyid[v])]
+  cm.dof_length = dof_length
+
   # stat.meaninertia (engine_setconst.c:1324-1331)
   cm.stat.meaninertia = float(np.trace(qM) / nv)
 

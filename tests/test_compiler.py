@@ -385,3 +385,42 @@ def test_include_and_load_path(tmp_path):
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-12)
+
+
+def test_native_compile_tree_metadata_and_sleep():
+  """Tree tables + sleep policies from the native compiler (user_model.cc
+  tree assignment; AUTO policy resolution, engine_setconst.c:340-470):
+  natively compiled models sleep identically to the oracle."""
+  xml = """
+<mujoco>
+  <option timestep="0.002" sleep_tolerance="1e-4">
+    <flag sleep="enable"/>
+  </option>
+  <worldbody>
+    <geom type="plane" size="4 4 0.1"/>
+    <body pos="0 0 0.4"><freejoint/><geom type="box" size="0.1 0.1 0.1"/></body>
+    <body pos="1 0 0.3"><freejoint/><geom type="sphere" size="0.1"/></body>
+    <body pos="2 0 0.5" sleep="never">
+      <freejoint/><geom type="box" size="0.08 0.08 0.08"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  for f in ["ntree", "body_treeid", "dof_treeid", "tree_sleep_policy",
+            "tree_bodyadr", "tree_bodynum", "tree_dofadr", "tree_dofnum",
+            "dof_length"]:
+    np.testing.assert_allclose(
+        np.asarray(getattr(cm, f), dtype=np.float64),
+        np.asarray(getattr(mjm, f), dtype=np.float64), atol=1e-8,
+        err_msg=f)
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(900):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-12)
+  ours = np.asarray(d.tree_asleep)
+  assert np.array_equal(ours < 0, mjd.tree_asleep < 0)
+  assert ours[2] < 0  # sleep="never" stays awake
