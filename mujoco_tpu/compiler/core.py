@@ -323,6 +323,7 @@ class _Compiler:
     self.cams: List[dict] = []
     self.lights: List[dict] = []
     self.meshes: List[dict] = []
+    self.flexes: List[dict] = []
     self.hfields: List[dict] = []
     self.names: Dict[str, Dict[str, int]] = {
         k: {} for k in ("body", "joint", "geom", "site", "camera", "light",
@@ -368,7 +369,8 @@ class _Compiler:
     handler = {"joint": self._compile_joint, "geom": self._compile_geom,
                "site": self._compile_site, "camera": self._compile_camera,
                "light": self._compile_light,
-               "inertial": self._compile_inertial}[el.kind]
+               "inertial": self._compile_inertial,
+               "flexcomp": self._compile_flexcomp}[el.kind]
     handler(el, parent, fpos, fquat)
 
   def _compile_body(self, el: Element, parent: int, fpos, fquat):
@@ -531,6 +533,112 @@ class _Compiler:
     else:
       inertia = np.zeros(3)
     self.bodies[body]["explicit_inertial"] = (mass, ipos, iquat, inertia)
+
+  def _compile_flexcomp(self, el: Element, body: int, fpos, fquat):
+    """Procedural flex generation (mjCFlexcomp, user_flexcomp.cc): grid /
+    direct vertex layouts -> per-vertex slide-jointed point bodies (pinned
+    vertices ride the parent body), triangle elements and deduplicated
+    edges. Engine support is dim-2 (shell) flex."""
+    a = el.attrs
+    fid = len(self.flexes)
+    name = _s(a, "name", f"flex{fid}")
+    dim = int(_s(a, "dim", "2"))
+    if dim != 2:
+      raise NotImplementedError("flexcomp dim != 2 (engine supports shell "
+                                "flex only)")
+    radius = float(_s(a, "radius", "0.005"))
+    mass = float(_s(a, "mass", "1"))
+    pos = fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat)
+    quat = _mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq))
+
+    pins = set()
+    edge_a: Dict[str, str] = {}
+    contact_a: Dict[str, str] = {}
+    for c in el.children:
+      if c.kind == "pin":
+        for tok in c.attrs.get("id", "").split():
+          pins.add(int(tok))
+      elif c.kind == "edge":
+        edge_a.update(c.attrs)
+      elif c.kind == "contact":
+        contact_a.update(c.attrs)
+      else:
+        raise NotImplementedError(f"flexcomp child <{c.kind}>")
+
+    ftype = _s(a, "type", "grid")
+    if ftype == "grid":
+      cnt = [int(x) for x in _s(a, "count", "10 10 10").split()]
+      cnt += [1] * (3 - len(cnt))
+      nx, ny, nz = cnt[:3]
+      if nz != 1:
+        raise NotImplementedError("3D grid flexcomp (dim-3 flex)")
+      spacing = _f(a, "spacing", [0.02, 0.02, 0.02], 3)
+      verts = []
+      for ix in range(nx):                       # x-major vertex order
+        for iy in range(ny):
+          verts.append(np.array([(ix - (nx - 1) / 2) * spacing[0],
+                                 (iy - (ny - 1) / 2) * spacing[1], 0.0]))
+      elems = []
+      for ix in range(nx - 1):                   # two triangles per cell
+        for iy in range(ny - 1):
+          v00 = ix * ny + iy
+          v01 = v00 + 1
+          v10 = v00 + ny
+          v11 = v10 + 1
+          elems.append((v00, v10, v11))
+          elems.append((v00, v11, v01))
+    elif ftype == "direct":
+      pts = _f(a, "point").reshape(-1, 3)
+      verts = [p for p in pts]
+      ei = _f(a, "element").astype(np.int32).reshape(-1, 3)
+      elems = [tuple(int(x) for x in row) for row in ei]
+    else:
+      raise NotImplementedError(f"flexcomp type '{ftype}'")
+
+    # edges per element in reference order: (v1,v2), (v0,v2), (v0,v1)
+    edges, seen = [], set()
+    for (v0, v1, v2) in elems:
+      for pq in ((v1, v2), (v0, v2), (v0, v1)):
+        k = (min(pq), max(pq))
+        if k not in seen:
+          seen.add(k)
+          edges.append(k)
+
+    nvert = len(verts)
+    vmass = mass / nvert
+    # vertex rotational inertia: box of half-size `inertiabox`
+    # (mjCFlexcomp inertiabox attribute, default 0.005 -- independent of
+    # the contact radius)
+    ibox = float(_s(a, "inertiabox", "0.005"))
+    ih = (vmass / 3.0) * (2.0 * ibox * ibox)
+    vertbody, vert_off = [], []
+    for i, v in enumerate(verts):
+      p = pos + _rotvec(v, quat)
+      if i in pins:
+        vertbody.append(body)
+        vert_off.append(p)
+      else:
+        bid = len(self.bodies)
+        bel = Element(kind="body", attrs={
+            "name": f"{name}_{i}",
+            "pos": " ".join(repr(float(x)) for x in p)})
+        for ax in ("1 0 0", "0 1 0", "0 0 1"):
+          bel.children.append(Element(kind="joint",
+                                      attrs={"type": "slide", "axis": ax}))
+        bel.children.append(Element(kind="inertial", attrs={
+            "pos": "0 0 0", "mass": repr(vmass),
+            "diaginertia": f"{ih!r} {ih!r} {ih!r}"}))
+        self._compile_body(bel, body, np.zeros(3),
+                           np.array([1.0, 0, 0, 0]))
+        self.bodies[bid]["flex_simple"] = True
+        vertbody.append(bid)
+        vert_off.append(np.zeros(3))
+
+    self.names.setdefault("flex", {})[name] = fid
+    self.flexes.append(dict(
+        name=name, dim=dim, radius=radius, verts=vert_off,
+        vertbody=vertbody, elems=elems, edges=edges, pins=pins,
+        centered=not pins, edge_attrs=edge_a, contact_attrs=contact_a))
 
   # ----- assets ------------------------------------------------------------
 

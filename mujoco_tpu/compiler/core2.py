@@ -320,6 +320,26 @@ def _compile_equalities(self):
         active=_b(a, "active", True),
         solref=_f(a, "solref", _SOLREF, 2),
         solimp=_f(a, "solimp", _SOLIMP, 5)))
+  _flex_equalities(self)
+
+
+def _flex_equalities(self):
+  """mjEQ_FLEX edge equality per flexcomp with <edge equality="true"/>
+  (mjCFlexcomp, user_flexcomp.cc; pip emits objtype=0, obj2=-1,
+  data[1]=data[10]=1)."""
+  from mujoco_tpu.compiler.core import _b as b_, _f as f_
+  for fid, fx in enumerate(self.flexes):
+    ea = fx["edge_attrs"]
+    if ea.get("equality", "false") not in ("true", "1"):
+      continue
+    data = np.zeros(11)
+    data[1] = 1.0
+    data[10] = 1.0
+    self.eq_list.append(dict(
+        name=f"{fx['name']}_eq", type=4, obj1=fid, obj2=-1, objtype=0,
+        data=data, active=True,
+        solref=f_(ea, "solref", _SOLREF, 2),
+        solimp=f_(ea, "solimp", _SOLIMP, 5)))
 
 
 def _compile_contacts(self):
@@ -805,8 +825,117 @@ def _emit(self) -> CompiledModel:
                 if nk else np.zeros((0, 3 * self.nmocap)))
   m.key_mquat = (np.stack([k["mquat"] for k in self.key_list])
                  if nk else np.zeros((0, 4 * self.nmocap)))
+  _flex_emit(self, m)
   _tree_meta(self, m)
   return m
+
+
+def _flex_emit(self, m) -> None:
+  """Flex model arrays (mjModel flex_* fields; generation:
+  user_flexcomp.cc). Derived flexedge_length0/invweight0 are filled by
+  setconst with the engine's own forward pass."""
+  flexes = self.flexes
+  nflex = len(flexes)
+  m.nflex = nflex
+  zi = lambda n: np.zeros((n,), dtype=np.int32)
+  if nflex == 0:
+    m.nflexvert = m.nflexedge = m.nflexelem = 0
+    for fname in ("flex_dim", "flex_vertadr", "flex_vertnum",
+                  "flex_edgeadr", "flex_edgenum", "flex_elemadr",
+                  "flex_elemnum", "flex_elemdataadr", "flex_vertbodyid",
+                  "flex_edgeequality", "flex_condim", "flex_priority",
+                  "flex_contype", "flex_conaffinity", "flex_selfcollide"):
+      setattr(m, fname, zi(0))
+    m.flex_elem = zi(0)
+    m.flex_edge = zi(0).reshape(0, 2)
+    m.flex_centered = np.zeros(0, dtype=bool)
+    m.flex_rigid = np.zeros(0, dtype=bool)
+    m.flexedge_rigid = np.zeros(0, dtype=bool)
+    m.flex_internal = np.zeros(0, dtype=bool)
+    for fname in ("flex_radius", "flexedge_length0", "flexedge_invweight0",
+                  "flex_edgestiffness", "flex_edgedamping", "flex_damping",
+                  "flex_margin", "flex_gap", "flex_solmix"):
+      setattr(m, fname, np.zeros(0))
+    m.flex_vert = np.zeros((0, 3))
+    m.flex_friction = np.zeros((0, 3))
+    m.flex_solref = np.zeros((0, 2))
+    m.flex_solimp = np.zeros((0, 5))
+    return
+
+  nv_list = [len(f["verts"]) for f in flexes]
+  ne_list = [len(f["edges"]) for f in flexes]
+  nl_list = [len(f["elems"]) for f in flexes]
+  m.nflexvert = sum(nv_list)
+  m.nflexedge = sum(ne_list)
+  m.nflexelem = sum(nl_list)
+  cum = lambda xs: np.cumsum([0] + xs[:-1]).astype(np.int32)
+  m.flex_vertadr = cum(nv_list)
+  m.flex_vertnum = np.array(nv_list, dtype=np.int32)
+  m.flex_edgeadr = cum(ne_list)
+  m.flex_edgenum = np.array(ne_list, dtype=np.int32)
+  m.flex_elemadr = cum(nl_list)
+  m.flex_elemnum = np.array(nl_list, dtype=np.int32)
+  m.flex_dim = np.array([f["dim"] for f in flexes], dtype=np.int32)
+  m.flex_elemdataadr = cum([n * (f["dim"] + 1)
+                            for n, f in zip(nl_list, flexes)])
+  m.flex_elem = np.concatenate(
+      [np.asarray(f["elems"], dtype=np.int32).ravel() for f in flexes])
+  m.flex_edge = np.concatenate(
+      [np.asarray(f["edges"], dtype=np.int32).reshape(-1, 2)
+       for f in flexes])
+  m.flex_vertbodyid = np.concatenate(
+      [np.asarray(f["vertbody"], dtype=np.int32) for f in flexes])
+  m.flex_vert = np.concatenate(
+      [np.stack(f["verts"]) for f in flexes])
+  m.flex_centered = np.array([f["centered"] for f in flexes], dtype=np.int32)
+  m.flex_rigid = np.array(
+      [len(f["pins"]) == len(f["verts"]) for f in flexes], dtype=np.int32)
+  # an edge is rigid when both endpoints ride the same rigid body
+  er = []
+  for f in flexes:
+    vb = f["vertbody"]
+    for (a, b) in f["edges"]:
+      er.append(a in f["pins"] and b in f["pins"] and vb[a] == vb[b])
+  m.flexedge_rigid = np.array(er, dtype=np.int32)
+  m.flex_edgeequality = np.array(
+      [1 if f["edge_attrs"].get("equality", "false") in ("true", "1")
+       else 0 for f in flexes], dtype=np.int32)
+  ca = [f["contact_attrs"] for f in flexes]
+  m.flex_condim = np.array([int(c.get("condim", "3")) for c in ca],
+                           dtype=np.int32)
+  m.flex_priority = np.array([int(c.get("priority", "0")) for c in ca],
+                             dtype=np.int32)
+  m.flex_contype = np.array([int(c.get("contype", "1")) for c in ca],
+                            dtype=np.int32)
+  m.flex_conaffinity = np.array([int(c.get("conaffinity", "1"))
+                                 for c in ca], dtype=np.int32)
+  selfmap = {"none": 0, "narrow": 1, "bvh": 2, "sap": 3, "auto": 4}
+  # engine supports no self-collision: default none (deviation from the
+  # reference's auto default, which the engine would reject)
+  m.flex_selfcollide = np.array(
+      [selfmap[c.get("selfcollide", "none")] for c in ca], dtype=np.int32)
+  if m.flex_selfcollide.any():
+    raise NotImplementedError("flex self-collision")
+  m.flex_internal = np.array(
+      [c.get("internal", "false") in ("true", "1") for c in ca],
+      dtype=np.int32)
+  m.flex_radius = np.array([f["radius"] for f in flexes])
+  ea = [f["edge_attrs"] for f in flexes]
+  m.flex_edgestiffness = np.array([float(e.get("stiffness", "0"))
+                                   for e in ea])
+  m.flex_edgedamping = np.array([float(e.get("damping", "0")) for e in ea])
+  m.flex_damping = np.array([float(c.get("damping", "0")) for c in ca])
+  m.flex_friction = np.stack(
+      [_f(c, "friction", [1, 0.005, 0.0001], 3) for c in ca])
+  m.flex_solref = np.stack([_f(c, "solref", _SOLREF, 2) for c in ca])
+  m.flex_solimp = np.stack([_f(c, "solimp", _SOLIMP, 5) for c in ca])
+  m.flex_margin = np.array([float(c.get("margin", "0")) for c in ca])
+  m.flex_gap = np.array([float(c.get("gap", "0")) for c in ca])
+  m.flex_solmix = np.array([float(c.get("solmix", "1")) for c in ca])
+  m.flexedge_length0 = np.zeros(m.nflexedge)
+  m.flexedge_invweight0 = np.zeros(m.nflexedge)
+  m.flex_body_simple = np.array(
+      [bool(b.get("flex_simple")) for b in self.bodies], dtype=bool)
 
 
 def _tree_meta(self, m) -> None:

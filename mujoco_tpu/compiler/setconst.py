@@ -158,6 +158,33 @@ def set_const(cm) -> None:
     cm.light_poscom0[i] = lpos - subtree[b]
     cm.light_dir0[i] = ldir
 
+  # flex edge rest lengths and inverse weights (engine_setconst.c:989-1026)
+  if getattr(cm, "nflex", 0):
+    from mujoco_tpu.ops import flex as flex_mod
+    d = flex_mod.flex(m, d)
+    cm.flexedge_length0 = np.asarray(d.flexedge_length)
+    ej = np.asarray(d.flexedge_J)
+    inv = np.zeros(cm.nflexedge)
+    for f in range(cm.nflex):
+      ea, en = int(cm.flex_edgeadr[f]), int(cm.flex_edgenum[f])
+      va = int(cm.flex_vertadr[f])
+      for e in range(ea, ea + en):
+        v1, v2 = cm.flex_edge[e]
+        b1 = int(cm.flex_vertbodyid[va + v1])
+        b2 = int(cm.flex_vertbodyid[va + v2])
+        if cm.flexedge_rigid[e]:
+          inv[e] = 0.0
+        elif (self_simple(cm, b1) and self_simple(cm, b2)):
+          # slide-only point bodies (body_simple==2 shortcut)
+          inv[e] = (1 / cm.body_mass[b1] + 1 / cm.body_mass[b2]) / 2
+        else:
+          inv[e] = float(ej[e] @ minv(ej[e]))
+    cm.flexedge_invweight0 = inv
+    # keep the runtime model's traced copies in sync for anything below
+    import jax.numpy as _jnp
+    m = m.replace(flexedge_length0=_jnp.asarray(cm.flexedge_length0),
+                  flexedge_invweight0=_jnp.asarray(cm.flexedge_invweight0))
+
   # body characteristic lengths → dof_length sleep-tolerance weights
   # (engine_setconst.c:1244-1310): max of com-joint distances and
   # rbound + com-geom distance, floored at 1e-5; rotational dofs inherit
@@ -178,6 +205,15 @@ def set_const(cm) -> None:
       if cm.geom_rbound[g] > 0:
         blen[b] = max(blen[b], cm.geom_rbound[g]
                       + np.linalg.norm(xipos_n[b] - gx[g]))
+  # flex edges widen the endpoint bodies (engine_setconst.c:1278-1284)
+  if getattr(cm, "nflex", 0):
+    for f in range(cm.nflex):
+      ea, en = int(cm.flex_edgeadr[f]), int(cm.flex_edgenum[f])
+      va = int(cm.flex_vertadr[f])
+      for e in range(ea, ea + en):
+        for v in cm.flex_edge[e]:
+          b = int(cm.flex_vertbodyid[va + int(v)])
+          blen[b] = max(blen[b], cm.flexedge_length0[e])
   blen[1:] = np.maximum(blen[1:], 1e-5)
   dof_length = np.ones(nv)
   for v in range(nv):
@@ -212,3 +248,10 @@ def _quat2mat(q):
       [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
       [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
       [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def self_simple(cm, b: int) -> bool:
+  """Generated flexcomp point bodies (3 slide dofs, no rotation) — the
+  reference's body_simple == 2 class."""
+  return bool(cm.flex_body_simple[b]) if hasattr(cm, "flex_body_simple") \
+      else False

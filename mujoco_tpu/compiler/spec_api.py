@@ -102,6 +102,15 @@ class MjsElement:
   def add_frame(self, **attrs) -> "MjsElement":
     return self._add("frame", **attrs)
 
+  def add_flexcomp(self, children=(), **attrs) -> "MjsElement":
+    """children: (kind, attrs) pairs, e.g. [("edge", {"equality": True}),
+    ("pin", {"id": "0 2"})]."""
+    el = self._add("flexcomp", **attrs)
+    for ck, cattrs in children:
+      el._el.children.append(
+          Element(kind=ck, attrs={k: _attr(v) for k, v in cattrs.items()}))
+    return el
+
   def set_inertial(self, **attrs) -> "MjsElement":
     return self._add("inertial", **attrs)
 

@@ -424,3 +424,86 @@ def test_native_compile_tree_metadata_and_sleep():
   ours = np.asarray(d.tree_asleep)
   assert np.array_equal(ours < 0, mjd.tree_asleep < 0)
   assert ours[2] < 0  # sleep="never" stays awake
+
+
+def test_flexcomp_grid_field_exact():
+  """Native flexcomp generation (mjCFlexcomp, user_flexcomp.cc): grid
+  vertices/elements/edges, pins riding the parent body, edge equality and
+  engine-computed flexedge length0/invweight0 are field-exact vs the
+  reference compiler, and the pinned-cloth trajectory is oracle-exact."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="anchor" pos="0 0 0.8">
+      <geom type="sphere" size="0.03" contype="0" conaffinity="0"/>
+      <flexcomp name="cloth" type="grid" count="3 3 1" spacing="0.1 0.1 0.1"
+                dim="2" mass="0.9" radius="0.01">
+        <pin id="0 2"/>
+        <edge equality="true" solref="0.01 1"/>
+        <contact selfcollide="none"/>
+      </flexcomp>
+    </body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  bad = []
+  for f in sorted(dir(cm)):
+    if f.startswith("_"):
+      continue
+    a = getattr(cm, f)
+    if not isinstance(a, np.ndarray) or a.size == 0:
+      continue
+    b = getattr(mjm, f, None)
+    if b is None:
+      continue
+    try:
+      err = np.abs(a.astype(np.float64)
+                   - np.asarray(b, dtype=np.float64).reshape(a.shape)).max()
+    except Exception:
+      bad.append((f, "shape"))
+      continue
+    if err > 1e-8:
+      bad.append((f, err))
+  assert not bad, bad
+
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+
+
+def test_flexcomp_free_cloth_on_floor():
+  """Unpinned flexcomp cloth falls and drapes on the floor; native compile
+  tracks the oracle."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <flexcomp name="sheet" type="grid" count="3 3 1" spacing="0.08 0.08 0.08"
+              pos="0 0 0.2" dim="2" mass="0.5" radius="0.008">
+      <edge equality="true"/>
+      <contact selfcollide="none"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(250):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+  # cloth settled on the floor
+  z = np.asarray(d.qpos).reshape(9, 3)[:, 2]
+  assert np.all(z < 0.05)
