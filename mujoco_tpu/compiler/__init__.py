@@ -26,5 +26,6 @@ excludes, common sensors, and keyframes.
 from mujoco_tpu.compiler.core import (CompiledModel, compile_spec, load_xml, load_xml_path)
 from mujoco_tpu.compiler.spec_api import MjSpec, MjsElement
 from mujoco_tpu.compiler.urdf import load_urdf, load_urdf_path
+from mujoco_tpu.compiler.serialize import load_model, save_model
 
-__all__ = ["CompiledModel", "compile_spec", "load_xml", "load_xml_path", "MjSpec", "MjsElement", "load_urdf", "load_urdf_path"]
+__all__ = ["CompiledModel", "compile_spec", "load_xml", "load_xml_path", "MjSpec", "MjsElement", "load_urdf", "load_urdf_path", "save_model", "load_model"]
