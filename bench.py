@@ -35,16 +35,11 @@ def _measure(m, nbatch, nstep, jax, jnp):
   d0 = d0.replace(qpos=qpos)
   d_fresh = io.make_data(m, dtype=jnp.float32)
 
-  step = jax.vmap(lambda dd: forward.step(m, dd))
-
+  # slim-carry scan: only the integration state crosses step boundaries
+  # (rollout.scan_steps; bit-identical to a full-Data carry, ~20% faster)
   @jax.jit
   def run(d):
-    def body(dd, _):
-      dd = step(dd)
-      dd = par.check_reset(m, dd, d_fresh)
-      return dd, ()
-    d, _ = jax.lax.scan(body, d, None, length=nstep)
-    return d
+    return par.scan_steps(m, d, nstep, d_fresh=d_fresh, check=True)
 
   t0 = time.perf_counter()
   d = run(d0)

@@ -94,3 +94,52 @@ def test_domain_randomized_gravity_vs_oracle():
       mujoco.mj_step(mjm, mjd)
     np.testing.assert_allclose(np.asarray(d.qpos[i]), mjd.qpos, atol=1e-10,
                                err_msg=f"env {i} (gravity scale {s})")
+
+
+def test_scan_steps_matches_full_carry():
+  """rollout.scan_steps (slim state carry) is bit-identical to scanning the
+  full Data pytree."""
+  import mujoco
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.25"><freejoint/><geom type="box" size=".1 .1 .1"/></body>
+    <body pos="0.5 0 0.4">
+      <joint name="j" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0"/>
+    </body>
+  </worldbody>
+  <actuator><motor joint="j"/></actuator>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  nb, nstep = 3, 40
+  d0 = par.make_batch(m, nb)
+  key = jax.random.PRNGKey(1)
+  d0 = d0.replace(qvel=0.2 * jax.random.normal(key, d0.qvel.shape,
+                                               dtype=d0.qvel.dtype))
+  d_fresh = io.make_data(m)
+
+  step = jax.vmap(lambda dd: forward.step(m, dd))
+
+  @jax.jit
+  def run_full(d):
+    def body(dd, _):
+      dd = step(dd)
+      dd = par.check_reset(m, dd, d_fresh)
+      return dd, ()
+    d, _ = jax.lax.scan(body, d, None, length=nstep)
+    return d
+
+  @jax.jit
+  def run_slim(d):
+    return par.scan_steps(m, d, nstep, d_fresh=d_fresh, check=True)
+
+  df = run_full(d0)
+  ds = run_slim(d0)
+  np.testing.assert_array_equal(np.asarray(df.qpos), np.asarray(ds.qpos))
+  np.testing.assert_array_equal(np.asarray(df.qvel), np.asarray(ds.qvel))
+  np.testing.assert_array_equal(np.asarray(df.qacc_warmstart),
+                                np.asarray(ds.qacc_warmstart))
