@@ -853,6 +853,12 @@ def put_model(mjm: Any, dtype=None) -> Model:
       mesh_faceadr=si(mjm.mesh_faceadr), mesh_facenum=si(mjm.mesh_facenum),
       mesh_face=si(mjm.mesh_face),
       mesh_vert=jx(mjm.mesh_vert),
+      mesh_normal=jx(np.asarray(getattr(mjm, "mesh_normal",
+                                        np.zeros((0, 3)))).reshape(-1, 3)),
+      mesh_normaladr=_opt_i(mjm, "mesh_normaladr",
+                            (len(np.asarray(mjm.mesh_vertadr)),)),
+      mesh_normalnum=_opt_i(mjm, "mesh_normalnum",
+                            (len(np.asarray(mjm.mesh_vertadr)),)),
       hfield_adr=si(mjm.hfield_adr), hfield_nrow=si(mjm.hfield_nrow),
       hfield_ncol=si(mjm.hfield_ncol),
       hfield_size_np=np.asarray(mjm.hfield_size, dtype=np.float64).reshape(-1, 4),

@@ -637,12 +637,15 @@ class Model:
   actuator_lengthrange: jax.Array = field()
 
   # ----- meshes (vertex data traced; topology static)
+  mesh_normaladr: np.ndarray = static_field()
+  mesh_normalnum: np.ndarray = static_field()
   mesh_vertadr: np.ndarray = static_field()
   mesh_vertnum: np.ndarray = static_field()
   mesh_faceadr: np.ndarray = static_field()
   mesh_facenum: np.ndarray = static_field()
   mesh_face: np.ndarray = static_field()     # (nmeshface, 3) vertex ids
-  mesh_vert: jax.Array = field()             # (nmeshvert, 3)
+  mesh_vert: jax.Array = field()
+  mesh_normal: jax.Array = field()           # (nmeshnormal, 3)             # (nmeshvert, 3)
 
   # ----- height fields (geometry static; elevation data traced so terrain
   # is domain-randomizable per env)

@@ -307,6 +307,74 @@ def _contact_sensor(m: Model, d: Data, i: int, ft_all):
   return out
 
 
+def _tactile(m: Model, d: Data, i: int):
+  """mjSENS_TACTILE (engine_sensor.c:80-193, dispatch :1160): the sensor
+  mesh's vertices are taxels in the bound geom's frame; each taxel reports
+  the max penetration depth into any geom contacting the parent weld body
+  (analytic SDFs, ops/sdf.py), plus |tangential relative velocity| channels
+  when the mesh carries per-vertex frames. Channel-major output
+  (nchannel, ntaxel)."""
+  from mujoco_tpu.ops import sdf as sdf_mod
+  dtype = d.qpos.dtype
+  mesh_id = int(m.sensor_objid[i])
+  geom_id = int(m.sensor_refid[i])
+  parent_weld = int(m.body_weldid[m.geom_bodyid[geom_id]])
+  vadr, vnum = int(m.mesh_vertadr[mesh_id]), int(m.mesh_vertnum[mesh_id])
+  nchannel = int(m.sensor_dim[i]) // vnum
+  nadr = int(m.mesh_normaladr[mesh_id])
+  has_frame = int(m.mesh_normalnum[mesh_id]) == 3 * vnum
+
+  taxel_local = m.mesh_vert[vadr:vadr + vnum]            # (T, 3)
+  xpos = d.geom_xpos[geom_id] + taxel_local @ d.geom_xmat[geom_id].T
+
+  # traced relevance: geoms in active contact with the parent weld
+  gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+  wb = jnp.asarray(m.body_weldid, dtype=jnp.int32)
+  gids = d.contact.geomids
+  welds = wb[gb[jnp.maximum(gids, 0)]]
+  live = (d.contact.dist < d.contact.includemargin) & jnp.all(gids >= 0, 1)
+  rel = jnp.zeros((m.ngeom,), dtype=bool)
+  side_w = live & (welds[:, 0] == parent_weld)
+  rel = rel.at[jnp.clip(gids[:, 1], 0, m.ngeom - 1)].max(side_w)
+  side_w2 = live & (welds[:, 1] == parent_weld)
+  rel = rel.at[jnp.clip(gids[:, 0], 0, m.ngeom - 1)].max(side_w2)
+
+  out = jnp.zeros((nchannel, vnum), dtype=dtype)
+  if has_frame:
+    frames = m.mesh_normal[nadr:nadr + 3 * vnum].reshape(vnum, 3, 3)
+    mq = mjm.normalize(m.mesh_quat_arr[mesh_id]) if hasattr(
+        m, "mesh_quat_arr") else None
+    # velocity of the sensor surface at each taxel
+    com_s = d.subtree_com[m.body_rootid[parent_weld]]
+    vel_s = jax.vmap(lambda p: mjm.transform_spatial(
+        d.cvel[parent_weld], False, p, com_s))(xpos)[:, 3:]
+
+  weld_np = np.asarray(m.body_weldid)
+  gb_np = np.asarray(m.geom_bodyid)
+  for g in range(m.ngeom):
+    if g == geom_id or int(weld_np[gb_np[g]]) == parent_weld:
+      continue
+    if not sdf_mod.has_sdf(m, g):
+      continue   # mesh/hfield others need octrees (reference skips too)
+    dist = sdf_mod.geom_distance(m, d, g, xpos)          # (T,)
+    depth = jnp.minimum(dist, 0.0)
+    active = rel[g]
+    pen = jnp.where(active, -depth, 0.0)
+    out = out.at[0].set(jnp.maximum(out[0], pen))
+    if has_frame and nchannel >= 3:
+      b = int(m.geom_bodyid[g])
+      com_o = d.subtree_com[m.body_rootid[b]]
+      vel_o = mjm.transform_spatial(d.cvel[b], False, d.geom_xpos[g],
+                                    com_o)[3:]
+      vrel = vel_s - vel_o[None, :]                      # (T, 3)
+      t1 = frames[:, 1]
+      t2 = frames[:, 2]
+      w = jnp.where(active & (depth < 0), 1.0, 0.0)
+      out = out.at[1].add(w * jnp.abs(jnp.sum(vrel * t1, axis=-1)))
+      out = out.at[2].add(w * jnp.abs(jnp.sum(vrel * t2, axis=-1)))
+  return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # subtree velocity / momentum
 # ---------------------------------------------------------------------------
@@ -781,6 +849,8 @@ def sensor_acc(m: Model, d: Data, history_adjust: bool = True) -> Data:
       val = _touch(m, d, objid)
     elif t == ST.CONTACT:
       val = _contact_sensor(m, d, i, ft_all)
+    elif t == ST.TACTILE:
+      val = _tactile(m, d, i)
     elif t == ST.ACCELEROMETER:
       val = object_acceleration(m, d, int(ObjType.SITE), objid, True)[3:]
     elif t in (ST.FORCE, ST.TORQUE):
