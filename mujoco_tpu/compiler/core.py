@@ -538,14 +538,13 @@ class _Compiler:
     """Procedural flex generation (mjCFlexcomp, user_flexcomp.cc): grid /
     direct vertex layouts -> per-vertex slide-jointed point bodies (pinned
     vertices ride the parent body), triangle elements and deduplicated
-    edges. Engine support is dim-2 (shell) flex."""
+    edges. Engine support covers dim-1 (cable) and dim-2 (shell) flex."""
     a = el.attrs
     fid = len(self.flexes)
     name = _s(a, "name", f"flex{fid}")
     dim = int(_s(a, "dim", "2"))
-    if dim != 2:
-      raise NotImplementedError("flexcomp dim != 2 (engine supports shell "
-                                "flex only)")
+    if dim not in (1, 2):
+      raise NotImplementedError("flexcomp dim-3 (solid) flex")
     radius = float(_s(a, "radius", "0.005"))
     mass = float(_s(a, "mass", "1"))
     pos = fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat)
@@ -578,27 +577,35 @@ class _Compiler:
         for iy in range(ny):
           verts.append(np.array([(ix - (nx - 1) / 2) * spacing[0],
                                  (iy - (ny - 1) / 2) * spacing[1], 0.0]))
-      elems = []
-      for ix in range(nx - 1):                   # two triangles per cell
-        for iy in range(ny - 1):
-          v00 = ix * ny + iy
-          v01 = v00 + 1
-          v10 = v00 + ny
-          v11 = v10 + 1
-          elems.append((v00, v10, v11))
-          elems.append((v00, v11, v01))
+      if dim == 1:
+        if ny != 1:
+          raise ValueError("dim-1 flexcomp needs count of the form 'n 1 1'")
+        elems = [(i, i + 1) for i in range(nx - 1)]
+      else:
+        elems = []
+        for ix in range(nx - 1):                 # two triangles per cell
+          for iy in range(ny - 1):
+            v00 = ix * ny + iy
+            v01 = v00 + 1
+            v10 = v00 + ny
+            v11 = v10 + 1
+            elems.append((v00, v10, v11))
+            elems.append((v00, v11, v01))
     elif ftype == "direct":
       pts = _f(a, "point").reshape(-1, 3)
       verts = [p for p in pts]
-      ei = _f(a, "element").astype(np.int32).reshape(-1, 3)
+      ei = _f(a, "element").astype(np.int32).reshape(-1, dim + 1)
       elems = [tuple(int(x) for x in row) for row in ei]
     else:
       raise NotImplementedError(f"flexcomp type '{ftype}'")
 
-    # edges per element in reference order: (v1,v2), (v0,v2), (v0,v1)
+    # edges per element in reference order: dim-2 triangles contribute
+    # (v1,v2), (v0,v2), (v0,v1); dim-1 elements ARE the edges
     edges, seen = [], set()
-    for (v0, v1, v2) in elems:
-      for pq in ((v1, v2), (v0, v2), (v0, v1)):
+    for el_v in elems:
+      pairs = ([tuple(el_v)] if dim == 1 else
+               [(el_v[1], el_v[2]), (el_v[0], el_v[2]), (el_v[0], el_v[1])])
+      for pq in pairs:
         k = (min(pq), max(pq))
         if k not in seen:
           seen.add(k)

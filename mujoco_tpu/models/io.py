@@ -296,9 +296,10 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       c2 = mjm.flex_contype[f] & mjm.geom_conaffinity[g]
       if not (c1 or c2):
         continue
-      if int(mjm.flex_dim[f]) != 2:
+      if int(mjm.flex_dim[f]) not in (1, 2):
         raise NotImplementedError(
-            f"flex {f}: collision only implemented for dim-2 (shell) flexes")
+            f"flex {f}: collision implemented for dim-1 (cable) and dim-2 "
+            "(shell) flexes only")
       t = GeomType(mjm.geom_type[g])
       if t not in flex_ok_types:
         raise NotImplementedError(f"flex vs geom type {t.name}")

@@ -146,6 +146,89 @@ def box_triangle(pos, mat, size, t1, t2, t3, rt):
   return jnp.stack(dists), jnp.stack(poss), jnp.stack(nrms)
 
 
+def sphere_segment(s, rs, a, b, rt):
+  """Sphere vs segment+radius (the dim-1 flex element analog of
+  mjraw_CapsuleCapsule's closest-point core): (dist, pos, normal)."""
+  ab = b - a
+  t = jnp.clip(jnp.dot(s - a, ab)
+               / jnp.maximum(jnp.dot(ab, ab), mjm.MINVAL), 0.0, 1.0)
+  c = a + t * ab
+  vec = c - s
+  dst = mjm.norm_safe(vec)
+  nrm = vec / dst
+  dist = dst - rs - rt
+  return dist, s + nrm * (rs + dist / 2), nrm
+
+
+def _seg_seg_closest(p1, q1, p2, q2):
+  """Closest points between segments p1q1 and p2q2 (branchless clamped
+  solve; engine_collision_primitive.c capsule-capsule core)."""
+  d1 = q1 - p1
+  d2 = q2 - p2
+  r = p1 - p2
+  a = jnp.dot(d1, d1)
+  e = jnp.dot(d2, d2)
+  f = jnp.dot(d2, r)
+  c = jnp.dot(d1, r)
+  b = jnp.dot(d1, d2)
+  denom = jnp.maximum(a * e - b * b, mjm.MINVAL)
+  s = jnp.clip((b * f - c * e) / denom, 0.0, 1.0)
+  t = (b * s + f) / jnp.maximum(e, mjm.MINVAL)
+  t_cl = jnp.clip(t, 0.0, 1.0)
+  s2 = jnp.clip((b * t_cl - c) / jnp.maximum(a, mjm.MINVAL), 0.0, 1.0)
+  return p1 + d1 * s2, p2 + d2 * t_cl, t_cl
+
+
+def capsule_segment(pos, mat, size, a, b, rt):
+  """Capsule vs segment+radius: exactly the primitive capsule-capsule
+  collider (mjraw_CapsuleCapsule) with the rope element as the second
+  capsule — one closest-pair contact, or two endpoint contacts when
+  parallel. Returns (dist(2,), pos(2,3), normal(2,3))."""
+  from mujoco_tpu.ops import collision_primitive as prim
+  center = 0.5 * (a + b)
+  half = 0.5 * (b - a)
+  hlen = mjm.norm_safe(half)
+  ax2 = half / jnp.maximum(hlen, mjm.MINVAL)
+  m2 = jnp.stack([jnp.zeros_like(ax2), jnp.zeros_like(ax2), ax2], axis=1)
+  s2 = jnp.stack([rt, hlen, jnp.zeros_like(hlen)])
+  dd, pp, nn, _ = prim.capsule_capsule(pos, mat, size, center, m2, s2)
+  return dd, pp, nn
+
+
+def box_segment(pos, mat, size, a, b, rt):
+  """Box vs segment+radius: endpoint/midpoint face candidates + 8 corner
+  probes vs the segment (box-capsule deviation documented in ROADMAP).
+  Returns (dist(11,), pos(11,3), normal(11,3))."""
+  dtype = pos.dtype
+  dists, poss, nrms = [], [], []
+  mid = 0.5 * (a + b)
+  for v in (a, b, mid):
+    local = mat.T @ (v - pos)
+    vals = jnp.abs(local) - size
+    maxaxis = jnp.argmax(vals)
+    maxval = vals[maxaxis]
+    nrm_local = jnp.zeros((3,), dtype=dtype).at[maxaxis].set(
+        jnp.sign(local[maxaxis]))
+    nrm = mat @ nrm_local
+    dd = maxval - rt
+    lateral_ok = jnp.sum(
+        jnp.where(jnp.arange(3) == maxaxis, 0.0,
+                  jnp.maximum(jnp.abs(local) - size - rt, 0.0))) <= 0.0
+    dists.append(jnp.where(lateral_ok, dd, _BIG))
+    poss.append(v - nrm * (rt + dd * 0.5))
+    nrms.append(nrm)
+  for i in range(8):
+    corner_l = jnp.stack([size[0] * (1.0 if i & 1 else -1.0),
+                          size[1] * (1.0 if i & 2 else -1.0),
+                          size[2] * (1.0 if i & 4 else -1.0)])
+    corner = mat @ corner_l + pos
+    dd, pp, nn = sphere_segment(corner, jnp.zeros((), dtype=dtype), a, b, rt)
+    dists.append(dd)
+    poss.append(pp)
+    nrms.append(nn)
+  return jnp.stack(dists), jnp.stack(poss), jnp.stack(nrms)
+
+
 def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
   """Fill flex contact slots: per (geom, flex) pair, evaluate all element
   (or vertex, for planes) candidates and keep the K deepest."""
@@ -177,6 +260,35 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       cn = jnp.broadcast_to(nrm, (len(vs), 3))
       cverts = np.stack([vs, np.full_like(vs, -1), np.full_like(vs, -1)],
                         axis=1)
+    elif int(flx.dim[f]) == 1:
+      # dim-1 (rope/cable): elements are segments with the flex radius
+      elems = np.arange(flx.elemadr[f], flx.elemadr[f] + flx.elemnum[f])
+      seg = flx.elem[elems][:, :2]                   # (ne, 2) global verts
+      gbody = int(m.geom_bodyid[g])
+      excl = (flx.vertbodyid[seg] == gbody).any(axis=1)
+      s1 = d.flexvert_xpos[seg[:, 0]]
+      s2 = d.flexvert_xpos[seg[:, 1]]
+      if t == GeomType.SPHERE:
+        fn = lambda a, b: sphere_segment(gpos, gsize[0], a, b, rt)
+        ncand = 1
+      elif t == GeomType.CAPSULE:
+        fn = lambda a, b: capsule_segment(gpos, gmat, gsize, a, b, rt)
+        ncand = 2
+      else:  # BOX
+        fn = lambda a, b: box_segment(gpos, gmat, gsize, a, b, rt)
+        ncand = 11
+      cd, cp, cn = jax.vmap(fn)(s1, s2)
+      if ncand == 1:
+        cd, cp, cn = cd[:, None], cp[:, None, :], cn[:, None, :]
+      cd = jnp.where(jnp.asarray(excl)[:, None], _BIG, cd)
+      cd = cd.reshape(-1)
+      cp = cp.reshape(-1, 3)
+      cn = cn.reshape(-1, 3)
+      # two valid vertices per candidate: third slot -1 so the body
+      # weighting spreads over the segment endpoints only
+      cverts = np.concatenate(
+          [np.repeat(seg, ncand, axis=0),
+           np.full((len(seg) * ncand, 1), -1)], axis=1)
     else:
       elems = np.arange(flx.elemadr[f], flx.elemadr[f] + flx.elemnum[f])
       tri = flx.elem[elems][:, :3]                   # (ne, 3) global verts

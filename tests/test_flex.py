@@ -171,3 +171,94 @@ def test_hammock():
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-4,
                              err_msg="hammock qpos drift (CG)")
+
+
+def test_rope_on_floor_dim1():
+  """dim-1 (cable) flex: plane-vertex contacts + edge equality, rope
+  settles on the floor oracle-exactly."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <flexcomp name="rope" type="grid" count="4 1 1" spacing="0.1 0.1 0.1"
+              pos="0 0 0.15" dim="1" mass="0.4" radius="0.02">
+      <edge equality="true"/>
+      <contact selfcollide="none"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(400):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+  assert mjd.ncon > 0
+
+
+def test_sphere_capsule_on_pinned_rope_dim1():
+  """Sphere and capsule geoms resting on a pinned rope: segment colliders
+  (sphere_segment / capsule_segment) vs the oracle."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <flexcomp name="rope" type="grid" count="6 1 1" spacing="0.1 0.1 0.1"
+              pos="0 0 0.15" dim="1" mass="0.6" radius="0.02">
+      <edge equality="true"/>
+      <pin id="0 5"/>
+      <contact selfcollide="none"/>
+    </flexcomp>
+    <body pos="-0.1 0 0.35"><freejoint/><geom type="sphere" size="0.05"/></body>
+    <body pos="0.15 0 0.45"><freejoint/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.1 0 0"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(350):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+
+
+def test_native_compiled_rope_matches_bridged():
+  """dim-1 flexcomp through the native compiler: field-exact + identical
+  trajectory vs the pip-bridged model."""
+  from mujoco_tpu.compiler import load_xml
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <flexcomp name="rope" type="grid" count="5 1 1" spacing="0.08 0.08 0.08"
+              pos="0 0 0.2" dim="1" mass="0.5" radius="0.015">
+      <edge equality="true"/>
+      <contact selfcollide="none"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  for f in ("flex_dim", "flex_elem", "flex_edge", "flex_vertbodyid",
+            "flexedge_length0", "flexedge_invweight0"):
+    np.testing.assert_allclose(
+        np.asarray(getattr(cm, f), dtype=np.float64),
+        np.asarray(getattr(mjm, f), dtype=np.float64).reshape(
+            np.asarray(getattr(cm, f)).shape), atol=1e-8, err_msg=f)
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
