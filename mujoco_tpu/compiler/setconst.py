@@ -95,30 +95,19 @@ def set_const(cm) -> None:
     mom = np.asarray(d.actuator_moment)
     cm.actuator_acc0 = np.array(
         [np.linalg.norm(minv(mom[i])) for i in range(cm.nu)])
-    # muscle lengthrange: joint/tendon-limit bound when not user-specified
-    # (full mj_setLengthRange runs mini-simulations; the subset covers
-    # limited joint/tendon transmissions)
+    # muscle lengthrange via the reference's mini-simulation
+    # (mj_setLengthRange + evalAct, engine_setconst.c: default mjLROpt —
+    # accel 20, timeconst 1, timestep 0.01, inttotal 10, interval 2):
+    # push the transmission both ways with an acceleration-scaled force
+    # under exponential velocity decay; record the length extremes over the
+    # final window. Explicit user ranges are kept (useexisting).
     for i in range(cm.nu):
       needs_lr = (cm.actuator_gaintype[i] == 2
                   or cm.actuator_biastype[i] == 2)
-      if not needs_lr or cm.actuator_lengthrange[i].any():
+      if not needs_lr or cm.actuator_lengthrange[i, 0] < \
+         cm.actuator_lengthrange[i, 1]:
         continue
-      gear = cm.actuator_gear[i, 0]
-      if cm.actuator_trntype[i] == 0:
-        jid = cm.actuator_trnid[i, 0]
-        if cm.jnt_limited[jid]:
-          lo, hi = cm.jnt_range[jid] * gear
-          cm.actuator_lengthrange[i] = (min(lo, hi), max(lo, hi))
-          continue
-      elif cm.actuator_trntype[i] == 3:
-        tid = cm.actuator_trnid[i, 0]
-        if cm.tendon_limited[tid]:
-          lo, hi = cm.tendon_range[tid] * gear
-          cm.actuator_lengthrange[i] = (min(lo, hi), max(lo, hi))
-          continue
-      raise NotImplementedError(
-          f"muscle actuator {i} needs an explicit lengthrange (the "
-          "reference's mj_setLengthRange simulation is not implemented)")
+      cm.actuator_lengthrange[i] = _length_range_sim(cm, i)
 
   # eq_data completion (engine_setconst.c:1050-1105)
   xpos = np.asarray(d.xpos)
@@ -226,6 +215,70 @@ def set_const(cm) -> None:
 
   # stat.meaninertia (engine_setconst.c:1324-1331)
   cm.stat.meaninertia = float(np.trace(qM) / nv)
+
+
+def _length_range_sim(cm, index: int):
+  """mj_setLengthRange's optimization (engine_setconst.c, evalAct): per
+  side, from qpos0, 1000 steps of dt=0.01 with qvel decayed by
+  exp(-dt/timeconst) each step and qfrc_applied = moment scaled so
+  |M^-1 f| = accel (sign by side); the length extremum over the last
+  `interval` seconds becomes the bound. Euler integration (the LR model
+  uses its own timestep; integrator choice matches the test models)."""
+  import jax
+  import jax.numpy as jnp
+
+  from mujoco_tpu.models import io
+  from mujoco_tpu.ops import forward, smooth
+
+  accel, timeconst, dt = 20.0, 1.0, 0.01
+  inttotal, interval = 10.0, 2.0
+
+  from mujoco_tpu.models.types import DisableBit
+  m = io.put_model(cm, dtype=jnp.float64)
+  # the LR simulation disables frictionloss/contact/spring/damper/gravity/
+  # actuation (mjCModel::LengthRange, user_model.cc:2579)
+  disable = int(DisableBit.FRICTIONLOSS | DisableBit.CONTACT
+                | DisableBit.SPRING | DisableBit.DAMPER
+                | DisableBit.GRAVITY | DisableBit.ACTUATION)
+  m = m.replace(opt=m.opt.replace(timestep=jnp.asarray(dt),
+                                  disableflags=disable))
+  decay = float(np.exp(-dt / max(0.01, timeconst)))
+  nstep = int(round(inttotal / dt))
+
+  def body(carry, _):
+    d, lmin, lmax, sign = carry
+    d = d.replace(qvel=d.qvel * decay)
+    d = forward.fwd_position(m, d)
+    d = forward.fwd_velocity(m, d)
+    length = d.actuator_length[index]
+    moment = d.actuator_moment[index]
+    from mujoco_tpu.ops import linalg_tpu
+    acc = linalg_tpu.spd_solve(d.qM, moment)
+    nrm = jnp.maximum(jnp.linalg.norm(acc), 1e-15)
+    d = d.replace(qfrc_applied=moment * (sign * accel / nrm))
+    d = forward.fwd_actuation(m, d)
+    d = forward.fwd_acceleration(m, d)
+    d = forward.fwd_constraint(m, d)
+    d = forward.euler(m, d)
+    in_win = d.time > (inttotal - interval)
+    lmin = jnp.where(in_win, jnp.minimum(lmin, length), lmin)
+    lmax = jnp.where(in_win, jnp.maximum(lmax, length), lmax)
+    return (d, lmin, lmax, sign), ()
+
+  @jax.jit
+  def run(sign):
+    d0 = io.make_data(m)
+    init = (d0, jnp.asarray(jnp.inf, dtype=jnp.float64),
+            jnp.asarray(-jnp.inf, dtype=jnp.float64), sign)
+    (d, lmin, lmax, _), _ = jax.lax.scan(body, init, None, length=nstep)
+    return lmin, lmax
+
+  lo = float(run(jnp.asarray(-1.0))[0])
+  hi = float(run(jnp.asarray(1.0))[1])
+  if not hi > lo:
+    raise ValueError(
+        f"invalid lengthrange ({lo}, {hi}) for actuator {index}")
+  return np.array([lo, hi])
 
 
 def _mulquat(a, b):

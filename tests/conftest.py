@@ -7,6 +7,9 @@ single most important pattern).
 
 import os
 
+# flex tests need a wider slot budget than the bench default
+os.environ.setdefault("MJTPU_FLEX_BUDGET", "32")
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

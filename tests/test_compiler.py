@@ -206,12 +206,12 @@ def test_muscle_compilation():
 </mujoco>"""
   cm = load_xml(xml)
   mjm = mujoco.MjModel.from_xml_string(xml)
-  # the reference computes lengthrange by simulation (mj_setLengthRange);
-  # our joint-limit bound is within ~1e-3 of it (documented deviation)
+  # lengthrange via the same mini-simulation as the reference
+  # (mj_setLengthRange/evalAct): matches to integrator roundoff
   np.testing.assert_allclose(cm.actuator_lengthrange,
-                             mjm.actuator_lengthrange, atol=2e-3)
+                             mjm.actuator_lengthrange, atol=1e-9)
   np.testing.assert_allclose(cm.actuator_acc0, mjm.actuator_acc0, atol=1e-9)
-  _traj_match(xml, 300, 2e-4, ctrl=lambda t: np.array([0.7]))
+  _traj_match(xml, 300, 1e-9, ctrl=lambda t: np.array([0.7]))
 
 
 def test_humanoid_native_compile():
