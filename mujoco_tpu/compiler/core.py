@@ -25,6 +25,8 @@ from mujoco_tpu.compiler.parser import Element, Spec, parse_mjcf
 _SOLREF = (0.02, 1.0)
 _SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 
+_CABLE_GEOM_QUAT = "0.7071067811865476 0 -0.7071067811865476 0"
+
 _GEOMTYPES = {"plane": 0, "hfield": 1, "sphere": 2, "capsule": 3,
               "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}
 _JNTTYPES = {"free": 0, "ball": 1, "slide": 2, "hinge": 3}
@@ -370,7 +372,8 @@ class _Compiler:
                "site": self._compile_site, "camera": self._compile_camera,
                "light": self._compile_light,
                "inertial": self._compile_inertial,
-               "flexcomp": self._compile_flexcomp}[el.kind]
+               "flexcomp": self._compile_flexcomp,
+               "composite": self._compile_composite}[el.kind]
     handler(el, parent, fpos, fquat)
 
   def _compile_body(self, el: Element, parent: int, fpos, fquat):
@@ -533,6 +536,81 @@ class _Compiler:
     else:
       inertia = np.zeros(3)
     self.bodies[body]["explicit_inertial"] = (mass, ipos, iquat, inertia)
+
+  def _compile_composite(self, el: Element, body: int, fpos, fquat):
+    """<composite> expansion (mjCComposite, user_composite.cc). Supported:
+    type="cable" with curve="s" — a serial chain of ball-jointed segment
+    bodies (B_first, B_1, ..., B_last), capsule/cylinder/box geoms along
+    the local x axis; initial="none" welds the head, "free" adds a free
+    joint. Other composite types are superseded by flexcomp and raise."""
+    a = el.attrs
+    ctype = _s(a, "type", "particle")
+    if ctype != "cable":
+      raise NotImplementedError(
+          f"composite type '{ctype}' (only 'cable' is supported; grids and "
+          "cloth use <flexcomp>)")
+    if _s(a, "curve", "s") != "s":
+      raise NotImplementedError("cable composite with a non-straight curve")
+    cnt = [int(x) for x in _s(a, "count", "20 1 1").split()]
+    n = cnt[0]
+    length = float(_s(a, "size", "1").split()[0])
+    offset = _f(a, "offset", [0, 0, 0], 3)
+    initial = _s(a, "initial", "free")
+    prefix = _s(a, "prefix", "")
+
+    geom_a: Dict[str, str] = {}
+    joint_a: Dict[str, str] = {}
+    for c in el.children:
+      if c.kind == "geom":
+        geom_a.update(c.attrs)
+      elif c.kind == "joint":
+        if c.attrs.get("kind", "main") != "main":
+          raise NotImplementedError("cable joint kind != main")
+        joint_a.update({k: v for k, v in c.attrs.items() if k != "kind"})
+      else:
+        raise NotImplementedError(f"cable composite child <{c.kind}>")
+
+    seg = length / (n - 1)
+    gtype = geom_a.get("type", "capsule")
+    radius = float(geom_a.get("size", "0.01").split()[0])
+    half = seg / 2
+    gattrs = dict(geom_a)
+    gattrs.pop("type", None)
+    gattrs.pop("size", None)
+    # capsule/cylinder along local +x: zaxis -> x
+    gattrs.update(type=gtype, pos=f"{half!r} 0 0", quat=_CABLE_GEOM_QUAT,
+                  size=f"{radius!r} {half!r}" if gtype in ("capsule",
+                                                           "cylinder")
+                  else f"{half!r} {radius!r} {radius!r}")
+
+    parent_el = None
+    top = None
+    for i in range(n - 1):
+      name = (f"{prefix}B_first" if i == 0 else
+              (f"{prefix}B_last" if i == n - 2 else f"{prefix}B_{i}"))
+      battrs = {"name": name,
+                "pos": (" ".join(repr(float(x)) for x in offset)
+                        if i == 0 else f"{seg!r} 0 0")}
+      bel = Element(kind="body", attrs=battrs)
+      if i == 0:
+        if initial == "free":
+          bel.children.append(Element(kind="joint", attrs={"type": "free"}))
+        elif initial == "ball":
+          bel.children.append(Element(
+              kind="joint", attrs=dict(joint_a, type="ball")))
+        elif initial != "none":
+          raise NotImplementedError(f"cable initial='{initial}'")
+      else:
+        bel.children.append(Element(kind="joint",
+                                    attrs=dict(joint_a, type="ball")))
+      bel.children.append(Element(kind="geom", attrs=dict(gattrs)))
+      if parent_el is None:
+        top = bel
+      else:
+        parent_el.children.append(bel)
+      parent_el = bel
+    if top is not None:
+      self._compile_body(top, body, fpos, fquat)
 
   def _compile_flexcomp(self, el: Element, body: int, fpos, fquat):
     """Procedural flex generation (mjCFlexcomp, user_flexcomp.cc): grid /

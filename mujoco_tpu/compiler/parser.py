@@ -130,6 +130,11 @@ def _walk_body(el: ET.Element, defaults: Defaults,
           Element(kind=child.tag, attrs=_resolve(child, defaults, cc)))
     elif child.tag == "inertial":
       out.children.append(Element(kind="inertial", attrs=dict(child.attrib)))
+    elif child.tag == "composite":
+      comp = Element(kind="composite", attrs=dict(child.attrib))
+      for sub in child:
+        comp.children.append(Element(kind=sub.tag, attrs=dict(sub.attrib)))
+      out.children.append(comp)
     elif child.tag == "flexcomp":
       fc = Element(kind="flexcomp", attrs=dict(child.attrib))
       for sub in child:

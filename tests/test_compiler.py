@@ -535,3 +535,81 @@ def test_model_save_load_roundtrip(tmp_path):
     d1 = step1(d1)
     d2 = step2(d2)
   np.testing.assert_array_equal(np.asarray(d1.qpos), np.asarray(d2.qpos))
+
+
+def test_cable_composite():
+  """<composite type="cable"> expansion (mjCComposite, user_composite.cc):
+  ball-joint segment chain with capsule geoms; fields match the reference
+  compiler (relative tolerance — the chain's tiny inertias make invweights
+  ~2e5) and the swing trajectory is oracle-exact."""
+  xml = """
+<mujoco>
+  <option timestep="0.003"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <composite type="cable" curve="s" count="6 1 1" size="0.5"
+               offset="0 0 0.4" initial="none">
+      <geom type="capsule" size="0.01"/>
+      <joint kind="main" damping="0.01"/>
+    </composite>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  bad = []
+  for f in sorted(dir(cm)):
+    if f.startswith("_"):
+      continue
+    a = getattr(cm, f)
+    if not isinstance(a, np.ndarray) or a.size == 0:
+      continue
+    b = getattr(mjm, f, None)
+    if b is None:
+      continue
+    try:
+      b = np.asarray(b, dtype=np.float64).reshape(a.shape)
+      err = np.abs(a.astype(np.float64) - b).max()
+      rel = err / max(1.0, np.abs(b).max())
+    except Exception:
+      bad.append((f, "shape"))
+      continue
+    if err > 1e-8 and rel > 1e-7:
+      bad.append((f, err))
+  assert not bad, bad
+  assert cm.njnt == mjm.njnt == 4 and cm.nbody == 6
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(400):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-7)
+
+
+def test_cable_composite_free_head():
+  """initial='free' puts a free joint on the head segment; the cable falls
+  and drapes on the floor."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <composite type="cable" curve="s" count="5 1 1" size="0.4"
+               offset="0 0 0.3" initial="free">
+      <geom type="capsule" size="0.012"/>
+      <joint kind="main" damping="0.02"/>
+    </composite>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert cm.nq == mjm.nq
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  mjd = mujoco.MjData(mjm)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
