@@ -464,6 +464,7 @@ class _Compiler:
         condim=int(_s(a, "condim", "3")),
         group=int(_s(a, "group", "0")),
         priority=int(_s(a, "priority", "0")),
+        rgba=_f(a, "rgba", [0.5, 0.5, 0.5, 1], 4),
         friction=_f(a, "friction", [1, 0.005, 0.0001], 3),
         solmix=float(_s(a, "solmix", "1")),
         solref=_f(a, "solref", _SOLREF, 2),

@@ -584,6 +584,8 @@ def _emit(self) -> CompiledModel:
   m.geom_group = garr("group", dtype=np.int32)
   m.geom_priority = garr("priority", dtype=np.int32)
   m.geom_solmix = garr("solmix")
+  m.geom_rgba = (np.stack([g["rgba"] for g in self.geoms])
+                 if self.geoms else np.zeros((0, 4)))
   m.geom_solref = garr("solref", n=2)
   m.geom_solimp = garr("solimp", n=5)
   m.geom_size = garr("size", n=3)
