@@ -41,6 +41,10 @@ _PAIR_NCON = {
     (GeomType.BOX, GeomType.BOX): 8,
     (GeomType.HFIELD, GeomType.SPHERE): 3,
     (GeomType.HFIELD, GeomType.CAPSULE): 3,
+    (GeomType.HFIELD, GeomType.BOX): 4,
+    (GeomType.HFIELD, GeomType.CYLINDER): 4,
+    (GeomType.HFIELD, GeomType.ELLIPSOID): 4,
+    (GeomType.HFIELD, GeomType.MESH): 4,
     (GeomType.PLANE, GeomType.MESH): 4,
     (GeomType.SPHERE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.MESH): 3,

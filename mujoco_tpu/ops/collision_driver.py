@@ -145,6 +145,10 @@ def _collider_for(m: Model, t1: int, t2: int, did1: int, did2: int):
       return collision_hfield.make_hfield_sphere(m, did1), 3
     if t2 == GeomType.CAPSULE:
       return collision_hfield.make_hfield_capsule(m, did1), 3
+    if t2 in (GeomType.BOX, GeomType.CYLINDER, GeomType.ELLIPSOID,
+              GeomType.MESH):
+      did2m = did2 if t2 == GeomType.MESH else -1
+      return collision_hfield.make_hfield_convex(m, did1, t2, did2m), 4
     raise NotImplementedError(f"hfield vs geom type {t2}")
   if t2 == GeomType.MESH and (GeomType(t1), GeomType(t2)) not in \
       _COLLIDERS and t1 in (GeomType.PLANE, GeomType.SPHERE,

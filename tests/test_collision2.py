@@ -488,3 +488,119 @@ def test_mpr_ellipsoid_settles():
   assert np.isfinite(qpos).all()
   assert 0.02 < qpos[2] < 0.14, qpos[2]
   assert np.abs(np.asarray(d.qvel)).max() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# hfield vs box / cylinder / ellipsoid / mesh (make_hfield_convex: two-sided
+# sampling — geom surface lattice vs terrain triangles + grid verts vs SDF)
+# ---------------------------------------------------------------------------
+
+
+def _settle(xml, nstep=1800):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(nstep):
+    d = step(d)
+  return mjm, m, d
+
+
+def _oracle_depth_check(mjm, m, d, atol=3e-3):
+  """Penetration depth at our settled state matches the C narrowphase."""
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = np.asarray(d.qpos)
+  mujoco.mj_forward(mjm, mjd)
+  dd = forward.fwd_position(m, d)
+  if mjd.ncon:
+    np.testing.assert_allclose(float(jnp.min(dd.contact.dist)),
+                               mjd.contact.dist.min(), atol=atol)
+
+
+def test_hfield_box_settles():
+  xml = _hfield_xml(
+      '<body pos="0.1 -0.05 0.5" euler="0 0 20"><freejoint/>'
+      '<geom type="box" size="0.12 0.08 0.05" condim="6" '
+      'friction="1 0.02 0.01"/></body>')
+  mjm, m, d = _settle(xml)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(qpos[:2]).max() < 0.5
+  assert np.abs(np.asarray(d.qvel)).max() < 0.5
+  _oracle_depth_check(mjm, m, d)
+
+
+def test_hfield_flat_box_matches_plane():
+  """Box at rest on a FLAT hfield: penetration equals the analytic
+  plane-box result (depths exact for family-A corner samples)."""
+  nrow, ncol = 5, 5
+  datastr = " ".join("0" for _ in range(nrow * ncol))
+  xml = f"""
+  <mujoco>
+    <asset>
+      <hfield name="flat" nrow="{nrow}" ncol="{ncol}"
+              size="1 1 0.5 0.1" elevation="{datastr}"/>
+    </asset>
+    <worldbody>
+      <geom type="hfield" hfield="flat"/>
+      <body pos="0 0 0.0495"><freejoint/>
+        <geom type="box" size="0.1 0.1 0.05"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = forward.fwd_position(m, d)
+  dist = np.sort(np.asarray(d.contact.dist))[:4]
+  np.testing.assert_allclose(dist, -0.0005, atol=1e-6)
+
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  assert mjd.ncon >= 1
+  np.testing.assert_allclose(dist.min(), mjd.contact.dist.min(), atol=1e-7)
+
+
+def test_hfield_cylinder_settles():
+  xml = _hfield_xml(
+      '<body pos="-0.15 0.1 0.5" euler="90 0 15"><freejoint/>'
+      '<geom type="cylinder" size="0.08 0.15" condim="6" '
+      'friction="1 0.02 0.01"/></body>')
+  mjm, m, d = _settle(xml)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.5
+  _oracle_depth_check(mjm, m, d, atol=5e-3)
+
+
+def test_hfield_ellipsoid_settles():
+  xml = _hfield_xml(
+      '<body pos="0.05 0.15 0.5"><freejoint/>'
+      '<geom type="ellipsoid" size="0.1 0.08 0.05" condim="6" '
+      'friction="1 0.05 0.02"/></body>')
+  mjm, m, d = _settle(xml)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.6
+  _oracle_depth_check(mjm, m, d, atol=5e-3)
+
+
+def test_hfield_mesh_settles():
+  """A convex wedge mesh dropped on the bowl terrain settles; rover-class
+  scene (mesh chassis on terrain) loads and steps."""
+  body = """
+  <body pos="0.1 0 0.5" euler="5 10 30"><freejoint/>
+    <geom type="mesh" mesh="wedge" condim="6" friction="1 0.02 0.01"/>
+  </body>"""
+  xml = _hfield_xml(body).replace(
+      "<asset>",
+      '<asset><mesh name="wedge" vertex="-0.15 -0.1 0  0.15 -0.1 0  '
+      '0.15 0.1 0  -0.15 0.1 0  0 0 0.18"/>')
+  mjm, m, d = _settle(xml)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  assert 0.0 < qpos[2] < 0.35, qpos[2]
+  assert np.abs(np.asarray(d.qvel)).max() < 0.5
+  _oracle_depth_check(mjm, m, d, atol=5e-3)
