@@ -389,7 +389,11 @@ def _flex_meta(mjm: Any):
         edge_flexid=zi(0), edge_rigid=zi(0).astype(bool),
         elem=zi(0).reshape(0, 4), elem_flexid=zi(0),
         rigid=zi(0).astype(bool), edgeequality=zi(0), condim=zi(0),
-        priority=zi(0), contype=zi(0), conaffinity=zi(0))
+        priority=zi(0), contype=zi(0), conaffinity=zi(0),
+        elemedge=zi(0).reshape(0, 6), edgeflap=zi(0).reshape(0, 2),
+        has_stretch=zi(0).astype(bool), has_bending=zi(0).astype(bool),
+        vert_simple=zi(0).astype(bool), vert_free=zi(0).astype(bool),
+        vert_dofadr=zi(0))
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if (interp != 0).any():
@@ -398,10 +402,6 @@ def _flex_meta(mjm: Any):
     raise NotImplementedError("flex self-collision")
   if np.asarray(mjm.flex_internal).any():
     raise NotImplementedError("flex internal collision")
-  if getattr(mjm, "flex_bending", np.zeros(0)).size:
-    raise NotImplementedError("flex bending stiffness")
-  if getattr(mjm, "flex_stiffness", np.zeros(0)).size:
-    raise NotImplementedError("flex element stretch stiffness")
   if (np.asarray(mjm.flex_edgeequality) > 1).any():
     raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
 
@@ -431,7 +431,57 @@ def _flex_meta(mjm: Any):
     elem_global[ca:ca + cn, :dm + 1] = edata + vertadr[f]
 
   vert = np.asarray(mjm.flex_vert, dtype=np.float64).reshape(nvert, 3)
+
+  # ----- element elasticity topology (engine_passive.c:459-651)
+  elemedge = np.zeros((nelem, 6), dtype=np.int32)
+  elemedgeadr = np.asarray(getattr(mjm, "flex_elemedgeadr",
+                                   np.full(nflex, -1)), dtype=np.int64)
+  stiffadr = np.asarray(getattr(mjm, "flex_stiffnessadr",
+                                np.full(nflex, -1)), dtype=np.int64)
+  bendadr = np.asarray(getattr(mjm, "flex_bendingadr",
+                               np.full(nflex, -1)), dtype=np.int64)
+  stiff = np.asarray(getattr(mjm, "flex_stiffness", np.zeros(0)),
+                     dtype=np.float64)
+  has_stretch = np.zeros(nflex, dtype=bool)
+  has_bending = np.zeros(nflex, dtype=bool)
+  for f in range(nflex):
+    dm = int(dim[f])
+    has_stretch[f] = (dm >= 2 and stiffadr[f] >= 0
+                      and stiff[stiffadr[f]] != 0
+                      and not bool(mjm.flex_rigid[f]))
+    has_bending[f] = (dm == 2 and bendadr[f] >= 0
+                      and not bool(mjm.flex_rigid[f]))
+    if elemedgeadr[f] >= 0 and getattr(mjm, "nflexelemedge", 0):
+      ne_loc = 3 if dm == 2 else (6 if dm == 3 else 0)
+      if ne_loc:
+        ca, cn = elemadr[f], int(elemnum[f])
+        ee = np.asarray(mjm.flex_elemedge[
+            elemedgeadr[f]:elemedgeadr[f] + cn * ne_loc]).reshape(cn, ne_loc)
+        elemedge[ca:ca + cn, :ne_loc] = ee + edgeadr[f]
+
+  edgeflap = np.full((nedge, 2), -1, dtype=np.int32)
+  ef = np.asarray(getattr(mjm, "flex_edgeflap", np.full((nedge, 2), -1)),
+                  dtype=np.int32).reshape(nedge, 2)
+  for f in range(nflex):
+    ea, en = edgeadr[f], int(mjm.flex_edgenum[f])
+    loc = ef[ea:ea + en]
+    edgeflap[ea:ea + en] = np.where(loc >= 0, loc + vertadr[f], -1)
+
+  vertbody = np.asarray(mjm.flex_vertbodyid, dtype=np.int32)
+  body_simple = np.asarray(getattr(mjm, "body_simple",
+                                   np.zeros(mjm.nbody)), dtype=np.int32)
+  body_dofnum = np.asarray(mjm.body_dofnum, dtype=np.int32)
+  body_dofadr = np.asarray(mjm.body_dofadr, dtype=np.int32)
+  vert_simple = body_simple[vertbody] == 2
+  vert_free = body_dofnum[vertbody] == 3
+  vert_dofadr = np.where(body_dofnum[vertbody] > 0,
+                         body_dofadr[vertbody], -1).astype(np.int32)
+
   return FlexMeta(
+      elemedge=elemedge, edgeflap=edgeflap,
+      has_stretch=has_stretch, has_bending=has_bending,
+      vert_simple=vert_simple, vert_free=vert_free,
+      vert_dofadr=vert_dofadr,
       nflex=nflex, nvert=nvert, nedge=nedge, nelem=nelem,
       dim=dim, vertadr=vertadr,
       vertnum=np.asarray(mjm.flex_vertnum, dtype=np.int32),
@@ -450,6 +500,40 @@ def _flex_meta(mjm: Any):
       priority=np.asarray(mjm.flex_priority, dtype=np.int32),
       contype=np.asarray(mjm.flex_contype, dtype=np.int32),
       conaffinity=np.asarray(mjm.flex_conaffinity, dtype=np.int32))
+
+
+def _flex_stiffness_dense(mjm: Any, flx) -> np.ndarray:
+  """Dense (nelem, 21) per-element stretch metric from the flat
+  flex_stiffness/flex_stiffnessadr layout (21 triu coefficients per element,
+  engine_passive.c:553-608); zero rows for flexes without stretch."""
+  out = np.zeros((flx.nelem, 21), dtype=np.float64)
+  stiff = np.asarray(getattr(mjm, "flex_stiffness", np.zeros(0)),
+                     dtype=np.float64)
+  adr = np.asarray(getattr(mjm, "flex_stiffnessadr",
+                           np.full(flx.nflex, -1)), dtype=np.int64)
+  for f in range(flx.nflex):
+    if adr[f] < 0 or not stiff.size:
+      continue
+    ca, cn = int(flx.elemadr[f]), int(flx.elemnum[f])
+    out[ca:ca + cn] = stiff[adr[f]:adr[f] + cn * 21].reshape(cn, 21)
+  return out
+
+
+def _flex_bending_dense(mjm: Any, flx) -> np.ndarray:
+  """Dense (nedge, 17) per-edge thin-plate bending operator (4x4 Hessian +
+  curved-reference coefficient, engine_passive.c:228-230,465-473); zero rows
+  for flexes without bending."""
+  out = np.zeros((flx.nedge, 17), dtype=np.float64)
+  bend = np.asarray(getattr(mjm, "flex_bending", np.zeros(0)),
+                    dtype=np.float64)
+  adr = np.asarray(getattr(mjm, "flex_bendingadr",
+                           np.full(flx.nflex, -1)), dtype=np.int64)
+  for f in range(flx.nflex):
+    if adr[f] < 0 or not bend.size:
+      continue
+    ea, en = int(flx.edgeadr[f]), int(flx.edgenum[f])
+    out[ea:ea + en] = bend[adr[f]:adr[f] + en * 17].reshape(en, 17)
+  return out
 
 
 def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
@@ -750,6 +834,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       flex_margin=jx(getattr(mjm, 'flex_margin', np.zeros(0))),
       flex_gap=jx(getattr(mjm, 'flex_gap', np.zeros(0))),
       flex_solmix=jx(getattr(mjm, 'flex_solmix', np.zeros(0))),
+      flex_stiffness=jx(_flex_stiffness_dense(mjm, flx)),
+      flex_bending=jx(_flex_bending_dense(mjm, flx)),
       opt=opt, stat_meaninertia=jx(mjm.stat.meaninertia),
       tree=tree, con=con, efc=efc,
       qpos0=jx(mjm.qpos0), qpos_spring=jx(mjm.qpos_spring),

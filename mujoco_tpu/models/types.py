@@ -378,6 +378,15 @@ class FlexMeta:
   priority: np.ndarray = static_field()
   contype: np.ndarray = static_field()
   conaffinity: np.ndarray = static_field()
+  # ----- element elasticity topology (mj_flexPassiveStretch/Bend,
+  # engine_passive.c:459-651); all ids GLOBAL, -1 = absent
+  elemedge: np.ndarray = static_field()     # (nelem, 6) global edge ids, 0 pad
+  edgeflap: np.ndarray = static_field()     # (nedge, 2) global vert ids, -1
+  has_stretch: np.ndarray = static_field()  # (nflex,) bool
+  has_bending: np.ndarray = static_field()  # (nflex,) bool
+  vert_simple: np.ndarray = static_field()  # (nvert,) bool: body_simple == 2
+  vert_free: np.ndarray = static_field()    # (nvert,) bool: body_dofnum == 3
+  vert_dofadr: np.ndarray = static_field()  # (nvert,) body_dofadr, -1 if none
 
 
 @pytree_dataclass
@@ -725,6 +734,12 @@ class Model:
   flex_margin: jax.Array = field()           # (nflex,)
   flex_gap: jax.Array = field()              # (nflex,)
   flex_solmix: jax.Array = field()           # (nflex,)
+  # element elasticity coefficients (zero rows where a flex has none):
+  # per-element upper-triangular edge metric (21 = triu of 6x6; dim-2 uses the
+  # leading triu of 3x3) and per-edge thin-plate bending operator
+  # (16 = 4x4 Hessian + 1 curved-reference coefficient)
+  flex_stiffness: jax.Array = field()        # (nelem, 21)
+  flex_bending: jax.Array = field()          # (nedge, 17)
 
   def disabled(self, bit: DisableBit) -> bool:
     return bool(self.opt.disableflags & bit)

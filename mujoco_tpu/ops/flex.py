@@ -75,6 +75,173 @@ def _vert_flexid(flx) -> np.ndarray:
   return out
 
 
+# local edge → (endpoint0, endpoint1) vertex indexing inside an element, for
+# dim-2 (3 edges / 3 verts) and dim-3 (6 edges / 4 verts)
+# (engine_passive.c:41-44)
+_ELEM_EDGES = {
+    2: np.array([[1, 2], [2, 0], [0, 1]], dtype=np.int32),
+    3: np.array([[0, 1], [1, 2], [2, 0], [2, 3], [0, 3], [1, 3]],
+                dtype=np.int32),
+}
+
+
+def _triu_index(n: int) -> np.ndarray:
+  """(n, n) map into the packed upper-triangular coefficient vector used by
+  flex_stiffness (id counts ed1-major over ed2 >= ed1)."""
+  idx = np.zeros((n, n), dtype=np.int32)
+  k = 0
+  for i in range(n):
+    for j in range(i, n):
+      idx[i, j] = idx[j, i] = k
+      k += 1
+  return idx
+
+
+def _vert_qvel(m: Model, d: Data):
+  """(nvert, 3) translational qvel of each flex vertex body (zero when the
+  body does not have exactly 3 dofs — engine_passive.c:502-507)."""
+  flx = m.flx
+  adr = np.where(flx.vert_free, np.maximum(flx.vert_dofadr, 0), 0)
+  cols = adr[:, None] + np.arange(3)[None, :]
+  v = d.qvel[np.clip(cols, 0, max(m.nv - 1, 0))]
+  return jnp.where(jnp.asarray(flx.vert_free)[:, None], v, 0.0)
+
+
+def _insert_vertex_forces(m: Model, d: Data, force, verts_mask):
+  """Map world-space per-vertex forces into qfrc: simple vertex bodies get
+  the body-frame rotation into their 3 slide dofs
+  (engine_passive.c:639-647); the rest go through the point Jacobian
+  (mj_applyFT with zero torque)."""
+  flx = m.flx
+  dtype = d.qpos.dtype
+  qfrc = jnp.zeros((m.nv,), dtype=dtype)
+
+  simple = flx.vert_simple & verts_mask
+  if simple.any():
+    vs = np.where(simple)[0]
+    bid = flx.vertbodyid[vs]
+    loc = jnp.einsum('vij,vi->vj', d.xmat[bid], force[vs])  # xmatᵀ · F
+    cols = (flx.vert_dofadr[vs][:, None] + np.arange(3)[None, :]).reshape(-1)
+    qfrc = qfrc.at[cols].add(loc.reshape(-1))
+
+  other = verts_mask & ~flx.vert_simple
+  if other.any():
+    vs = np.where(other)[0]
+    bid = flx.vertbodyid[vs]
+    anc = m.tree.ancestor_mask                       # (nbody, nv) static
+    o = d.subtree_com[m.body_rootid[m.dof_bodyid]]   # (nv, 3)
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    mask = jnp.asarray(anc[bid], dtype=dtype)        # (k, nv)
+    pts = d.flexvert_xpos[vs]
+    jac = lin[None] + jnp.cross(
+        jnp.broadcast_to(ang[None], (len(vs),) + ang.shape),
+        pts[:, None, :] - o[None])                   # (k, nv, 3)
+    qfrc = qfrc + jnp.einsum('knc,kc->n', jac * mask[..., None], force[vs])
+  return qfrc
+
+
+def elasticity_passive(m: Model, d: Data, enbl_spring: bool,
+                       enbl_damper: bool):
+  """Element stretch + thin-plate bending forces → (qfrc_spring_add,
+  qfrc_damper_add).
+
+  Stretch: per-element Saint-Venant metric over squared edge elongations
+  with generalized Rayleigh damping folded in (mj_flexPassiveStretch,
+  engine_passive.c:551-651). Bending: discrete Crouzeix-Raviart thin-plate
+  operator per interior edge + flap (mj_flexPassiveBend,
+  engine_passive.c:459-547). Both vectorized over elements/edges with
+  static topology; scatter-adds replace the reference's per-element loops.
+  """
+  flx = m.flx
+  dtype = d.qpos.dtype
+  zero = jnp.zeros((m.nv,), dtype=dtype)
+  spring_add = zero
+  damper_add = zero
+  dt = m.opt.timestep
+
+  # ----- stretch (engine_passive.c:580-630)
+  if flx.has_stretch.any():
+    fvert = jnp.zeros((flx.nvert, 3), dtype=dtype)
+    touched = np.zeros(flx.nvert, dtype=bool)
+    for dm in (2, 3):
+      els = np.where((flx.dim[flx.elem_flexid] == dm)
+                     & flx.has_stretch[flx.elem_flexid])[0]
+      if not len(els):
+        continue
+      ne_loc = 3 if dm == 2 else 6
+      tab = _ELEM_EDGES[dm]                          # (ne_loc, 2) local verts
+      verts = flx.elem[els, :dm + 1]                 # (E, dm+1) global verts
+      eidx = flx.elemedge[els, :ne_loc]              # (E, ne_loc) global edges
+      fid = flx.elem_flexid[els]
+      kD = jnp.where(dt > 0, m.flex_damping[fid] / dt, 0.0)
+
+      L = d.flexedge_length[eidx]
+      L0 = m.flexedge_length0[eidx]
+      vel = d.flexedge_velocity[eidx]
+      prev = L - vel * dt
+      elong = L * L - L0 * L0 + (L * L - prev * prev) * kD[:, None]
+
+      metric = m.flex_stiffness[els][:, _triu_index(ne_loc)]  # (E, ne, ne)
+      c = jnp.einsum('ea,eab->eb', elong, metric)    # (E, ne_loc)
+
+      va = verts[:, tab[:, 0]]                       # (E, ne_loc) global
+      vb = verts[:, tab[:, 1]]
+      gvec = d.flexvert_xpos[va] - d.flexvert_xpos[vb]
+      contrib = c[..., None] * gvec                  # (E, ne_loc, 3)
+      fvert = fvert.at[va.reshape(-1)].add(-contrib.reshape(-1, 3))
+      fvert = fvert.at[vb.reshape(-1)].add(contrib.reshape(-1, 3))
+      touched[np.unique(verts)] = True
+    spring_add = spring_add + _insert_vertex_forces(m, d, fvert, touched)
+
+  # ----- bending (engine_passive.c:475-546)
+  eb = np.where(flx.has_bending[flx.edge_flexid]
+                & (flx.edgeflap[:, 1] >= 0))[0]
+  if len(eb):
+    v = np.concatenate([flx.edge[eb], flx.edgeflap[eb]], axis=1)  # (E, 4)
+    B = m.flex_bending[eb]
+    Bm = B[:, :16].reshape(-1, 4, 4)
+    x = d.flexvert_xpos[v]                           # (E, 4, 3)
+    e0 = x[:, 1] - x[:, 0]
+    e1 = x[:, 2] - x[:, 0]
+    e2 = x[:, 3] - x[:, 0]
+    f1 = jnp.cross(e1, e2)
+    f2 = jnp.cross(e2, e0)
+    f3 = jnp.cross(e0, e1)
+    frc = jnp.stack([-(f1 + f2 + f3), f1, f2, f3], axis=1)  # (E, 4, 3)
+
+    spring = jnp.einsum('eij,ejx->eix', Bm, x) + B[:, 16, None, None] * frc
+    velv = _vert_qvel(m, d)[v]                       # (E, 4, 3)
+    damper = jnp.einsum('eij,ejx->eix', Bm, velv)
+
+    # insertion: free (3-dof) vertex bodies only, rotated into the body
+    # frame; spring subtracted, damper scaled by flex_damping
+    free = jnp.asarray(flx.vert_free[v], dtype=dtype)[..., None]
+    fdmp = m.flex_damping[flx.edge_flexid[eb]]
+    bs = jnp.zeros((flx.nvert, 3), dtype=dtype)
+    bd = jnp.zeros((flx.nvert, 3), dtype=dtype)
+    if enbl_spring:
+      bs = bs.at[v.reshape(-1)].add((-spring * free).reshape(-1, 3))
+    if enbl_damper:
+      bd = bd.at[v.reshape(-1)].add(
+          (-damper * free * fdmp[:, None, None]).reshape(-1, 3))
+
+    bid = flx.vertbodyid
+    freev = np.asarray(flx.vert_free)
+    vs = np.where(freev)[0]
+    if len(vs):
+      b2 = bid[vs]
+      cols = (flx.vert_dofadr[vs][:, None] + np.arange(3)[None, :]).reshape(-1)
+      if enbl_spring:
+        loc = jnp.einsum('vij,vi->vj', d.xmat[b2], bs[vs])
+        spring_add = spring_add.at[cols].add(loc.reshape(-1))
+      if enbl_damper:
+        loc = jnp.einsum('vij,vi->vj', d.xmat[b2], bd[vs])
+        damper_add = damper_add.at[cols].add(loc.reshape(-1))
+
+  return spring_add, damper_add
+
+
 def edge_passive(m: Model, d: Data):
   """Flex edge spring-damper forces → (qfrc_spring_add, qfrc_damper_add)
   (engine_passive.c:760-791)."""

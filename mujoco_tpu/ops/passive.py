@@ -86,6 +86,16 @@ def passive(m: Model, d: Data) -> Data:
     if enbl_damper:
       qfrc_damper = qfrc_damper + fd
 
+  # flex element elasticity: stretch + bending (engine_passive.c:739-758);
+  # stretch runs whenever spring-dampers run (its Rayleigh damping is folded
+  # into the elastic force), bending parts are gated individually
+  if m.has_flex and (m.flx.has_stretch.any() or m.flx.has_bending.any()) \
+      and (enbl_spring or enbl_damper):
+    from mujoco_tpu.ops import flex as flex_mod
+    fs, fd = flex_mod.elasticity_passive(m, d, enbl_spring, enbl_damper)
+    qfrc_spring = qfrc_spring + fs
+    qfrc_damper = qfrc_damper + fd
+
   # tendon spring (deadband interval) + damper
   if m.ntendon:
     lo = m.tendon_lengthspring[:, 0]

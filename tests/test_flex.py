@@ -262,3 +262,119 @@ def test_native_compiled_rope_matches_bridged():
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+
+
+# ----------------------------------------------------------------------------
+# element elasticity: stretch + bending (mj_flexPassiveStretch/Bend,
+# engine_passive.c:459-651)
+# ----------------------------------------------------------------------------
+
+def _forward_pair(xml, seed=0, qpos_scale=0.01, qvel_scale=0.1):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(seed)
+  mjd.qpos[:] = mjd.qpos + qpos_scale * rng.randn(mjm.nq)
+  mjd.qvel[:] = qvel_scale * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+  return mjm, mjd, m, d
+
+
+def test_flex_elasticity_cloth_bend_stretch():
+  """Cloth with Young/Poisson stretch metric + thin-plate bending:
+  qfrc_spring/qfrc_damper oracle-exact."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <flexcomp type="grid" count="5 5 1" spacing=".1 .1 .1" name="cloth"
+              dim="2" mass="1" pos="0 0 1">
+      <elasticity young="1e4" poisson="0.3" thickness="1e-2"
+                  elastic2d="both" damping="0.02"/>
+      <edge equality="false"/>
+      <contact selfcollide="none" contype="0" conaffinity="0"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  _, mjd, _, d = _forward_pair(xml)
+  assert np.abs(mjd.qfrc_spring).max() > 0.5
+  np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
+                             atol=1e-11, err_msg="bend+stretch spring")
+  np.testing.assert_allclose(np.asarray(d.qfrc_damper), mjd.qfrc_damper,
+                             atol=1e-13, err_msg="bend damper")
+
+
+def test_flex_elasticity_pinned_stretch():
+  """Pinned cloth, stretch only: pinned vertices route through the point
+  Jacobian (mj_applyFT) path."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <flexcomp type="grid" count="5 5 1" spacing=".1 .1 .1" name="cloth"
+              dim="2" mass="1" pos="0 0 1">
+      <elasticity young="1e4" poisson="0.3" thickness="1e-2"
+                  elastic2d="stretch" damping="0.02"/>
+      <edge equality="false"/>
+      <contact selfcollide="none" contype="0" conaffinity="0"/>
+      <pin id="0 4"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  _, mjd, _, d = _forward_pair(xml)
+  np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
+                             atol=1e-11)
+
+
+def test_flex_elasticity_solid():
+  """Dim-3 (solid) flex: tetrahedral stretch metric oracle-exact, and a
+  gravity-sag trajectory tracks the oracle."""
+  xml = """
+<mujoco>
+  <option timestep="0.001"/>
+  <worldbody>
+    <flexcomp type="grid" count="3 3 3" spacing=".1 .1 .1" name="gel"
+              dim="3" mass="5" pos="0 0 1">
+      <elasticity young="1e4" poisson="0.25" damping="0.001"/>
+      <edge equality="false" damping="1"/>
+      <contact selfcollide="none" contype="0" conaffinity="0"/>
+      <pin id="0 2 6 8"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm, mjd, m, d = _forward_pair(xml, qpos_scale=0.002, qvel_scale=0.02)
+  np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
+                             atol=1e-10, err_msg="solid stretch spring")
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert np.isfinite(mjd.qpos).all()
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8,
+                             err_msg="solid flex sag trajectory")
+
+
+def test_flex_elasticity_solid_on_moving_body():
+  """Dim-3 flex pinned to a moving free body: pinned-vertex forces reach
+  the parent's dofs through the point Jacobian."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <body pos="0 0 1" name="base">
+      <joint type="free"/>
+      <geom type="box" size=".2 .2 .02" mass="1"/>
+      <flexcomp type="grid" count="4 4 4" spacing=".06 .06 .06" name="gel2"
+                dim="3" mass="1" pos="0 0 .3">
+        <elasticity young="2e3" poisson="0.4" damping="0.01"/>
+        <edge equality="false"/>
+        <contact selfcollide="none" contype="0" conaffinity="0"/>
+        <pin id="0 3 12 15"/>
+      </flexcomp>
+    </body>
+  </worldbody>
+</mujoco>"""
+  _, mjd, _, d = _forward_pair(xml)
+  np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
+                             atol=1e-10)
