@@ -300,10 +300,8 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       c2 = mjm.flex_contype[f] & mjm.geom_conaffinity[g]
       if not (c1 or c2):
         continue
-      if int(mjm.flex_dim[f]) not in (1, 2):
-        raise NotImplementedError(
-            f"flex {f}: collision implemented for dim-1 (cable) and dim-2 "
-            "(shell) flexes only")
+      if int(mjm.flex_dim[f]) not in (1, 2, 3):
+        raise NotImplementedError(f"flex {f}: unsupported dim")
       t = GeomType(mjm.geom_type[g])
       if t not in flex_ok_types:
         raise NotImplementedError(f"flex vs geom type {t.name}")
@@ -393,7 +391,7 @@ def _flex_meta(mjm: Any):
         elemedge=zi(0).reshape(0, 6), edgeflap=zi(0).reshape(0, 2),
         has_stretch=zi(0).astype(bool), has_bending=zi(0).astype(bool),
         vert_simple=zi(0).astype(bool), vert_free=zi(0).astype(bool),
-        vert_dofadr=zi(0))
+        vert_dofadr=zi(0), elem_collidable=zi(0).astype(bool))
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if (interp != 0).any():
@@ -477,7 +475,20 @@ def _flex_meta(mjm: Any):
   vert_dofadr = np.where(body_dofnum[vertbody] > 0,
                          body_dofadr[vertbody], -1).astype(np.int32)
 
+  # dim-3 elements collide only in the surface layers
+  # (engine_collision_driver.c:351)
+  elem_collidable = np.ones(nelem, dtype=bool)
+  layer = np.asarray(getattr(mjm, "flex_elemlayer", np.zeros(nelem)),
+                     dtype=np.int64)
+  active = np.asarray(getattr(mjm, "flex_activelayers", np.ones(nflex)),
+                      dtype=np.int64)
+  for f in range(nflex):
+    if int(dim[f]) == 3:
+      ca, cn = elemadr[f], int(elemnum[f])
+      elem_collidable[ca:ca + cn] = layer[ca:ca + cn] < active[f]
+
   return FlexMeta(
+      elem_collidable=elem_collidable,
       elemedge=elemedge, edgeflap=edgeflap,
       has_stretch=has_stretch, has_bending=has_bending,
       vert_simple=vert_simple, vert_free=vert_free,
@@ -1066,7 +1077,7 @@ def make_data(m: Model, dtype=None) -> Data:
       solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype),
                       (ncon, 1)),
       mu=z(ncon),
-      flexvert=jnp.full((ncon, 3), -1, dtype=jnp.int32),
+      flexvert=jnp.full((ncon, 4), -1, dtype=jnp.int32),
       geomids=jnp.stack([jnp.asarray(m.con.geom1, dtype=jnp.int32),
                          jnp.asarray(m.con.geom2, dtype=jnp.int32)], axis=-1)
       if ncon else jnp.zeros((0, 2), dtype=jnp.int32),

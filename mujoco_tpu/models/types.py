@@ -387,6 +387,9 @@ class FlexMeta:
   vert_simple: np.ndarray = static_field()  # (nvert,) bool: body_simple == 2
   vert_free: np.ndarray = static_field()    # (nvert,) bool: body_dofnum == 3
   vert_dofadr: np.ndarray = static_field()  # (nvert,) body_dofadr, -1 if none
+  # per-element collision filter: dim-3 elements collide only in the
+  # surface layers (elemlayer < activelayers, engine_collision_driver.c:351)
+  elem_collidable: np.ndarray = static_field()  # (nelem,) bool
 
 
 @pytree_dataclass
@@ -774,7 +777,7 @@ class Contact:
   # flex contacts: global vertex ids of the contacting element (or a single
   # vertex for plane-vertex contacts), -1 padded; selected dynamically by the
   # top-K budget, hence traced (mjContact.flex/elem/vert analog, mjdata.h:37)
-  flexvert: jax.Array      # (ncon, 3) int32
+  flexvert: jax.Array      # (ncon, 4) int32
   # per-slot geom ids (mjContact.geom analog): equal to the static meta ids
   # except on dynamic pair-group slots, where the contacting pair is chosen
   # per step by the broadphase cull

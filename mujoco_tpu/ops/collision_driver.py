@@ -209,7 +209,7 @@ def collision(m: Model, d: Data) -> Data:
     pos = pos.at[slot_idx].set(pp.reshape(-1, 3))
     frame = frame.at[slot_idx].set(ff.reshape(-1, 3, 3))
 
-  flexvert = jnp.full((ncon, 3), -1, dtype=jnp.int32)
+  flexvert = jnp.full((ncon, 4), -1, dtype=jnp.int32)
   if len(m.con.flexpair_geom):
     from mujoco_tpu.ops import collision_flex
     dist, pos, frame, flexvert = collision_flex.flex_collision(

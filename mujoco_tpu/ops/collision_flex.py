@@ -258,8 +258,8 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       cd = dstv
       cp = posv
       cn = jnp.broadcast_to(nrm, (len(vs), 3))
-      cverts = np.stack([vs, np.full_like(vs, -1), np.full_like(vs, -1)],
-                        axis=1)
+      cverts = np.stack([vs, np.full_like(vs, -1), np.full_like(vs, -1),
+                         np.full_like(vs, -1)], axis=1)
     elif int(flx.dim[f]) == 1:
       # dim-1 (rope/cable): elements are segments with the flex radius
       elems = np.arange(flx.elemadr[f], flx.elemadr[f] + flx.elemnum[f])
@@ -284,16 +284,27 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       cd = cd.reshape(-1)
       cp = cp.reshape(-1, 3)
       cn = cn.reshape(-1, 3)
-      # two valid vertices per candidate: third slot -1 so the body
+      # two valid vertices per candidate: remaining slots -1 so the body
       # weighting spreads over the segment endpoints only
       cverts = np.concatenate(
           [np.repeat(seg, ncand, axis=0),
-           np.full((len(seg) * ncand, 1), -1)], axis=1)
+           np.full((len(seg) * ncand, 2), -1)], axis=1)
     else:
+      # dim-2: one triangle per element; dim-3: the 4 faces of each
+      # surface-layer tetrahedron, each collided as a triangle (the shallow-
+      # contact equivalent of mjc_ConvexElem on the simplex + radius,
+      # engine_collision_driver.c:2372,2461)
       elems = np.arange(flx.elemadr[f], flx.elemadr[f] + flx.elemnum[f])
-      tri = flx.elem[elems][:, :3]                   # (ne, 3) global verts
-      # static exclusion: elements with a vertex on the geom's body
+      elems = elems[flx.elem_collidable[elems]]
       gbody = int(m.geom_bodyid[g])
+      if int(flx.dim[f]) == 2:
+        tri = flx.elem[elems][:, :3]                 # (nt, 3) global verts
+        cvert_of_tri = tri
+      else:
+        tet = flx.elem[elems]                        # (ne, 4) global verts
+        faces = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 2, 3]])
+        tri = tet[:, faces].reshape(-1, 3)           # (4*ne, 3)
+        cvert_of_tri = np.repeat(tet, 4, axis=0)     # (4*ne, 4)
       excl = (flx.vertbodyid[tri] == gbody).any(axis=1)
       t1 = d.flexvert_xpos[tri[:, 0]]
       t2 = d.flexvert_xpos[tri[:, 1]]
@@ -307,14 +318,20 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       else:  # BOX
         fn = lambda a, b, c: box_triangle(gpos, gmat, gsize, a, b, c, rt)
         ncand = 11
-      cd, cp, cn = jax.vmap(fn)(t1, t2, t3)          # (ne, [ncand,] ...)
+      cd, cp, cn = jax.vmap(fn)(t1, t2, t3)          # (nt, [ncand,] ...)
       if ncand == 1:
         cd, cp, cn = cd[:, None], cp[:, None, :], cn[:, None, :]
       cd = jnp.where(jnp.asarray(excl)[:, None], _BIG, cd)
       cd = cd.reshape(-1)
       cp = cp.reshape(-1, 3)
       cn = cn.reshape(-1, 3)
-      cverts = np.repeat(tri, ncand, axis=0)         # (ne*ncand, 3)
+      cverts = np.repeat(cvert_of_tri, ncand, axis=0)  # (nt*ncand, <=4)
+
+    # normalize vertex tuples to width 4 (-1 pad)
+    if cverts.shape[1] < 4:
+      cverts = np.concatenate(
+          [cverts, np.full((cverts.shape[0], 4 - cverts.shape[1]), -1)],
+          axis=1)
 
     # top-K deepest candidates into the K slots (pad when fewer candidates)
     if cd.shape[0] < K:
@@ -324,7 +341,7 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       cn = jnp.concatenate(
           [cn, jnp.broadcast_to(jnp.array([0.0, 0, 1], dtype=dtype),
                                 (padn, 3))])
-      cverts = np.concatenate([cverts, np.full((padn, 3), -1)], axis=0)
+      cverts = np.concatenate([cverts, np.full((padn, 4), -1)], axis=0)
     neg, idx = jax.lax.top_k(-cd, K)
     sel_d = -neg
     sel_p = cp[idx]

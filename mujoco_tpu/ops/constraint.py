@@ -477,7 +477,7 @@ def _contact_rows(m: Model, d: Data):
     rot2 = iw[b2_t, 1]
 
     if is_flex.any():
-      vids = con.flexvert                              # (ncon, 3) traced
+      vids = con.flexvert                              # (ncon, 4) traced
       valid = vids >= 0
       vsafe = jnp.maximum(vids, 0)
       vpos = d.flexvert_xpos[vsafe]                    # (ncon, 3, 3)

@@ -468,7 +468,7 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
       w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
       w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
       vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
-      for j in range(3):
+      for j in range(4):
         cfrc_ext = side_add(cfrc_ext, vbody[:, j], 1.0,
                             is_flex.astype(dtype) * w[:, j])
 

@@ -378,3 +378,71 @@ def test_flex_elasticity_solid_on_moving_body():
   _, mjd, _, d = _forward_pair(xml)
   np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
                              atol=1e-10)
+
+
+def test_flex_solid_plane_drop():
+  """Gel cube (dim-3) dropped on the floor plane: vertex-plane contacts are
+  oracle-exact (mj_collidePlaneFlex covers all dims)."""
+  xml = """
+<mujoco>
+  <option timestep="0.001" solver="Newton"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <flexcomp type="grid" count="3 3 3" spacing=".08 .08 .08" name="gel"
+              dim="3" mass="2" pos="0 0 0.25" radius="0.005">
+      <elasticity young="2e3" poisson="0.2" damping="0.002"/>
+      <edge equality="false" damping="1"/>
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  maxcon = 0
+  for _ in range(600):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    maxcon = max(maxcon, mjd.ncon)
+  assert maxcon >= 9
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10,
+                             err_msg="gel-on-plane qpos drift")
+
+
+def test_flex_solid_sphere_press():
+  """Sphere dropped onto a gel block: tetrahedral surface-element contacts
+  (our 4-face triangle sampling vs the oracle's per-element GJK — contact
+  positions differ within an element, rest physics must agree)."""
+  xml = """
+<mujoco>
+  <option timestep="0.001" solver="Newton"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <flexcomp type="grid" count="3 3 3" spacing=".08 .08 .08" name="gel"
+              dim="3" mass="2" pos="0 0 0.13" radius="0.005">
+      <elasticity young="5e3" poisson="0.2" damping="0.002"/>
+      <edge equality="false" damping="1"/>
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+    <body pos="0.01 0.0 0.3"><freejoint/>
+      <geom type="sphere" size="0.05" mass="0.3"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(800):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  # sphere comes to rest pressed into the gel at the same height
+  z_ours = float(np.asarray(d.geom_xpos)[1, 2])
+  z_ref = float(mjd.geom_xpos[1, 2])
+  assert abs(z_ours - z_ref) < 2e-3, (z_ours, z_ref)
+  # gel stays coherent: vertex heights within the oracle envelope
+  assert abs(float(np.asarray(d.flexvert_xpos)[:, 2].max())
+             - mjd.flexvert_xpos[:, 2].max()) < 5e-3
