@@ -51,6 +51,51 @@ _PAIR_NCON = {
 }
 
 
+def _plugin_name(mjm: Any, instance: int) -> str:
+  """Resolve the registered plugin-type name for an instance via the
+  process-global plugin table (mjp_getPluginAtSlot; the pip bindings do not
+  expose it, so go through ctypes on the bundled library)."""
+  import ctypes
+  import glob
+  import mujoco
+  libs = glob.glob(os.path.join(os.path.dirname(mujoco.__file__),
+                                "libmujoco*"))
+  lib = ctypes.CDLL(libs[0])
+  lib.mjp_getPluginAtSlot.restype = ctypes.c_void_p
+  p = lib.mjp_getPluginAtSlot(int(mjm.plugin[instance]))
+  if not p:
+    raise NotImplementedError(f"plugin instance {instance}: empty slot")
+  name = ctypes.cast(ctypes.cast(p, ctypes.POINTER(ctypes.c_void_p))[0],
+                     ctypes.c_char_p).value
+  return name.decode()
+
+
+def _sdf_geom_info(mjm: Any, g: int):
+  """(kind, params) for one side of an SDF pair: int GeomType for
+  primitives, (plugin name, attribute vector) for mjGEOM_SDF geoms."""
+  from mujoco_tpu.ops import sdf as sdfmod
+  t = int(mjm.geom_type[g])
+  if t != int(GeomType.SDF):
+    return t, None
+  instance = int(mjm.geom_plugin[g])
+  if instance < 0:
+    raise NotImplementedError(
+        f"SDF geom {g} without a plugin (octree mesh SDFs unsupported)")
+  name = _plugin_name(mjm, instance)
+  if name not in sdfmod.PLUGIN_SDF:
+    raise NotImplementedError(f"SDF plugin {name!r}")
+  _, attr_names, defaults = sdfmod.PLUGIN_SDF[name]
+  # plugin_attr stores each declared attribute's config value (possibly
+  # empty) as consecutive C strings starting at plugin_attradr[instance]
+  blob = bytes(np.asarray(mjm.plugin_attr, dtype=np.uint8))
+  vals = blob[int(mjm.plugin_attradr[instance]):].split(b"\x00")
+  params = []
+  for i in range(len(attr_names)):
+    v = vals[i].decode() if i < len(vals) else ""
+    params.append(float(v) if v.strip() else float(defaults[i]))
+  return name, np.asarray(params, dtype=np.float64)
+
+
 def _tree_topology(parentid: np.ndarray, dof_bodyid: np.ndarray,
                    dof_parentid: np.ndarray, body_dofadr: np.ndarray,
                    body_dofnum: np.ndarray, nv: int,
@@ -221,7 +266,13 @@ def _contact_meta(mjm: Any) -> ContactMeta:
     """(t1, t2, did1, did2, condim, ncontact) for a candidate pair."""
     t1, t2 = GeomType(mjm.geom_type[g1]), GeomType(mjm.geom_type[g2])
     key = (t1, t2)
-    if key in _PAIR_NCON:
+    if t2 == GeomType.SDF:
+      # SDF narrowphase: sdf_initpoints descent starts = slots per pair
+      # (mj_maxContact, engine_collision_driver.c:70)
+      if t1 in (GeomType.HFIELD, GeomType.MESH):
+        raise NotImplementedError(f"{t1.name} vs SDF collision")
+      n = int(mjm.opt.sdf_initpoints)
+    elif key in _PAIR_NCON:
       n = _PAIR_NCON[key]
     elif t1 in convex and t2 in convex:
       # general convex pair → MPR + perturbed-support manifold
@@ -256,7 +307,8 @@ def _contact_meta(mjm: Any) -> ContactMeta:
   for g1, g2, pid in pairs:
     sig, n = pair_sig(g1, g2, pid)
     t1 = sig[0]
-    if pid >= 0 or t1 in (int(GeomType.PLANE), int(GeomType.HFIELD)):
+    if pid >= 0 or t1 in (int(GeomType.PLANE), int(GeomType.HFIELD)) \
+        or sig[1] == int(GeomType.SDF):
       static_pairs.append((g1, g2, pid, sig, n))
     else:
       staged.setdefault(sig, []).append((g1, g2))
@@ -272,7 +324,17 @@ def _contact_meta(mjm: Any) -> ContactMeta:
 
   slot_g1, slot_g2, slot_types, slot_condim, slot_pairid = [], [], [], [], []
   slot_first = []
+  sdf_meta = []
   for g1, g2, pid, sig, n in static_pairs:
+    if sig[1] == int(GeomType.SDF):
+      kind1, params1 = _sdf_geom_info(mjm, g1)
+      kind2, params2 = _sdf_geom_info(mjm, g2)
+      sdf_meta.append(dict(
+          g1=g1, g2=g2, adr=len(slot_g1), n=n,
+          iterations=int(mjm.opt.sdf_iterations),
+          kind1=kind1, kind2=kind2, params1=params1, params2=params2,
+          aabb1=np.array(mjm.geom_aabb[g1], dtype=np.float64),
+          aabb2=np.array(mjm.geom_aabb[g2], dtype=np.float64)))
     for k in range(n):
       slot_g1.append(g1)
       slot_g2.append(g2)
@@ -287,6 +349,7 @@ def _contact_meta(mjm: Any) -> ContactMeta:
   # engine_collision_driver.c:447)
   nflex = int(getattr(mjm, "nflex", 0))
   slot_flex2 = [-1] * len(slot_g1)
+  slot_flex1 = [-1] * len(slot_g1)
   fp_geom, fp_flex, fp_adr = [], [], []
   flex_budget = int(os.environ.get("MJTPU_FLEX_BUDGET", "8"))
   flex_ok_types = {GeomType.PLANE, GeomType.SPHERE, GeomType.CAPSULE,
@@ -327,6 +390,95 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         slot_pairid.append(-1)
         slot_first.append(k == 0)
         slot_flex2.append(f)
+        slot_flex1.append(-1)
+
+  # ----- flex self-collision + internal (within-element) slots: per flex,
+  # static candidate element pairs (no shared vertex bodies — the static
+  # analog of mj_collideElems' body filter, engine_collision_driver.c:2545)
+  # own `npair` budgeted slots filled per step by AABB-separation top-K then
+  # elementwise narrowphase (fixed-shape mj_collideFlexSAP,
+  # engine_collision_driver.c:2315); dim-3 internal anti-inversion contacts
+  # own min(4*nelem, budget) slots (mj_collideFlexInternal,
+  # engine_collision_driver.c:2230)
+  self_meta, int_meta, ev_meta = [], [], []
+  if nflex:
+    selfcollide = np.asarray(getattr(mjm, "flex_selfcollide",
+                                     np.zeros(nflex)), dtype=np.int64)
+    internal = np.asarray(getattr(mjm, "flex_internal", np.zeros(nflex)),
+                          dtype=bool)
+    evpairnum = np.asarray(getattr(mjm, "flex_evpairnum", np.zeros(nflex)),
+                           dtype=np.int64)
+    evpairadr = np.asarray(getattr(mjm, "flex_evpairadr", np.zeros(nflex)),
+                           dtype=np.int64)
+    layer = np.asarray(getattr(mjm, "flex_elemlayer",
+                               np.zeros(int(mjm.nflexelem))), dtype=np.int64)
+    activel = np.asarray(getattr(mjm, "flex_activelayers", np.ones(nflex)),
+                         dtype=np.int64)
+    self_budget = int(os.environ.get("MJTPU_SELF_BUDGET", "16"))
+    int_budget = int(os.environ.get("MJTPU_INT_BUDGET", "64"))
+    vb_all = np.asarray(mjm.flex_vertbodyid, dtype=np.int64)
+    for f in range(nflex):
+      dm = int(mjm.flex_dim[f])
+      ca, cn = int(mjm.flex_elemadr[f]), int(mjm.flex_elemnum[f])
+      if cn == 0:
+        continue
+      edata = np.asarray(mjm.flex_elem[
+          int(mjm.flex_elemdataadr[f]):
+          int(mjm.flex_elemdataadr[f]) + cn * (dm + 1)]).reshape(cn, dm + 1)
+      vb = vb_all[int(mjm.flex_vertadr[f]) + edata]       # (cn, dm+1)
+      condim_f = int(mjm.flex_condim[f])
+      if int(selfcollide[f]) != 0 and cn >= 2:
+        coll = (layer[ca:ca + cn] < activel[f]) if dm == 3 \
+            else np.ones(cn, dtype=bool)
+        els = np.where(coll)[0]
+        ii, jj = np.triu_indices(len(els), k=1)
+        e1c, e2c = els[ii], els[jj]
+        shared = ((vb[e1c][:, :, None] == vb[e2c][:, None, :])
+                  & (vb[e1c][:, :, None] >= 0)).any(axis=(1, 2))
+        e1c, e2c = e1c[~shared], e2c[~shared]
+        if len(e1c):
+          npair = min(self_budget, len(e1c))
+          self_meta.append(dict(flex=f, adr=len(slot_g1), npair=npair,
+                                e1=(ca + e1c).astype(np.int32),
+                                e2=(ca + e2c).astype(np.int32), dim=dm))
+          for k in range(npair):
+            slot_g1.append(0)
+            slot_g2.append(-1)
+            slot_types.append((-1, -1))
+            slot_condim.append(condim_f)
+            slot_pairid.append(-1)
+            slot_first.append(False)
+            slot_flex2.append(f)
+            slot_flex1.append(f)
+      if internal[f] and dm == 3:
+        nslots = min(4 * cn, int_budget)
+        int_meta.append(dict(flex=f, adr=len(slot_g1), nslots=nslots))
+        for k in range(nslots):
+          slot_g1.append(0)
+          slot_g2.append(-1)
+          slot_types.append((-1, -1))
+          slot_condim.append(1)          # condim forced to 1 (driver.c:2257)
+          slot_pairid.append(-1)
+          slot_first.append(False)
+          slot_flex2.append(f)
+          slot_flex1.append(f)
+      if internal[f] and evpairnum[f] > 0:
+        # predefined element-vertex pairs (mj_collideFlexInternal,
+        # engine_collision_driver.c:2233): vertex sphere vs element
+        ev = np.asarray(mjm.flex_evpair[
+            2 * evpairadr[f]:2 * (evpairadr[f] + evpairnum[f])],
+            dtype=np.int32).reshape(-1, 2)             # (N, 2) local (e, v)
+        nslots = min(len(ev), int_budget)
+        ev_meta.append(dict(flex=f, adr=len(slot_g1), nslots=nslots, ev=ev))
+        for k in range(nslots):
+          slot_g1.append(0)
+          slot_g2.append(-1)
+          slot_types.append((-1, -1))
+          slot_condim.append(condim_f)
+          slot_pairid.append(-1)
+          slot_first.append(False)
+          slot_flex2.append(f)
+          slot_flex1.append(f)
 
   # ----- dynamic pair-group slots (appended last): npair budgeted pair
   # slots × k contacts each; slot geom ids are representative (first
@@ -351,6 +503,7 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         slot_pairid.append(-1)
         slot_first.append(False)     # filled by the dynamic path, not the
         slot_flex2.append(-1)        # static type loop
+        slot_flex1.append(-1)
         dynslot.append(True)
 
   return ContactMeta(
@@ -368,6 +521,11 @@ def _contact_meta(mjm: Any) -> ContactMeta:
       flex_budget=flex_budget,
       dyngroups=tuple(dyn_meta),
       dynslot=np.array(dynslot, dtype=bool).reshape(-1),
+      flex1=np.array(slot_flex1, dtype=np.int32).reshape(-1),
+      selfgroups=tuple(self_meta),
+      intgroups=tuple(int_meta),
+      evgroups=tuple(ev_meta),
+      sdfgroups=tuple(sdf_meta),
   )
 
 
@@ -396,10 +554,6 @@ def _flex_meta(mjm: Any):
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if (interp != 0).any():
     raise NotImplementedError("interpolated/nodal flexes (flex_interp != 0)")
-  if np.asarray(mjm.flex_selfcollide).any() and mjm.nflexelem:
-    raise NotImplementedError("flex self-collision")
-  if np.asarray(mjm.flex_internal).any():
-    raise NotImplementedError("flex internal collision")
   if (np.asarray(mjm.flex_edgeequality) > 1).any():
     raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
 
@@ -1078,6 +1232,7 @@ def make_data(m: Model, dtype=None) -> Data:
                       (ncon, 1)),
       mu=z(ncon),
       flexvert=jnp.full((ncon, 4), -1, dtype=jnp.int32),
+      flexvert1=jnp.full((ncon, 4), -1, dtype=jnp.int32),
       geomids=jnp.stack([jnp.asarray(m.con.geom1, dtype=jnp.int32),
                          jnp.asarray(m.con.geom2, dtype=jnp.int32)], axis=-1)
       if ncon else jnp.zeros((0, 2), dtype=jnp.int32),

@@ -49,6 +49,7 @@ class GeomType(enum.IntEnum):
   CYLINDER = 5
   BOX = 6
   MESH = 7
+  SDF = 8
 
 
 class Integrator(enum.IntEnum):
@@ -342,6 +343,28 @@ class ContactMeta:
   # {g1, g2: (ncand,), adr: first contact slot, npair, k: contacts/pair}
   dyngroups: tuple = static_field()
   dynslot: np.ndarray = static_field()       # (ncon,) bool: dynamic slot
+  # flex-flex slots (self + internal collision): flex1 is the side-1 flex id
+  # (-1 on geom slots). Self/internal contacts ignore margin and gap
+  # (mj_collideElems with f1 == f2 / mj_collideFlexInternal,
+  # engine_collision_driver.c:2524,2230). selfgroups: per-flex static
+  # candidate element pairs owning `npair` budgeted slots, selected per step
+  # by AABB-separation top-K then narrowphase (the fixed-shape analog of
+  # mj_collideFlexSAP, engine_collision_driver.c:2315). intgroups: per-flex
+  # within-element face-vertex slots (dim-3 anti-inversion,
+  # mj_collideFlexInternal, engine_collision_driver.c:2230).
+  flex1: np.ndarray = static_field()         # (ncon,)
+  selfgroups: tuple = static_field()         # dicts {flex, adr, npair, e1, e2}
+  intgroups: tuple = static_field()          # dicts {flex, adr, nslots}
+  # predefined element-vertex internal pairs (flex_evpair,
+  # mj_collideElemVert, engine_collision_driver.c:2620)
+  evgroups: tuple = static_field()           # dicts {flex, adr, nslots, ev}
+  # SDF narrowphase groups (mjc_SDF, engine_collision_sdf.c:1040): per pair
+  # with an SDF side, `n` = opt.sdf_initpoints descent-start slots; kind is
+  # an int GeomType for primitives or a plugin-name string, params are the
+  # static plugin attributes, aabb the static local bounding boxes
+  sdfgroups: tuple = static_field()          # dicts {g1, g2, adr, n,
+                                             #  iterations, kind1, kind2,
+                                             #  params1, params2, aabb1, aabb2}
 
 
 @pytree_dataclass
@@ -778,6 +801,9 @@ class Contact:
   # vertex for plane-vertex contacts), -1 padded; selected dynamically by the
   # top-K budget, hence traced (mjContact.flex/elem/vert analog, mjdata.h:37)
   flexvert: jax.Array      # (ncon, 4) int32
+  # flex-flex contacts (self/internal collision): vertex ids of the FIRST
+  # side's element (mjContact.elem[0]/vert[0] analog); -1 on all other slots
+  flexvert1: jax.Array     # (ncon, 4) int32
   # per-slot geom ids (mjContact.geom analog): equal to the static meta ids
   # except on dynamic pair-group slots, where the contacting pair is chosen
   # per step by the broadphase cull

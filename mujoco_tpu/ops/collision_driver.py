@@ -66,22 +66,41 @@ def _combine_params(m: Model, slots: np.ndarray):
   g1 = m.con.geom1[slots]
   g2 = np.maximum(m.con.geom2[slots], 0)
   fx2 = m.con.flex2[slots]
+  fx1 = m.con.flex1[slots]
   is_flex = fx2 >= 0
+  is_ff = fx1 >= 0            # flex-flex (self/internal) slot
   fxi = np.maximum(fx2, 0)
+  fx1i = np.maximum(fx1, 0)
   pid = m.con.pairid[slots]
   dtype = m.geom_friction.dtype
 
+  def G(arr):
+    """Geom table with a zero dummy row for flex-only models (ngeom == 0:
+    every slot is flex-flex and the geom side is fully overridden)."""
+    if arr.shape[0]:
+      return arr
+    if isinstance(arr, np.ndarray):
+      return np.zeros((1,) + arr.shape[1:], dtype=arr.dtype)
+    return jnp.zeros((1,) + arr.shape[1:], dtype=arr.dtype)
+
   def side2(geom_arr, flex_arr):
     if not is_flex.any():
-      return geom_arr[g2]
+      return G(geom_arr)[g2]
     return jnp.where(jnp.asarray(is_flex).reshape(
-        (-1,) + (1,) * (geom_arr.ndim - 1)), flex_arr[fxi], geom_arr[g2])
+        (-1,) + (1,) * (geom_arr.ndim - 1)), flex_arr[fxi], G(geom_arr)[g2])
 
-  p1 = m.geom_priority[g1]
+  def side1(geom_arr, flex_arr):
+    if not is_ff.any():
+      return G(geom_arr)[g1]
+    return jnp.where(jnp.asarray(is_ff).reshape(
+        (-1,) + (1,) * (geom_arr.ndim - 1)), flex_arr[fx1i], G(geom_arr)[g1])
+
+  p1 = np.where(is_ff, m.flx.priority[fx1i] if len(m.flx.priority) else 0,
+                np.asarray(G(np.asarray(m.geom_priority)))[g1])
   p2 = np.where(is_flex, m.flx.priority[fxi] if len(m.flx.priority) else 0,
-                m.geom_priority[g2])
+                np.asarray(G(np.asarray(m.geom_priority)))[g2])
 
-  solmix1 = m.geom_solmix[g1]
+  solmix1 = side1(m.geom_solmix, m.flex_solmix)
   solmix2 = side2(m.geom_solmix, m.flex_solmix)
   both = (solmix1 >= mjm.MINVAL) & (solmix2 >= mjm.MINVAL)
   neither = (solmix1 < mjm.MINVAL) & (solmix2 < mjm.MINVAL)
@@ -90,11 +109,11 @@ def _combine_params(m: Model, slots: np.ndarray):
       jnp.where(neither, 0.5, jnp.where(solmix1 < mjm.MINVAL, 0.0, 1.0)))
   mix = mix[:, None]
 
-  ref1 = m.geom_solref[g1]
+  ref1 = side1(m.geom_solref, m.flex_solref)
   ref2 = side2(m.geom_solref, m.flex_solref)
-  imp1 = m.geom_solimp[g1]
+  imp1 = side1(m.geom_solimp, m.flex_solimp)
   imp2 = side2(m.geom_solimp, m.flex_solimp)
-  fri1 = m.geom_friction[g1]
+  fri1 = side1(m.geom_friction, m.flex_friction)
   fri2 = side2(m.geom_friction, m.flex_friction)
   std = (ref1[:, :1] > 0) & (ref2[:, :1] > 0)
   solref_mixed = jnp.where(std, mix * ref1 + (1 - mix) * ref2,
@@ -115,8 +134,13 @@ def _combine_params(m: Model, slots: np.ndarray):
 
   # margins/gaps add (getMargin/getGap, engine_collision_driver.c:161-175);
   # includemargin = margin — the gap only widens detection, and rows with
-  # dist ≥ includemargin are excluded, which fixed slots handle by masking
-  margin = m.geom_margin[g1] + side2(m.geom_margin, m.flex_margin)
+  # dist ≥ includemargin are excluded, which fixed slots handle by masking.
+  # Self/internal flex contacts ignore margin entirely
+  # (engine_collision_driver.c:2230,2529)
+  margin = side1(m.geom_margin, m.flex_margin) \
+      + side2(m.geom_margin, m.flex_margin)
+  if is_ff.any():
+    margin = jnp.where(jnp.asarray(is_ff), 0.0, margin)
   solreffriction = jnp.zeros_like(solref)
 
   # explicit <pair> overrides (mj_collideGeomPair: pair params replace the
@@ -188,6 +212,8 @@ def collision(m: Model, d: Data) -> Data:
         continue  # flex slots are filled by collision_flex below
       t1 = int(m.con.pair_type[c, 0])
       t2 = int(m.con.pair_type[c, 1])
+      if t2 == GeomType.SDF:
+        continue  # SDF slots are filled by collision_sdf below
       # hfield/mesh colliders close over the (static) asset ids
       did1 = int(m.geom_dataid[m.con.geom1[c]]) if t1 in (
           GeomType.HFIELD, GeomType.MESH) else -1
@@ -210,10 +236,19 @@ def collision(m: Model, d: Data) -> Data:
     frame = frame.at[slot_idx].set(ff.reshape(-1, 3, 3))
 
   flexvert = jnp.full((ncon, 4), -1, dtype=jnp.int32)
+  flexvert1 = jnp.full((ncon, 4), -1, dtype=jnp.int32)
   if len(m.con.flexpair_geom):
     from mujoco_tpu.ops import collision_flex
     dist, pos, frame, flexvert = collision_flex.flex_collision(
         m, d, dist, pos, frame, flexvert)
+  if len(m.con.selfgroups) or len(m.con.intgroups) or len(m.con.evgroups):
+    from mujoco_tpu.ops import collision_flex
+    dist, pos, frame, flexvert, flexvert1 = \
+        collision_flex.flex_flex_collision(
+            m, d, dist, pos, frame, flexvert, flexvert1)
+  if len(m.con.sdfgroups):
+    from mujoco_tpu.ops import collision_sdf
+    dist, pos, frame = collision_sdf.sdf_collision(m, d, dist, pos, frame)
 
   all_slots = np.arange(ncon)
   includemargin, friction5, solref, solreffriction, solimp = _combine_params(
@@ -262,7 +297,7 @@ def collision(m: Model, d: Data) -> Data:
                     includemargin=includemargin, friction=friction5,
                     solref=solref, solreffriction=solreffriction,
                     solimp=solimp, mu=jnp.zeros((ncon,), dtype=dtype),
-                    flexvert=flexvert, geomids=geomids)
+                    flexvert=flexvert, flexvert1=flexvert1, geomids=geomids)
   return d.replace(contact=contact)
 
 

@@ -36,13 +36,23 @@ def _point_segment_2d(p, a, b):
   return x, mjm.norm_safe(x - p)
 
 
+_point_segment_3d = _point_segment_2d  # same clamped-projection formula
+
+
 def sphere_triangle(s, rs, t1, t2, t3, rt):
   """Sphere (center s, radius rs) vs triangle+radius: (dist, pos, normal).
-  Branchless mjraw_SphereTriangle; normal points sphere → triangle."""
+  Branchless mjraw_SphereTriangle; normal points sphere → triangle.
+  Degenerate (near-collinear) triangles fall back to the closest edge in 3D
+  — the hull of 3 collinear points is a segment, matching the reference's
+  GJK behavior instead of a garbage plane normal."""
   S = s - t1
   A = t2 - t1
   B = t3 - t1
-  N = mjm.normalize(jnp.cross(A, B))
+  cr = jnp.cross(A, B)
+  crn = mjm.norm_safe(cr)
+  degenerate = crn < 1e-6 * jnp.maximum(
+      mjm.norm_safe(A) * mjm.norm_safe(B), mjm.MINVAL)
+  N = cr / jnp.maximum(crn, mjm.MINVAL)
   dstS = jnp.dot(N, S)
   P = S - N * dstS
 
@@ -68,7 +78,15 @@ def sphere_triangle(s, rs, t1, t2, t3, rt):
   best = jnp.where(d1 < jnp.minimum(d2, d3), 0,
                    jnp.where(d2 < d3, 1, 2))
   xe = jnp.stack([x1, x2, x3])[best]
-  X2 = jnp.where(inside, P, V1 * xe[0] + V2 * xe[1])
+  X2 = jnp.where(inside & ~degenerate, P, V1 * xe[0] + V2 * xe[1])
+
+  # 3D edge fallback for degenerate triangles
+  e1p, e1d = _point_segment_3d(s, t1, t2)
+  e2p, e2d = _point_segment_3d(s, t2, t3)
+  e3p, e3d = _point_segment_3d(s, t3, t1)
+  ebest = jnp.where(e1d < jnp.minimum(e2d, e3d), 0,
+                    jnp.where(e2d < e3d, 1, 2))
+  X2 = jnp.where(degenerate, jnp.stack([e1p, e2p, e3p])[ebest] - t1, X2)
 
   nrm = X2 - S
   dst = mjm.norm_safe(nrm)
@@ -229,6 +247,245 @@ def box_segment(pos, mat, size, a, b, rt):
   return jnp.stack(dists), jnp.stack(poss), jnp.stack(nrms)
 
 
+def _seg_seg_contact(a0, a1, ra, b0, b1, rb):
+  """Single closest-pair contact between two flex segments:
+  (dist, pos, normal a→b)."""
+  ca, cb, _ = _seg_seg_closest(a0, a1, b0, b1)
+  vec = cb - ca
+  dst = mjm.norm_safe(vec)
+  nrm = vec / dst
+  return dst - ra - rb, 0.5 * (ca + cb) + 0.5 * (ra - rb) * nrm, nrm
+
+
+def _seg_seg_capsule(a0, a1, ra, b0, b1, rb):
+  """Full capsule-capsule manifold between two flex segments — 1 closest-
+  pair contact, or 2 endpoint contacts when parallel (mjraw_CapsuleCapsule,
+  the mj_collideElems dim-1 path, engine_collision_driver.c:2555).
+  Returns (dist(2,), pos(2,3), normal(2,3)) a→b."""
+  from mujoco_tpu.ops import collision_primitive as prim
+  c1 = 0.5 * (a0 + a1)
+  h1 = 0.5 * (a1 - a0)
+  l1 = mjm.norm_safe(h1)
+  ax1 = h1 / jnp.maximum(l1, mjm.MINVAL)
+  m1 = jnp.stack([jnp.zeros_like(ax1), jnp.zeros_like(ax1), ax1], axis=1)
+  s1 = jnp.stack([ra, l1, jnp.zeros_like(l1)])
+  c2 = 0.5 * (b0 + b1)
+  h2 = 0.5 * (b1 - b0)
+  l2 = mjm.norm_safe(h2)
+  ax2 = h2 / jnp.maximum(l2, mjm.MINVAL)
+  m2 = jnp.stack([jnp.zeros_like(ax2), jnp.zeros_like(ax2), ax2], axis=1)
+  s2 = jnp.stack([rb, l2, jnp.zeros_like(l2)])
+  dd, pp, nn, _ = prim.capsule_capsule(c1, m1, s1, c2, m2, s2)
+  return dd, pp, nn
+
+
+def _tri_tri_contact(a, ra, b, rb):
+  """Min-distance contact between two radius-inflated triangles: exact
+  feature enumeration (6 vertex-triangle + 9 edge-edge candidates) replaces
+  the reference's GJK call (mjc_ConvexElem, engine_collision_driver.c:2372).
+  Exact while the core triangles do not interpenetrate (documented deviation
+  in ROADMAP.md). a, b: (3, 3) vertex positions. Returns (dist, pos,
+  normal a→b)."""
+  dists, poss, nrms = [], [], []
+  for i in range(3):
+    dd, pp, nn = sphere_triangle(a[i], ra, b[0], b[1], b[2], rb)
+    dists.append(dd)
+    poss.append(pp)
+    nrms.append(nn)
+  for i in range(3):
+    dd, pp, nn = sphere_triangle(b[i], rb, a[0], a[1], a[2], ra)
+    dists.append(dd)
+    poss.append(pp)
+    nrms.append(-nn)
+  edges = ((0, 1), (1, 2), (2, 0))
+  for i1, i2 in edges:
+    for j1, j2 in edges:
+      dd, pp, nn = _seg_seg_contact(a[i1], a[i2], ra, b[j1], b[j2], rb)
+      dists.append(dd)
+      poss.append(pp)
+      nrms.append(nn)
+  D = jnp.stack(dists)
+  k = jnp.argmin(D)
+  return D[k], jnp.stack(poss)[k], jnp.stack(nrms)[k]
+
+
+def _tet_tet_contact(a, ra, b, rb, dtype):
+  """Tetrahedron-tetrahedron contact via MPR + MTD polish on the radius-
+  inflated 4-vertex hulls (the branchless analog of mjc_ConvexElem on
+  dim-3 elements, engine_collision_driver.c:2372). Returns (dist, pos,
+  normal a→b)."""
+  from mujoco_tpu.ops.collision_convex import mpr
+
+  def sup_a(pos, mat, verts, dd):
+    dn = mjm.normalize(dd)
+    return verts[jnp.argmax(verts @ dd)] + ra * dn
+
+  def sup_b(pos, mat, verts, dd):
+    dn = mjm.normalize(dd)
+    return verts[jnp.argmax(verts @ dd)] + rb * dn
+
+  z = jnp.zeros((3,), dtype=dtype)
+  eye = jnp.eye(3, dtype=dtype)
+  return mpr(sup_a, sup_b, a.mean(axis=0), b.mean(axis=0),
+             (z, eye, a), (z, eye, b), dtype)
+
+
+def _pad4(v):
+  """Pad a (n, k<=4) int array with -1 columns to width 4."""
+  if v.shape[1] == 4:
+    return v
+  fill = jnp.full((v.shape[0], 4 - v.shape[1]), -1, dtype=v.dtype)
+  return jnp.concatenate([v, fill], axis=1)
+
+
+_TET_FACES = np.array([[0, 1, 2, 3], [0, 2, 3, 1], [0, 3, 1, 2],
+                       [1, 3, 2, 0]], dtype=np.int32)
+
+
+def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
+                        flexvert1):
+  """Fill flex self-collision and internal (within-element) contact slots.
+
+  Self-collision (ContactMeta.selfgroups): static candidate element pairs
+  (precomputed without shared vertex bodies) are prefiltered per step by
+  AABB-separation top-K, then narrowphased per dim (segment-segment /
+  triangle-triangle features / tet-tet MPR) and the deepest `npair` land in
+  the group's slots — the fixed-shape analog of mj_collideFlexSAP
+  (engine_collision_driver.c:2315).
+
+  Internal (ContactMeta.intgroups): each tetrahedron's 4 face-vs-opposite-
+  vertex anti-inversion candidates (planeVertex, condim 1), top-K into the
+  group's slots (mj_collideFlexInternal, engine_collision_driver.c:2230).
+  """
+  from mujoco_tpu.ops.collision_driver import make_frame
+  flx = m.flx
+  dtype = d.qpos.dtype
+
+  for grp in m.con.selfgroups:
+    f = int(grp["flex"])
+    adr = int(grp["adr"])
+    K = int(grp["npair"])
+    dm = int(grp["dim"])
+    nvl = dm + 1
+    r = m.flex_radius[f]
+    base = int(flx.elemadr[f])
+    nel = int(flx.elemnum[f])
+    # per-element AABBs once, then per-pair separation proxy
+    ev = flx.elem[base:base + nel, :nvl]               # (E, nvl) static
+    ex = d.flexvert_xpos[ev]                           # (E, nvl, 3)
+    elo = ex.min(axis=1) - r
+    ehi = ex.max(axis=1) + r
+    e1l = grp["e1"] - base                             # static local ids
+    e2l = grp["e2"] - base
+    sep = jnp.max(jnp.maximum(elo[e1l], elo[e2l])
+                  - jnp.minimum(ehi[e1l], ehi[e2l]), axis=1)
+    P = min(4 * K, len(e1l))
+    _, pidx = jax.lax.top_k(-sep, P)
+    v1 = jnp.asarray(ev[e1l], dtype=jnp.int32)[pidx]   # (P, nvl) traced
+    v2 = jnp.asarray(ev[e2l], dtype=jnp.int32)[pidx]
+    xa = d.flexvert_xpos[v1]                           # (P, nvl, 3)
+    xb = d.flexvert_xpos[v2]
+    if dm == 1:
+      fn = lambda a, b: _seg_seg_capsule(a[0], a[1], r, b[0], b[1], r)
+      ncand = 2
+    elif dm == 2:
+      fn = lambda a, b: _tri_tri_contact(a, r, b, r)
+      ncand = 1
+    else:
+      fn = lambda a, b: _tet_tet_contact(a, r, b, r, dtype)
+      ncand = 1
+    cd, cp, cn = jax.vmap(fn)(xa, xb)                  # (P, [ncand,] ...)
+    if ncand > 1:
+      cd = cd.reshape(-1)
+      cp = cp.reshape(-1, 3)
+      cn = cn.reshape(-1, 3)
+      v1 = jnp.repeat(v1, ncand, axis=0)
+      v2 = jnp.repeat(v2, ncand, axis=0)
+    neg, idx = jax.lax.top_k(-cd, K)
+    sl = slice(adr, adr + K)
+    dist = dist.at[sl].set(-neg)
+    pos = pos.at[sl].set(cp[idx])
+    frame = frame.at[sl].set(make_frame(cn[idx], jnp.zeros((K, 3),
+                                                          dtype=dtype)))
+    flexvert1 = flexvert1.at[sl].set(_pad4(v1[idx]))
+    flexvert = flexvert.at[sl].set(_pad4(v2[idx]))
+
+  for grp in m.con.intgroups:
+    f = int(grp["flex"])
+    adr = int(grp["adr"])
+    nslots = int(grp["nslots"])
+    r = m.flex_radius[f]
+    base = int(flx.elemadr[f])
+    nel = int(flx.elemnum[f])
+    tet = flx.elem[base:base + nel]                    # (E, 4) static
+    x = d.flexvert_xpos[tet]                           # (E, 4, 3)
+    x0 = x[:, _TET_FACES[:, 0]]                        # (E, 4, 3)
+    x1 = x[:, _TET_FACES[:, 1]]
+    x2 = x[:, _TET_FACES[:, 2]]
+    xv = x[:, _TET_FACES[:, 3]]
+    nrm = mjm.normalize(jnp.cross(x1 - x0, x2 - x0))
+    dst = jnp.einsum('efc,efc->ef', xv - x0, nrm)      # (E, 4)
+    cd = jnp.where(dst > -2 * r, -dst - 2 * r, _BIG)
+    cp = xv - 0.5 * dst[..., None] * nrm
+    cn = -nrm
+    vop = tet[:, _TET_FACES[:, 3]]                     # (E, 4) opposite vert
+    cd = cd.reshape(-1)
+    cp = cp.reshape(-1, 3)
+    cn = cn.reshape(-1, 3)
+    v1s = np.repeat(tet, 4, axis=0)                    # (4E, 4) element verts
+    v2s = vop.reshape(-1)                              # (4E,) vertex
+    neg, idx = jax.lax.top_k(-cd, nslots)
+    sl = slice(adr, adr + nslots)
+    dist = dist.at[sl].set(-neg)
+    pos = pos.at[sl].set(cp[idx])
+    frame = frame.at[sl].set(make_frame(cn[idx],
+                                        jnp.zeros((nslots, 3), dtype=dtype)))
+    flexvert1 = flexvert1.at[sl].set(jnp.asarray(v1s, dtype=jnp.int32)[idx])
+    v2full = jnp.stack([jnp.asarray(v2s, dtype=jnp.int32),
+                        jnp.full((len(v2s),), -1, dtype=jnp.int32),
+                        jnp.full((len(v2s),), -1, dtype=jnp.int32),
+                        jnp.full((len(v2s),), -1, dtype=jnp.int32)], axis=1)
+    flexvert = flexvert.at[sl].set(v2full[idx])
+
+  for grp in m.con.evgroups:
+    # predefined element-vertex pairs: vertex sphere vs element, no margin
+    # (mj_collideElemVert, engine_collision_driver.c:2620)
+    f = int(grp["flex"])
+    adr = int(grp["adr"])
+    nslots = int(grp["nslots"])
+    r = m.flex_radius[f]
+    dm = int(flx.dim[f])
+    va = int(flx.vertadr[f])
+    ea = int(flx.elemadr[f])
+    ev = grp["ev"]                                     # (N, 2) local (e, v)
+    elverts = flx.elem[ea + ev[:, 0], :dm + 1]         # (N, dm+1) global
+    vg = va + ev[:, 1]                                 # (N,) global vert
+    xv = d.flexvert_xpos[vg]                           # (N, 3)
+    xe = d.flexvert_xpos[elverts]                      # (N, dm+1, 3)
+    if dm == 1:
+      fn = lambda v, e: sphere_segment(v, r, e[0], e[1], r)
+    elif dm == 2:
+      fn = lambda v, e: sphere_triangle(v, r, e[0], e[1], e[2], r)
+    else:
+      fn = lambda v, e: _tet_tet_contact(v[None], r, e, r, dtype)
+    cd, cp, cn = jax.vmap(fn)(xv, xe)
+    neg, idx = jax.lax.top_k(-cd, nslots)
+    sl = slice(adr, adr + nslots)
+    dist = dist.at[sl].set(-neg)
+    pos = pos.at[sl].set(cp[idx])
+    frame = frame.at[sl].set(make_frame(cn[idx],
+                                        jnp.zeros((nslots, 3), dtype=dtype)))
+    v1full = jnp.stack([jnp.asarray(vg, dtype=jnp.int32),
+                        jnp.full((len(vg),), -1, dtype=jnp.int32),
+                        jnp.full((len(vg),), -1, dtype=jnp.int32),
+                        jnp.full((len(vg),), -1, dtype=jnp.int32)], axis=1)
+    flexvert1 = flexvert1.at[sl].set(v1full[idx])
+    flexvert = flexvert.at[sl].set(
+        _pad4(jnp.asarray(elverts, dtype=jnp.int32))[idx])
+
+  return dist, pos, frame, flexvert, flexvert1
+
+
 def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
   """Fill flex contact slots: per (geom, flex) pair, evaluate all element
   (or vertex, for planes) candidates and keep the K deepest."""
@@ -322,10 +579,27 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
       if ncand == 1:
         cd, cp, cn = cd[:, None], cp[:, None, :], cn[:, None, :]
       cd = jnp.where(jnp.asarray(excl)[:, None], _BIG, cd)
-      cd = cd.reshape(-1)
-      cp = cp.reshape(-1, 3)
-      cn = cn.reshape(-1, 3)
-      cverts = np.repeat(cvert_of_tri, ncand, axis=0)  # (nt*ncand, <=4)
+      if int(flx.dim[f]) == 3:
+        # one contact per ELEMENT, like the reference's per-element convex
+        # call (mjc_ConvexElem, engine_collision_driver.c:2372): reduce the
+        # 4 face candidates (x ncand probes) of each tet to the deepest, so
+        # a single squashed element cannot crowd the top-K budget out of
+        # other contacting elements
+        ne = len(elems)
+        cd = cd.reshape(ne, -1)
+        cp = cp.reshape(ne, -1, 3)
+        cn = cn.reshape(ne, -1, 3)
+        best = jnp.argmin(cd, axis=1)
+        ar = jnp.arange(ne)
+        cd = cd[ar, best]
+        cp = cp[ar, best]
+        cn = cn[ar, best]
+        cverts = tet                                 # (ne, 4)
+      else:
+        cd = cd.reshape(-1)
+        cp = cp.reshape(-1, 3)
+        cn = cn.reshape(-1, 3)
+        cverts = np.repeat(cvert_of_tri, ncand, axis=0)  # (nt*ncand, <=4)
 
     # normalize vertex tuples to width 4 (-1 pad)
     if cverts.shape[1] < 4:

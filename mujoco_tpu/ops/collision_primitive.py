@@ -115,7 +115,11 @@ def capsule_capsule(p1, m1, s1, p2, m2, s2):
   u = -jnp.dot(a1, dif)
   v = jnp.dot(a2, dif)
   det = ma * mc - mb * mb
-  parallel = jnp.abs(det) < 1e-12 * ma * mc + mjm.MINVAL
+  # absolute threshold, matching the reference's `fabs(det) >= mjMINVAL`
+  # (engine_collision_primitive.c:443) — a relative test here would call
+  # near-parallel capsules "general" where the reference emits the 2-point
+  # parallel manifold
+  parallel = jnp.abs(det) < mjm.MINVAL
 
   # --- general case
   safe_det = jnp.where(parallel, 1.0, det)
@@ -130,20 +134,46 @@ def capsule_capsule(p1, m1, s1, p2, m2, s2):
   g_d, g_p, g_n = _sphere_sphere_pts(p1 + a1 * x1, s1[0], p2 + a2 * x2,
                                      s2[0], m1[:, 2], m2[:, 2])
 
-  # --- parallel case: two endpoint tests of capsule 1 against segment 2
+  # --- parallel case: endpoint tests of capsule 1 against segment 2, with
+  # the reference's x2 = ±1 fallbacks when fewer than 2 of the first pair
+  # are in contact (engine_collision_primitive.c:473-519). All 4 candidates
+  # are evaluated, then the reference's sequential early-exit is emulated by
+  # keeping the first two candidates that actually touch.
   x2a = jnp.clip((v - mb) / mc, -1, 1)
   pa_d, pa_p, pa_n = _sphere_sphere_pts(p1 + a1, s1[0], p2 + a2 * x2a,
                                         s2[0], m1[:, 2], m2[:, 2])
   x2b = jnp.clip((v + mb) / mc, -1, 1)
   pb_d, pb_p, pb_n = _sphere_sphere_pts(p1 - a1, s1[0], p2 + a2 * x2b,
                                         s2[0], m1[:, 2], m2[:, 2])
+  x1c = jnp.clip((u - mb) / ma, -1, 1)
+  pc_d, pc_p, pc_n = _sphere_sphere_pts(p1 + a1 * x1c, s1[0], p2 + a2,
+                                        s2[0], m1[:, 2], m2[:, 2])
+  x1d = jnp.clip((u + mb) / ma, -1, 1)
+  pd_d, pd_p, pd_n = _sphere_sphere_pts(p1 + a1 * x1d, s1[0], p2 - a2,
+                                        s2[0], m1[:, 2], m2[:, 2])
+  cd = jnp.stack([pa_d, pb_d, pc_d, pd_d])
+  cp = jnp.stack([pa_p, pb_p, pc_p, pd_p])
+  cn = jnp.stack([pa_n, pb_n, pc_n, pd_n])
+  # "touching" uses dist < 0 as the creation criterion (the caller's
+  # includemargin mask re-applies the true margin); first-two-actives in
+  # candidate order reproduces the reference's early exit
+  act = cd < 0
+  rank = jnp.cumsum(act) - 1
+  sel0 = jnp.argmax(act & (rank == 0))
+  sel1 = jnp.argmax(act & (rank == 1))
+  has0 = jnp.any(act & (rank == 0))
+  has1 = jnp.any(act & (rank == 1))
+  par_d = jnp.stack([jnp.where(has0, cd[sel0], cd[0]),
+                     jnp.where(has1, cd[sel1], _BIG)])
+  par_p = jnp.stack([cp[sel0], cp[sel1]])
+  par_n = jnp.stack([cn[sel0], cn[sel1]])
 
-  dist = jnp.stack([jnp.where(parallel, pa_d, g_d),
-                    jnp.where(parallel, pb_d, _BIG)])
-  pos = jnp.stack([jnp.where(parallel, pa_p, g_p),
-                   jnp.where(parallel, pb_p, g_p)])
-  normal = jnp.stack([jnp.where(parallel, pa_n, g_n),
-                      jnp.where(parallel, pb_n, g_n)])
+  dist = jnp.stack([jnp.where(parallel, par_d[0], g_d),
+                    jnp.where(parallel, par_d[1], _BIG)])
+  pos = jnp.stack([jnp.where(parallel, par_p[0], g_p),
+                   jnp.where(parallel, par_p[1], g_p)])
+  normal = jnp.stack([jnp.where(parallel, par_n[0], g_n),
+                      jnp.where(parallel, par_n[1], g_n)])
   return dist, pos, normal, jnp.zeros_like(normal)
 
 

@@ -450,8 +450,11 @@ def _contact_rows(m: Model, d: Data):
 
   con = d.contact
   enabled = not m.disabled(DisableBit.CONTACT)
-  b1 = m.geom_bodyid[m.con.geom1]
-  b2 = m.geom_bodyid[np.maximum(m.con.geom2, 0)]
+  # flex-only models (ngeom == 0): pad the geom→body table with a world-body
+  # dummy; those slots are flex-flex and both sides get overridden below
+  gbody = m.geom_bodyid if m.geom_bodyid.shape[0] else np.zeros(1, np.int32)
+  b1 = gbody[np.minimum(m.con.geom1, len(gbody) - 1)]
+  b2 = gbody[np.minimum(np.maximum(m.con.geom2, 0), len(gbody) - 1)]
   # rotational jacobians only exist in rows when some contact has
   # torsional/rolling friction (condim > 3) — skip the work otherwise
   need_rot = bool(np.any(m.con.condim > 3))
@@ -464,7 +467,7 @@ def _contact_rows(m: Model, d: Data):
     # slots carry traced geom ids — both paths build body masks by traced
     # gathers of the ancestor-mask table
     amask_all = jnp.asarray(m.tree.ancestor_mask, dtype=dtype)
-    gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+    gb = jnp.asarray(gbody, dtype=jnp.int32)
     iw = jnp.asarray(m.body_invweight0, dtype=dtype)
 
     b1_t = gb[con.geomids[:, 0]]                       # traced (ncon,)
@@ -477,19 +480,36 @@ def _contact_rows(m: Model, d: Data):
     rot2 = iw[b2_t, 1]
 
     if is_flex.any():
-      vids = con.flexvert                              # (ncon, 4) traced
-      valid = vids >= 0
-      vsafe = jnp.maximum(vids, 0)
-      vpos = d.flexvert_xpos[vsafe]                    # (ncon, 3, 3)
-      dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)
-      w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
-      w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
-      vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
-      wmask2 = jnp.einsum('cw,cwv->cv', w, amask_all[vbody])
+      def flex_side(vids):
+        """Inverse-distance weighted body mask + invweights for a flex side
+        carrying up to 4 vertex ids (mj_elemBodyWeight,
+        engine_core_constraint.c:221)."""
+        valid = vids >= 0
+        vsafe = jnp.maximum(vids, 0)
+        vpos = d.flexvert_xpos[vsafe]                  # (ncon, 4, 3)
+        dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)
+        w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
+        w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
+        vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
+        return (jnp.einsum('cw,cwv->cv', w, amask_all[vbody]),
+                jnp.einsum('cw,cw->c', w, iw[vbody, 0]),
+                jnp.einsum('cw,cw->c', w, iw[vbody, 1]))
+
+      wmask2, wtran2, wrot2 = flex_side(con.flexvert)
       isf = jnp.asarray(is_flex)
       mask2 = jnp.where(isf[:, None], wmask2, mask2)
-      tran2 = jnp.where(isf, jnp.einsum('cw,cw->c', w, iw[vbody, 0]), tran2)
-      rot2 = jnp.where(isf, jnp.einsum('cw,cw->c', w, iw[vbody, 1]), rot2)
+      tran2 = jnp.where(isf, wtran2, tran2)
+      rot2 = jnp.where(isf, wrot2, rot2)
+
+      # flex-flex (self/internal) slots: side 1 is also a weighted flex
+      # element (mjContact.flex[0]/elem[0], engine_core_constraint.c:1611)
+      is_ff = m.con.flex1 >= 0
+      if is_ff.any():
+        wmask1, wtran1, wrot1 = flex_side(con.flexvert1)
+        isff = jnp.asarray(is_ff)
+        mask1 = jnp.where(isff[:, None], wmask1, mask1)
+        tran1 = jnp.where(isff, wtran1, tran1)
+        rot1 = jnp.where(isff, wrot1, rot1)
 
     mask = mask2 - mask1
     o = d.subtree_com[m.body_rootid[m.dof_bodyid]]
