@@ -1283,6 +1283,7 @@ def make_data(m: Model, dtype=None) -> Data:
       energy=z(2),
       solver_stat=z(32, 2),
       solver_niter=jnp.zeros((), dtype=jnp.int32),
+      warning=jnp.zeros((2,), dtype=jnp.int32),
       history=jnp.asarray(_init_history(m), dtype=dtype),
       # fully awake: -(1+mjMINAWAKE) (mj_resetData, engine_io.c:1460).
       # SLEEP_INIT trees need a forward pass to fall asleep — use

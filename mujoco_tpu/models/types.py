@@ -915,6 +915,12 @@ class Data:
   # bounded-scan solver path (5 ≤ iterations ≤ 32), zeros otherwise
   solver_stat: jax.Array       # (32, 2)
   solver_niter: jax.Array      # iterations taken by the constraint solver
+  # per-step overflow counters (mjWARN_CONTACTFULL analog, mjtype.h:550-560;
+  # reference accumulates until reset, we report the CURRENT step —
+  # documented deviation). Index 0: penetrating contact candidates dropped
+  # by a full top-K slot budget (flex/self/internal groups); index 1:
+  # overlapping broadphase pairs dropped by a full dynamic pair budget.
+  warning: jax.Array           # (2,) int32
   # per-tree sleep state (mjData.tree_asleep, engine_sleep.c): < 0 awake
   # countdown (-(1+mjMINAWAKE) fully awake, -1 ready to sleep); >= 0 asleep,
   # holding the island's canonical label (smallest tree id in the island;

@@ -237,15 +237,17 @@ def collision(m: Model, d: Data) -> Data:
 
   flexvert = jnp.full((ncon, 4), -1, dtype=jnp.int32)
   flexvert1 = jnp.full((ncon, 4), -1, dtype=jnp.int32)
+  ncon_dropped = jnp.zeros((), dtype=jnp.int32)
+  npair_dropped = jnp.zeros((), dtype=jnp.int32)
   if len(m.con.flexpair_geom):
     from mujoco_tpu.ops import collision_flex
-    dist, pos, frame, flexvert = collision_flex.flex_collision(
-        m, d, dist, pos, frame, flexvert)
+    dist, pos, frame, flexvert, ncon_dropped = collision_flex.flex_collision(
+        m, d, dist, pos, frame, flexvert, ncon_dropped)
   if len(m.con.selfgroups) or len(m.con.intgroups) or len(m.con.evgroups):
     from mujoco_tpu.ops import collision_flex
-    dist, pos, frame, flexvert, flexvert1 = \
+    dist, pos, frame, flexvert, flexvert1, ncon_dropped = \
         collision_flex.flex_flex_collision(
-            m, d, dist, pos, frame, flexvert, flexvert1)
+            m, d, dist, pos, frame, flexvert, flexvert1, ncon_dropped)
   if len(m.con.sdfgroups):
     from mujoco_tpu.ops import collision_sdf
     dist, pos, frame = collision_sdf.sdf_collision(m, d, dist, pos, frame)
@@ -270,6 +272,10 @@ def collision(m: Model, d: Data) -> Data:
              - m.geom_rbound[grp["g2"]]
              - m.geom_margin[grp["g1"]] - m.geom_margin[grp["g2"]])
     _, idx = jax.lax.top_k(-score, grp["npair"])
+    # overlapping candidate pairs beyond the budget: broadphase overflow
+    # (the reference grows its arrays; we count instead — mjWARN analog)
+    npair_dropped = npair_dropped + jnp.maximum(
+        jnp.sum(score < 0) - grp["npair"], 0).astype(jnp.int32)
     sg1 = g1s[idx]
     sg2 = g2s[idx]
     out = jax.vmap(fn)(d.geom_xpos[sg1], d.geom_xmat[sg1], m.geom_size[sg1],
@@ -298,7 +304,8 @@ def collision(m: Model, d: Data) -> Data:
                     solref=solref, solreffriction=solreffriction,
                     solimp=solimp, mu=jnp.zeros((ncon,), dtype=dtype),
                     flexvert=flexvert, flexvert1=flexvert1, geomids=geomids)
-  return d.replace(contact=contact)
+  return d.replace(contact=contact,
+                   warning=jnp.stack([ncon_dropped, npair_dropped]))
 
 
 def _combine_params_traced(m: Model, g1, g2):

@@ -343,7 +343,7 @@ _TET_FACES = np.array([[0, 1, 2, 3], [0, 2, 3, 1], [0, 3, 1, 2],
 
 
 def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
-                        flexvert1):
+                        flexvert1, dropped):
   """Fill flex self-collision and internal (within-element) contact slots.
 
   Self-collision (ContactMeta.selfgroups): static candidate element pairs
@@ -402,6 +402,8 @@ def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
       v1 = jnp.repeat(v1, ncand, axis=0)
       v2 = jnp.repeat(v2, ncand, axis=0)
     neg, idx = jax.lax.top_k(-cd, K)
+    dropped = dropped + (jnp.sum(cd < 0) - jnp.sum(-neg < 0)).astype(
+        jnp.int32)
     sl = slice(adr, adr + K)
     dist = dist.at[sl].set(-neg)
     pos = pos.at[sl].set(cp[idx])
@@ -435,6 +437,8 @@ def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
     v1s = np.repeat(tet, 4, axis=0)                    # (4E, 4) element verts
     v2s = vop.reshape(-1)                              # (4E,) vertex
     neg, idx = jax.lax.top_k(-cd, nslots)
+    dropped = dropped + (jnp.sum(cd < 0) - jnp.sum(-neg < 0)).astype(
+        jnp.int32)
     sl = slice(adr, adr + nslots)
     dist = dist.at[sl].set(-neg)
     pos = pos.at[sl].set(cp[idx])
@@ -470,6 +474,8 @@ def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
       fn = lambda v, e: _tet_tet_contact(v[None], r, e, r, dtype)
     cd, cp, cn = jax.vmap(fn)(xv, xe)
     neg, idx = jax.lax.top_k(-cd, nslots)
+    dropped = dropped + (jnp.sum(cd < 0) - jnp.sum(-neg < 0)).astype(
+        jnp.int32)
     sl = slice(adr, adr + nslots)
     dist = dist.at[sl].set(-neg)
     pos = pos.at[sl].set(cp[idx])
@@ -486,9 +492,11 @@ def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
   return dist, pos, frame, flexvert, flexvert1
 
 
-def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
+def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert, dropped):
   """Fill flex contact slots: per (geom, flex) pair, evaluate all element
-  (or vertex, for planes) candidates and keep the K deepest."""
+  (or vertex, for planes) candidates and keep the K deepest. `dropped`
+  accumulates penetrating candidates that did not fit the budget
+  (mjWARN_CONTACTFULL analog)."""
   from mujoco_tpu.ops.collision_driver import make_frame
   flx = m.flx
   con = m.con
@@ -622,6 +630,8 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
     sel_n = cn[idx]
     sel_v = jnp.asarray(cverts, dtype=jnp.int32)[idx]
     sel_f = make_frame(sel_n, jnp.zeros_like(sel_n))
+    dropped = dropped + (jnp.sum(cd < 0) - jnp.sum(sel_d < 0)).astype(
+        jnp.int32)
 
     sl = slice(adr, adr + K)
     dist = dist.at[sl].set(sel_d)
@@ -629,4 +639,4 @@ def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert):
     frame = frame.at[sl].set(sel_f)
     flexvert = flexvert.at[sl].set(sel_v)
 
-  return dist, pos, frame, flexvert
+  return dist, pos, frame, flexvert, dropped

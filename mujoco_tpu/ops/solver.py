@@ -470,11 +470,43 @@ def solve_pgs(m: Model, d: Data) -> Data:
     fi = jnp.clip(f[c] - res * arinv[c], lo[c], hi[c])
     return f.at[c].set(fi)
 
-  def sweep(_, f):
+  def sweep(f):
     return jax.lax.fori_loop(0, nefc, row_update, f)
 
+  # dual cost for honest convergence reporting (solPGS accumulates per-row
+  # costChange into `improvement`, scales by 1/(meaninertia·max(1,nv)), and
+  # stops at opt.tolerance — engine_solver.c:683-720); a converged sweep
+  # freezes f so the fixed budget returns the same forces while
+  # solver_niter/solver_stat report the true iteration count
+  scale = 1.0 / (jnp.maximum(m.stat_meaninertia, mjm.MINVAL)
+                 * max(1, int(m.nv)))
+
+  def cost_of(f):
+    return 0.5 * jnp.dot(f, ar @ f) + jnp.dot(f, b)
+
+  iterations = int(m.opt.iterations)
+  tol = m.opt.tolerance
+
+  def scan_body(carry, _):
+    f, prev_cost, niter, live = carry
+    f_new = sweep(f)
+    cost = cost_of(f_new)
+    improvement = (prev_cost - cost) * scale
+    f_out = jnp.where(live, f_new, f)
+    cost_out = jnp.where(live, cost, prev_cost)
+    niter_out = niter + jnp.where(live, 1, 0)
+    live_out = live & (improvement >= tol)
+    stat = jnp.where(live, jnp.stack([improvement, cost]), 0.0)
+    return (f_out, cost_out, niter_out, live_out), stat
+
   f0 = jnp.zeros((nefc,), dtype=dtype)
-  f = jax.lax.fori_loop(0, int(m.opt.iterations), sweep, f0)
+  carry = (f0, cost_of(f0), jnp.zeros((), jnp.int32),
+           jnp.ones((), dtype=bool))
+  (f, _, niter, _), stats = jax.lax.scan(scan_body, carry, None,
+                                         length=iterations)
+  solver_stat = jnp.zeros((32, 2), dtype=dtype)
+  solver_stat = solver_stat.at[:min(iterations, 32)].set(
+      stats[:min(iterations, 32)])
 
   if int(m.opt.noslip_iterations) > 0:
     f = _noslip(m, d, f)
@@ -482,8 +514,7 @@ def solve_pgs(m: Model, d: Data) -> Data:
   qfrc = J.T @ f
   qacc = d.qacc_smooth + smooth.solve_m(m, d, qfrc)
   return d.replace(qacc=qacc, efc_force=f, qfrc_constraint=qfrc,
-                   solver_niter=jnp.asarray(int(m.opt.iterations),
-                                            dtype=jnp.int32))
+                   solver_niter=niter, solver_stat=solver_stat)
 
 
 def _qcqp(ac, bc, mu_vec, r):
