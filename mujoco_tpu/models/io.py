@@ -51,6 +51,36 @@ _PAIR_NCON = {
 }
 
 
+def _mesh_hulls(mjm: Any) -> tuple:
+  """Per-mesh convex-hull vertex ids (global rows of mesh_vert), decimated
+  to MJTPU_MAX_HULL_VERT by greedy farthest-point sampling — the TPU-side
+  analog of the compiler's qhull graph + maxhullvert decimation
+  (/root/reference/src/user/user_mesh.cc MakeGraph/maxhullvert)."""
+  nmesh = len(np.asarray(mjm.mesh_vertadr))
+  cap = int(os.environ.get("MJTPU_MAX_HULL_VERT", "64"))
+  verts_all = np.asarray(mjm.mesh_vert, dtype=np.float64)
+  hulls = []
+  for i in range(nmesh):
+    va, vn = int(mjm.mesh_vertadr[i]), int(mjm.mesh_vertnum[i])
+    v = verts_all[va:va + vn]
+    try:
+      from scipy.spatial import ConvexHull
+      idx = np.unique(np.asarray(ConvexHull(v).vertices, dtype=np.int64))
+    except Exception:                     # degenerate/flat meshes: keep all
+      idx = np.arange(vn, dtype=np.int64)
+    if len(idx) > cap:
+      pts = v[idx]
+      keep = [int(np.argmax(pts[:, 0]))]
+      dist = np.full(len(pts), np.inf)
+      for _ in range(cap - 1):
+        dist = np.minimum(dist,
+                          np.linalg.norm(pts - pts[keep[-1]], axis=1))
+        keep.append(int(np.argmax(dist)))
+      idx = idx[np.array(sorted(set(keep)), dtype=np.int64)]
+    hulls.append((va + idx).astype(np.int32))
+  return tuple(hulls)
+
+
 def _plugin_name(mjm: Any, instance: int) -> str:
   """Resolve the registered plugin-type name for an instance via the
   process-global plugin table (mjp_getPluginAtSlot; the pip bindings do not
@@ -1109,6 +1139,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       mesh_faceadr=si(mjm.mesh_faceadr), mesh_facenum=si(mjm.mesh_facenum),
       mesh_face=si(mjm.mesh_face),
       mesh_vert=jx(mjm.mesh_vert),
+      mesh_hull_idx=_mesh_hulls(mjm),
       mesh_normal=jx(np.asarray(getattr(mjm, "mesh_normal",
                                         np.zeros((0, 3)))).reshape(-1, 3)),
       mesh_normaladr=_opt_i(mjm, "mesh_normaladr",

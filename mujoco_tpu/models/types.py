@@ -681,6 +681,13 @@ class Model:
   mesh_face: np.ndarray = static_field()     # (nmeshface, 3) vertex ids
   mesh_vert: jax.Array = field()
   mesh_normal: jax.Array = field()           # (nmeshnormal, 3)             # (nmeshvert, 3)
+  # per-mesh convex-hull vertex ids (GLOBAL rows of mesh_vert), computed at
+  # put_model and decimated to MJTPU_MAX_HULL_VERT by farthest-point
+  # sampling — the compile-time hull/maxhullvert analog of
+  # mjCMesh::MakeGraph (user_mesh.cc). Convex support functions gather these
+  # static indices from the traced vertex table, so MPR cost is O(nhull)
+  # instead of O(nvert) while domain randomization still flows through.
+  mesh_hull_idx: tuple = static_field()      # tuple of (nh_i,) int32
 
   # ----- height fields (geometry static; elevation data traced so terrain
   # is domain-randomizable per env)

@@ -72,13 +72,23 @@ def _support_local(geomtype: int, size, verts, d):
 
 
 def _make_support(m: Model, geomtype: int, meshid: int):
-  """Returns fn(pos, mat, size, dir_world) → world support point."""
+  """Returns fn(pos, mat, size, dir_world) → world support point. Mesh
+  supports gather the compile-time convex hull (Model.mesh_hull_idx) so the
+  argmax runs over O(nhull) points — the mesh_graph/maxhullvert analog
+  (user_mesh.cc MakeGraph; engine hillclimb support,
+  engine_collision_convex.c:748)."""
   if geomtype == GeomType.MESH:
+    hull = None
+    if len(m.mesh_hull_idx) > meshid and len(m.mesh_hull_idx[meshid]):
+      hull = np.asarray(m.mesh_hull_idx[meshid])
     vadr = int(m.mesh_vertadr[meshid])
     vnum = int(m.mesh_vertnum[meshid])
 
     def fn(pos, mat, size, d):
-      verts = jax.lax.dynamic_slice(m.mesh_vert, (vadr, 0), (vnum, 3))
+      if hull is not None:
+        verts = m.mesh_vert[hull]                  # static-index gather
+      else:
+        verts = jax.lax.dynamic_slice(m.mesh_vert, (vadr, 0), (vnum, 3))
       dl = mat.T @ d
       return pos + mat @ _support_local(geomtype, size, verts, dl)
   else:

@@ -19,6 +19,8 @@ Mesh-mesh and box-mesh (GJK/EPA territory) are tracked for a later round.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,7 +54,14 @@ def make_plane_mesh(m: Model, meshid: int, nslot: int = 4):
 def _sphere_vs_mesh(m: Model, meshid: int, center, radius):
   """Sphere center/radius (world) vs one mesh instance placed at (p2, m2):
   callers pass center already in the MESH local frame. Returns
-  (dist, pos_local, normal_local)."""
+  (dist, pos_local, normal_local).
+
+  Midphase: meshes beyond MJTPU_FACE_BUDGET faces are prefiltered by exact
+  point-to-face-AABB distance (a lower bound on the point-triangle
+  distance), and only the K nearest faces run the exact test — the
+  fixed-shape analog of the BVH midphase (mj_collideTree,
+  engine_collision_driver.c:996). Exact whenever the true nearest face is
+  among the K best lower bounds (K=64 default)."""
   vadr = int(m.mesh_vertadr[meshid])
   vnum = int(m.mesh_vertnum[meshid])
   fadr = int(m.mesh_faceadr[meshid])
@@ -61,6 +70,15 @@ def _sphere_vs_mesh(m: Model, meshid: int, center, radius):
 
   verts = jax.lax.dynamic_slice(m.mesh_vert, (vadr, 0), (vnum, 3))
   tri = verts[faces - vadr]                  # (F, 3, 3)
+
+  budget = int(os.environ.get("MJTPU_FACE_BUDGET", "64"))
+  if fnum > budget:
+    lo = tri.min(axis=1)                     # (F, 3)
+    hi = tri.max(axis=1)
+    gap = jnp.maximum(jnp.maximum(lo - center, center - hi), 0.0)
+    score = jnp.sum(gap * gap, axis=1)       # squared point-AABB distance
+    _, fidx = jax.lax.top_k(-score, budget)
+    tri = tri[fidx]
 
   def one_face(t):
     a, b, c = t[0], t[1], t[2]
