@@ -30,6 +30,7 @@ from mujoco_tpu.ops.forward import (euler, forward, fwd_acceleration,
 from mujoco_tpu.ops.inverse import compare_fwd_inv, inverse
 from mujoco_tpu.ops.derivative_fd import transition, transition_fd
 from mujoco_tpu.ops.ray import ray, ray_geom
+from mujoco_tpu import plugin
 from mujoco_tpu import sysid
 from mujoco_tpu.ops.render import render
 from mujoco_tpu.ops.sleep import init_sleep

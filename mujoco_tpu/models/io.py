@@ -81,6 +81,13 @@ def _mesh_hulls(mjm: Any) -> tuple:
   return tuple(hulls)
 
 
+def _user_callbacks() -> tuple:
+  """Snapshot the mjcb_* analog registry (mujoco_tpu/plugin.py) into static
+  Model metadata so jit keys on the callables."""
+  from mujoco_tpu import plugin
+  return plugin.resolve()
+
+
 def _plugin_name(mjm: Any, instance: int) -> str:
   """Resolve the registered plugin-type name for an instance via the
   process-global plugin table (mjp_getPluginAtSlot; the pip bindings do not
@@ -885,11 +892,17 @@ def _actuator_meta(mjm: Any):
     biastype = np.array([bias_map[int(t)] for t in mjm.actuator_biastype],
                         dtype=np.int32)
 
+  from mujoco_tpu import plugin as _plugin_mod
+  cb_dyn, cb_gain, cb_bias, _, _ = _plugin_mod.resolve()
   for i in range(nu):
-    if dyntype[i] == DynType.USER or gaintype[i] == GainType.USER or \
-       biastype[i] == BiasType.USER:
+    # USER dyn/gain/bias route to registered pure-JAX callbacks
+    # (mjcb_act_* analog, mujoco_tpu/plugin.py); unregistered ones raise
+    if (dyntype[i] == DynType.USER and cb_dyn is None) or \
+       (gaintype[i] == GainType.USER and cb_gain is None) or \
+       (biastype[i] == BiasType.USER and cb_bias is None):
       raise NotImplementedError(
-          f"actuator {i}: USER dyn/gain/bias callbacks not supported under jit")
+          f"actuator {i}: USER dyn/gain/bias requires "
+          "plugin.set_actuator_callbacks before put_model")
     if gaintype[i] == GainType.SO3 or biastype[i] == BiasType.SO3:
       raise NotImplementedError(
           f"actuator {i}: SO3 geodesic servo not implemented yet")
@@ -1140,6 +1153,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       mesh_face=si(mjm.mesh_face),
       mesh_vert=jx(mjm.mesh_vert),
       mesh_hull_idx=_mesh_hulls(mjm),
+      user_cb=_user_callbacks(),
       mesh_normal=jx(np.asarray(getattr(mjm, "mesh_normal",
                                         np.zeros((0, 3)))).reshape(-1, 3)),
       mesh_normaladr=_opt_i(mjm, "mesh_normaladr",

@@ -689,6 +689,11 @@ class Model:
   # instead of O(nvert) while domain randomization still flows through.
   mesh_hull_idx: tuple = static_field()      # tuple of (nh_i,) int32
 
+  # ----- extension callbacks (mjcb_* analog, resolved from the plugin
+  # registry at put_model time — see mujoco_tpu/plugin.py):
+  # (act_dyn, act_gain, act_bias, sensor, passive), entries None when unset
+  user_cb: tuple = static_field()
+
   # ----- height fields (geometry static; elevation data traced so terrain
   # is domain-randomizable per env)
   hfield_adr: np.ndarray = static_field()

@@ -192,6 +192,9 @@ def _ctrl_and_actdot(m: Model, d: Data):
         i_dot = (volt / r - k / r * velocity - d.act[adr0 + cur_s]) / te
         i_dot = jnp.where(dimax > 0, jnp.clip(i_dot, -dimax, dimax), i_dot)
         out = out.at[adr0 + cur_s].set(i_dot)
+    elif dyn == DynType.USER:
+      # registered pure-JAX callback (mjcb_act_dyn analog, plugin.py)
+      out = out.at[adr0 + num - 1].set(m.user_cb[0](m, d, i))
 
     if disabled[i] and num:
       out = out.at[adr0:adr0 + num].set(0.0)
@@ -272,6 +275,9 @@ def fwd_actuation(m: Model, d: Data) -> Data:
         ci = _dcmotor_voltage(ci, li, vi, x_i, gainprm, input_mode)
     elif gt == GainType.PID:
       gain = jnp.zeros((), dtype=dtype)
+    elif gt == GainType.USER:
+      # registered pure-JAX callback (mjcb_act_gain analog, plugin.py)
+      gain = m.user_cb[1](m, d, i)
     else:
       raise NotImplementedError(f"gain type {gt}")
 
@@ -313,6 +319,9 @@ def fwd_actuation(m: Model, d: Data) -> Data:
       # back-EMF for stateless current (engine_forward.c:844)
       if int(slots[4]) < 0:
         force = force - gain * gainprm[1] * vi
+    elif bt == BiasType.USER:
+      # registered pure-JAX callback (mjcb_act_bias analog, plugin.py)
+      force = force + m.user_cb[2](m, d, i)
 
     forces.append(force)
 

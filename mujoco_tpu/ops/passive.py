@@ -126,6 +126,9 @@ def passive(m: Model, d: Data) -> Data:
     gravcomp_passive = jnp.where(jnp.asarray(mask), 0.0, qfrc_gravcomp)
 
   qfrc_passive = qfrc_spring + qfrc_damper + gravcomp_passive + qfrc_fluid
+  if m.user_cb[4] is not None:
+    # registered pure-JAX callback (mjcb_passive analog, plugin.py)
+    qfrc_passive = qfrc_passive + m.user_cb[4](m, d)
   return d.replace(qfrc_spring=qfrc_spring, qfrc_damper=qfrc_damper,
                    qfrc_gravcomp=qfrc_gravcomp, qfrc_fluid=qfrc_fluid,
                    qfrc_passive=qfrc_passive)

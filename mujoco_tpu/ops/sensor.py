@@ -750,6 +750,13 @@ def sensor_pos(m: Model, d: Data, history_adjust: bool = True) -> Data:
       val = d.energy[1]
     elif t == ST.CLOCK:
       val = d.time
+    elif t == ST.USER:
+      # registered pure-JAX callback (mjcb_sensor analog, plugin.py):
+      # fn(m, d, i) -> (dim,) written at the sensor address
+      if m.user_cb[3] is None:
+        raise NotImplementedError(
+            "USER sensor requires plugin.set_sensor_callback")
+      val = m.user_cb[3](m, d, i)
     else:
       raise NotImplementedError(f"pos-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
@@ -813,6 +820,13 @@ def sensor_vel(m: Model, d: Data, history_adjust: bool = True) -> Data:
       val = d.subtree_linvel[objid]
     elif t == ST.SUBTREEANGMOM:
       val = d.subtree_angmom[objid]
+    elif t == ST.USER:
+      # registered pure-JAX callback (mjcb_sensor analog, plugin.py):
+      # fn(m, d, i) -> (dim,) written at the sensor address
+      if m.user_cb[3] is None:
+        raise NotImplementedError(
+            "USER sensor requires plugin.set_sensor_callback")
+      val = m.user_cb[3](m, d, i)
     else:
       raise NotImplementedError(f"vel-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
@@ -880,6 +894,13 @@ def sensor_acc(m: Model, d: Data, history_adjust: bool = True) -> Data:
     elif t in (ST.FRAMELINACC, ST.FRAMEANGACC):
       acc = object_acceleration(m, d, objtype, objid, False)
       val = acc[3:] if t == ST.FRAMELINACC else acc[:3]
+    elif t == ST.USER:
+      # registered pure-JAX callback (mjcb_sensor analog, plugin.py):
+      # fn(m, d, i) -> (dim,) written at the sensor address
+      if m.user_cb[3] is None:
+        raise NotImplementedError(
+            "USER sensor requires plugin.set_sensor_callback")
+      val = m.user_cb[3](m, d, i)
     else:
       raise NotImplementedError(f"acc-stage sensor {t}")
     sd = _write(sd, adr, dim, _apply_cutoff(m, i, val))
