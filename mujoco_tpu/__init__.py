@@ -31,8 +31,9 @@ from mujoco_tpu.ops.inverse import compare_fwd_inv, inverse
 from mujoco_tpu.ops.derivative_fd import transition, transition_fd
 from mujoco_tpu.ops.ray import ray, ray_geom
 from mujoco_tpu import plugin
+from mujoco_tpu import vis
 from mujoco_tpu import sysid
-from mujoco_tpu.ops.render import render
+from mujoco_tpu.ops.render import render, render_scene
 from mujoco_tpu.ops.sleep import init_sleep
 from mujoco_tpu.ops.history import (init_ctrl_history, init_sensor_history,
                                     read_ctrl, read_sensor)

@@ -81,6 +81,40 @@ def _mesh_hulls(mjm: Any) -> tuple:
   return tuple(hulls)
 
 
+def _vis_meta_of(mjm: Any) -> dict:
+  """Visualization constants for the mjv-lite scene export (mjVisual +
+  mjStatistic subset; defaults match mj_defaultVisual for compiler-path
+  models without a vis block)."""
+  vis = getattr(mjm, "vis", None)
+  stat = getattr(mjm, "stat", None)
+  g = lambda o, path, dv: dv if o is None else float(
+      np.asarray(_attr_path(o, path, dv)).ravel()[0])
+  return dict(
+      meansize=g(stat, ("meansize",), 0.2),
+      meanmass=g(stat, ("meanmass",), 1.0),
+      contactwidth=g(vis, ("scale", "contactwidth"), 0.3),
+      contactheight=g(vis, ("scale", "contactheight"), 0.1),
+      forcewidth=g(vis, ("scale", "forcewidth"), 0.1),
+      map_force=g(vis, ("map", "force"), 0.005),
+      rgba_contactpoint=tuple(np.asarray(
+          _attr_path(vis, ("rgba", "contactpoint"), (0.9, 0.6, 0.2, 1.0)),
+          dtype=np.float64).tolist()) if vis is not None
+      else (0.9, 0.6, 0.2, 1.0),
+      rgba_contactforce=tuple(np.asarray(
+          _attr_path(vis, ("rgba", "contactforce"), (0.7, 0.9, 0.9, 1.0)),
+          dtype=np.float64).tolist()) if vis is not None
+      else (0.7, 0.9, 0.9, 1.0),
+  )
+
+
+def _attr_path(obj, path, default):
+  for p in path:
+    if obj is None or not hasattr(obj, p):
+      return default
+    obj = getattr(obj, p)
+  return obj
+
+
 def _user_callbacks() -> tuple:
   """Snapshot the mjcb_* analog registry (mujoco_tpu/plugin.py) into static
   Model metadata so jit keys on the callables."""
@@ -1154,6 +1188,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       mesh_vert=jx(mjm.mesh_vert),
       mesh_hull_idx=_mesh_hulls(mjm),
       user_cb=_user_callbacks(),
+      vis_meta=_vis_meta_of(mjm),
       mesh_normal=jx(np.asarray(getattr(mjm, "mesh_normal",
                                         np.zeros((0, 3)))).reshape(-1, 3)),
       mesh_normaladr=_opt_i(mjm, "mesh_normaladr",

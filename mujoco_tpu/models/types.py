@@ -694,6 +694,12 @@ class Model:
   # (act_dyn, act_gain, act_bias, sensor, passive), entries None when unset
   user_cb: tuple = static_field()
 
+  # ----- visualization constants for the mjv-lite scene export
+  # (mjVisual/mjStatistic subset, mujoco_tpu/vis.py): meansize, meanmass,
+  # contactwidth, contactheight, forcewidth, map_force,
+  # rgba_contactpoint/contactforce
+  vis_meta: dict = static_field()
+
   # ----- height fields (geometry static; elevation data traced so terrain
   # is domain-randomizable per env)
   hfield_adr: np.ndarray = static_field()

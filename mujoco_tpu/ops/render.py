@@ -188,3 +188,35 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
   return (rgb.reshape(height, width, 3),
           dist.reshape(height, width),
           seg.reshape(height, width))
+
+
+def render_scene(m: Model, d: Data, scene, camid: int = 0, width: int = 64,
+                 height: int = 64, geomgroup=None):
+  """Render with mjv-lite decor glyphs composited over the model geoms.
+
+  `scene` is a mujoco_tpu.vis.Scene (mjv_updateScene analog): its
+  non-CAT_GEOM slots (contact points/forces) are ray-cast with their static
+  types and traced poses and drawn flat-shaded where they are closer than
+  the physical geometry — the abstract-visualization layer the reference
+  renderers consume (engine_vis_visualize.c mjvScene)."""
+  from mujoco_tpu import vis as vis_mod
+  rgb, depth, seg = render(m, d, camid, width, height, geomgroup)
+  dtype = d.qpos.dtype
+  pnt = d.cam_xpos[camid]
+  dirs = _camera_rays(m, d, camid, width, height, dtype)
+  depth_f = depth.reshape(-1)
+  rgb_f = rgb.reshape(-1, 3)
+
+  for i in range(scene.nslot):
+    if int(scene.category[i]) == vis_mod.CAT_GEOM:
+      continue
+    t = int(scene.geom_type[i])
+    dd = jax.vmap(lambda v: ray_mod.ray_geom(
+        scene.pos[i], scene.mat[i], scene.size[i], pnt, v, t))(dirs)
+    dd = jnp.where(scene.active[i] & jnp.isfinite(dd), dd, _INF)
+    closer = dd < depth_f
+    rgb_f = jnp.where(closer[:, None], scene.rgba[i, :3], rgb_f)
+    depth_f = jnp.minimum(depth_f, dd)
+
+  return (rgb_f.reshape(height, width, 3),
+          depth_f.reshape(height, width), seg)
