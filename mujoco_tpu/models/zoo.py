@@ -33,3 +33,30 @@ def humanoid(dtype=None):
 def quadruped(dtype=None):
   """18-DoF torque-controlled quadruped (contact-rich locomotion class)."""
   return load("quadruped", dtype=dtype)
+
+
+def multi_humanoid_spec(n: int = 4, spacing: float = 3.0):
+  """MjSpec for a SINGLE scene with n flagship humanoids on one floor
+  (BASELINE.md config 5's replicate-style scene; the reference builds these
+  with <replicate>, user_api.cc attach namespacing). The humanoid's own
+  contype/conaffinity scheme already excludes humanoid-humanoid collision,
+  so the potential coupling graph decomposes per humanoid and the island
+  solver (ops/island.py) runs each robot as its own fixed-shape island."""
+  from mujoco_tpu.compiler.spec_api import MjSpec
+  with open(os.path.join(_ASSETS, "humanoid.xml")) as f:
+    xml = f.read()
+  scene = MjSpec.from_xml(xml)
+  part = MjSpec.from_xml(xml)
+  part.worldbody.delete(part.find("floor"))
+  for i in range(1, n):
+    scene.attach(part, prefix=f"h{i}_")
+    root = scene.find(f"h{i}_root")
+    row, col = divmod(i, max(1, int(round(n ** 0.5))))
+    root.set(pos=[spacing * row, spacing * col, 1.35])
+  return scene
+
+
+def multi_humanoid(n: int = 4, spacing: float = 3.0, dtype=None):
+  """Compiled single-scene n-humanoid Model (see multi_humanoid_spec)."""
+  from mujoco_tpu.models import io
+  return io.put_model(multi_humanoid_spec(n, spacing).compile(), dtype=dtype)

@@ -272,9 +272,47 @@ def _linesearch(m: Model, d: Data, jar0, jp, gx0, pmp):
 
 def solve(m: Model, d: Data) -> Data:
   """Newton/CG/PGS solve → qacc, qfrc_constraint, efc_force
-  (mj_fwdConstraint tail, engine_forward.c:1151)."""
+  (mj_fwdConstraint tail, engine_forward.c:1151). Multi-tree models under
+  Newton + pyramidal dispatch to the island-decomposed solve (ops/island.py,
+  the solveIslandTask analog, engine_forward.c:1190-1226)."""
   if int(m.opt.solver) == int(SolverType.PGS):
     return solve_pgs(m, d)
+  from mujoco_tpu.ops import island as _island
+  if _island.use_islands(m):
+    x, force, niter, solver_stat = _island.solve_core(m, d)
+    if int(m.opt.noslip_iterations) > 0:
+      from mujoco_tpu.ops import linalg_tpu
+      force = _noslip(m, d, force)
+      qfrc = d.efc_J.T @ force
+      x = d.qacc_smooth + linalg_tpu.spd_solve(d.qM, qfrc)
+    else:
+      qfrc = d.efc_J.T @ force
+    return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
+                     solver_niter=niter, solver_stat=solver_stat)
+  return _monolithic_solve(m, d)
+
+
+def monolithic_core(m: Model, d: Data):
+  """Monolithic Newton/CG core returning (qacc, efc_force, niter, stat) —
+  also the lax.cond fallback branch for island budget overflow."""
+  return _core(m, d)
+
+
+def _monolithic_solve(m: Model, d: Data) -> Data:
+  x, force, niter, solver_stat = _core(m, d)
+  if int(m.opt.noslip_iterations) > 0:
+    # noslip post-pass applies to all solvers (mj_fwdConstraint tail)
+    from mujoco_tpu.ops import linalg_tpu
+    force = _noslip(m, d, force)
+    qfrc = d.efc_J.T @ force
+    x = d.qacc_smooth + linalg_tpu.spd_solve(d.qM, qfrc)
+  else:
+    qfrc = d.efc_J.T @ force
+  return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
+                   solver_niter=niter, solver_stat=solver_stat)
+
+
+def _core(m: Model, d: Data):
   dtype = d.qpos.dtype
   nv = m.nv
 
@@ -401,17 +439,7 @@ def solve(m: Model, d: Data) -> Data:
 
   jar = J @ x - aref
   ctx = _update(m, d, jar)
-  force = ctx.force
-  if int(m.opt.noslip_iterations) > 0:
-    # noslip post-pass applies to all solvers (mj_fwdConstraint tail)
-    from mujoco_tpu.ops import smooth, linalg_tpu
-    force = _noslip(m, d, force)
-    qfrc = J.T @ force
-    x = d.qacc_smooth + linalg_tpu.spd_solve(d.qM, qfrc)
-  else:
-    qfrc = J.T @ force
-  return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
-                   solver_niter=niter, solver_stat=solver_stat)
+  return x, ctx.force, niter, solver_stat
 
 
 # ---------------------------------------------------------------------------
