@@ -616,14 +616,16 @@ class _Compiler:
   def _compile_flexcomp(self, el: Element, body: int, fpos, fquat):
     """Procedural flex generation (mjCFlexcomp, user_flexcomp.cc): grid /
     direct vertex layouts -> per-vertex slide-jointed point bodies (pinned
-    vertices ride the parent body), triangle elements and deduplicated
-    edges. Engine support covers dim-1 (cable) and dim-2 (shell) flex."""
+    vertices ride the parent body), line/triangle/tetrahedron elements and
+    deduplicated edges. Covers dim-1 (cable), dim-2 (shell) and dim-3
+    (solid, 6 tets per grid cube — MakeGrid cube2tets,
+    user_flexcomp.cc:903-946)."""
     a = el.attrs
     fid = len(self.flexes)
     name = _s(a, "name", f"flex{fid}")
     dim = int(_s(a, "dim", "2"))
-    if dim not in (1, 2):
-      raise NotImplementedError("flexcomp dim-3 (solid) flex")
+    if dim not in (1, 2, 3):
+      raise ValueError(f"flexcomp dim {dim}")
     radius = float(_s(a, "radius", "0.005"))
     mass = float(_s(a, "mass", "1"))
     pos = fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat)
@@ -648,19 +650,21 @@ class _Compiler:
       cnt = [int(x) for x in _s(a, "count", "10 10 10").split()]
       cnt += [1] * (3 - len(cnt))
       nx, ny, nz = cnt[:3]
-      if nz != 1:
-        raise NotImplementedError("3D grid flexcomp (dim-3 flex)")
+      if dim < 3 and nz != 1:
+        raise ValueError("dim<3 grid flexcomp needs count '... 1'")
       spacing = _f(a, "spacing", [0.02, 0.02, 0.02], 3)
-      verts = []
-      for ix in range(nx):                       # x-major vertex order
+      verts = []                                 # x-major vertex order:
+      for ix in range(nx):                       # id = (ix*ny + iy)*nz + iz
         for iy in range(ny):
-          verts.append(np.array([(ix - (nx - 1) / 2) * spacing[0],
-                                 (iy - (ny - 1) / 2) * spacing[1], 0.0]))
+          for iz in range(nz):
+            verts.append(np.array([(ix - (nx - 1) / 2) * spacing[0],
+                                   (iy - (ny - 1) / 2) * spacing[1],
+                                   (iz - (nz - 1) / 2) * spacing[2]]))
       if dim == 1:
         if ny != 1:
           raise ValueError("dim-1 flexcomp needs count of the form 'n 1 1'")
         elems = [(i, i + 1) for i in range(nx - 1)]
-      else:
+      elif dim == 2:
         elems = []
         for ix in range(nx - 1):                 # two triangles per cell
           for iy in range(ny - 1):
@@ -670,6 +674,24 @@ class _Compiler:
             v11 = v10 + 1
             elems.append((v00, v10, v11))
             elems.append((v00, v11, v01))
+      else:
+        # 6 tetrahedra per cube (cube2tets, user_flexcomp.cc:903-910)
+        cube2tets = ((0, 3, 1, 7), (0, 1, 4, 7), (1, 3, 2, 7),
+                     (1, 2, 6, 7), (1, 5, 4, 7), (1, 6, 5, 7))
+        elems = []
+        for ix in range(nx - 1):
+          for iy in range(ny - 1):
+            for iz in range(nz - 1):
+              c = [(ix + 0) * ny * nz + (iy + 0) * nz + iz + 0,
+                   (ix + 1) * ny * nz + (iy + 0) * nz + iz + 0,
+                   (ix + 1) * ny * nz + (iy + 1) * nz + iz + 0,
+                   (ix + 0) * ny * nz + (iy + 1) * nz + iz + 0,
+                   (ix + 0) * ny * nz + (iy + 0) * nz + iz + 1,
+                   (ix + 1) * ny * nz + (iy + 0) * nz + iz + 1,
+                   (ix + 1) * ny * nz + (iy + 1) * nz + iz + 1,
+                   (ix + 0) * ny * nz + (iy + 1) * nz + iz + 1]
+              for t in cube2tets:
+                elems.append(tuple(c[v] for v in t))
     elif ftype == "direct":
       pts = _f(a, "point").reshape(-1, 3)
       verts = [p for p in pts]
@@ -678,14 +700,29 @@ class _Compiler:
     else:
       raise NotImplementedError(f"flexcomp type '{ftype}'")
 
-    # edges per element in reference order: dim-2 triangles contribute
-    # (v1,v2), (v0,v2), (v0,v1); dim-1 elements ARE the edges
+    # reorder tets so right-handed face orientation points outward
+    # (mjCFlex::Compile, user_mesh.cc:4842-4863): faces are (0,1,2),
+    # (0,2,3), (0,3,1), (1,3,2); wrong-handed tets swap v1<->v2
+    if dim == 3:
+      fixed = []
+      for el_v in elems:
+        p = [np.asarray(verts[v]) for v in el_v]
+        if np.dot(np.cross(p[1] - p[0], p[2] - p[0]), p[3] - p[0]) > 0:
+          el_v = (el_v[0], el_v[2], el_v[1], el_v[3])
+        fixed.append(el_v)
+      elems = fixed
+
+    # edges per element in reference order (eledge simplex connectivity,
+    # user_mesh.cc:3390): dim-1 elements ARE the edges; dim-2 triangles
+    # contribute (v1,v2), (v2,v0), (v0,v1); dim-3 tets contribute
+    # (v0,v1), (v1,v2), (v2,v0), (v2,v3), (v0,v3), (v1,v3)
+    eledge = {1: ((0, 1),),
+              2: ((1, 2), (2, 0), (0, 1)),
+              3: ((0, 1), (1, 2), (2, 0), (2, 3), (0, 3), (1, 3))}
     edges, seen = [], set()
     for el_v in elems:
-      pairs = ([tuple(el_v)] if dim == 1 else
-               [(el_v[1], el_v[2]), (el_v[0], el_v[2]), (el_v[0], el_v[1])])
-      for pq in pairs:
-        k = (min(pq), max(pq))
+      for i, j in eledge[dim]:
+        k = (min(el_v[i], el_v[j]), max(el_v[i], el_v[j]))
         if k not in seen:
           seen.add(k)
           edges.append(k)

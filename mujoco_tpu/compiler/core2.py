@@ -912,12 +912,8 @@ def _flex_emit(self, m) -> None:
   m.flex_conaffinity = np.array([int(c.get("conaffinity", "1"))
                                  for c in ca], dtype=np.int32)
   selfmap = {"none": 0, "narrow": 1, "bvh": 2, "sap": 3, "auto": 4}
-  # engine supports no self-collision: default none (deviation from the
-  # reference's auto default, which the engine would reject)
   m.flex_selfcollide = np.array(
-      [selfmap[c.get("selfcollide", "none")] for c in ca], dtype=np.int32)
-  if m.flex_selfcollide.any():
-    raise NotImplementedError("flex self-collision")
+      [selfmap[c.get("selfcollide", "auto")] for c in ca], dtype=np.int32)
   m.flex_internal = np.array(
       [c.get("internal", "false") in ("true", "1") for c in ca],
       dtype=np.int32)
@@ -938,6 +934,88 @@ def _flex_emit(self, m) -> None:
   m.flexedge_invweight0 = np.zeros(m.nflexedge)
   m.flex_body_simple = np.array(
       [bool(b.get("flex_simple")) for b in self.bodies], dtype=bool)
+
+  # fragment topology: elemlayer (dim-3 surface distance) + evpairs
+  # (dim<3 internal element-vertex pairs), mjCFlex::Compile fragment
+  # processing (user_mesh.cc:5470-5665)
+  m.flex_activelayers = np.array(
+      [int(c.get("activelayers", "1")) for c in ca], dtype=np.int32)
+  layers, evpairs, evnum = [], [], []
+  for f in flexes:
+    layer, ev = _flex_topology(f["dim"], f["elems"])
+    layers.append(layer)
+    evpairs.append(ev)
+    evnum.append(len(ev) // 2)
+  m.flex_elemlayer = (np.concatenate(layers).astype(np.int32)
+                      if layers else np.zeros(0, dtype=np.int32))
+  m.flex_evpairnum = np.array(evnum, dtype=np.int32)
+  m.flex_evpairadr = np.where(
+      m.flex_evpairnum > 0,
+      np.cumsum([0] + evnum[:-1]), -1).astype(np.int32)
+  m.flex_evpair = (np.concatenate(evpairs).astype(np.int32)
+                   if evpairs else np.zeros(0, dtype=np.int32))
+
+
+def _flex_topology(dim: int, elems):
+  """Border fragments -> element connectivity -> elemlayer + evpairs.
+
+  Mirrors mjCFlex::Compile's fragment pass (user_mesh.cc:5470-5665):
+  fragments are each element's (dim)-vertex faces, keyed by sorted vertex
+  ids; a fragment appearing once is border, consecutive equal fragments
+  connect their elements. elemlayer is 0 for dim<3 and the value-iterated
+  distance from border elements for dim-3; evpairs (dim<3 only) pair each
+  connected border element with the opposite vertex of its neighbor."""
+  nelem = len(elems)
+  frag_order = {1: ((0,), (1,)),
+                2: ((0, 1), (2, 0), (1, 2)),
+                3: ((0, 1, 2), (0, 3, 1), (0, 2, 3), (1, 3, 2))}[dim]
+  frags = []
+  for e, el in enumerate(elems):
+    for orig in frag_order:
+      ov = tuple(el[i] for i in orig)
+      frags.append((tuple(sorted(ov)), e, ov))
+  frags.sort(key=lambda t: (t[0], t[1], t[2]))
+
+  border = np.zeros(nelem, dtype=bool)
+  connect = []                        # (e1, e2, sorted frag verts)
+  cnt = 1
+  for n in range(1, len(frags)):
+    if frags[n - 1][0] == frags[n][0]:
+      connect.append((frags[n - 1][1], frags[n][1], frags[n][0]))
+      cnt += 1
+    else:
+      if cnt == 1:
+        border[frags[n - 1][1]] = True
+      cnt = 1
+  if cnt == 1 and frags:
+    border[frags[-1][1]] = True
+
+  if dim < 3:
+    layer = np.zeros(nelem, dtype=np.int32)
+  else:
+    layer = np.full(nelem, nelem + 1, dtype=np.int32)
+    layer[border] = 0
+    change = True
+    while change:
+      change = False
+      for e1, e2, _ in connect:
+        if layer[e1] > layer[e2] + 1:
+          layer[e1] = layer[e2] + 1
+          change = True
+        elif layer[e2] > layer[e1] + 1:
+          layer[e2] = layer[e1] + 1
+          change = True
+
+  ev = []
+  if dim < 3:
+    for e1, e2, frag in connect:
+      if border[e1] or border[e2]:
+        pair = (e1, e2)
+        for ei in range(2):
+          for v in elems[pair[ei]]:
+            if v not in frag:
+              ev.extend([pair[1 - ei], v])
+  return layer, np.array(ev, dtype=np.int32)
 
 
 def _tree_meta(self, m) -> None:

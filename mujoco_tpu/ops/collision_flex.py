@@ -489,7 +489,7 @@ def flex_flex_collision(m: Model, d: Data, dist, pos, frame, flexvert,
     flexvert = flexvert.at[sl].set(
         _pad4(jnp.asarray(elverts, dtype=jnp.int32))[idx])
 
-  return dist, pos, frame, flexvert, flexvert1
+  return dist, pos, frame, flexvert, flexvert1, dropped
 
 
 def flex_collision(m: Model, d: Data, dist, pos, frame, flexvert, dropped):

@@ -509,6 +509,91 @@ def test_flexcomp_free_cloth_on_floor():
   assert np.all(z < 0.05)
 
 
+def _field_parity(xml):
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  bad = []
+  for f in sorted(dir(cm)):
+    if f.startswith("_"):
+      continue
+    a = getattr(cm, f)
+    if not isinstance(a, np.ndarray) or a.size == 0:
+      continue
+    b = getattr(mjm, f, None)
+    if b is None:
+      continue
+    try:
+      err = np.abs(a.astype(np.float64)
+                   - np.asarray(b, dtype=np.float64).reshape(a.shape)).max()
+    except Exception:
+      bad.append((f, "shape"))
+      continue
+    if err > 1e-8:
+      bad.append((f, err))
+  assert not bad, bad
+  return cm, mjm
+
+
+def test_flexcomp_dim3_field_exact():
+  """Dim-3 (solid) flexcomp: 6-tets-per-cube grid, outward tet orientation,
+  eledge edge order, elemlayer surface distance — field-exact vs the
+  reference compiler (MakeGrid cube2tets user_flexcomp.cc:903-946, fragment
+  pass user_mesh.cc:5470-5665), and the native-compiled model steps
+  bit-identically to the pip-loaded one through this engine."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <flexcomp name="gel" type="grid" count="3 3 3" spacing="0.06 0.06 0.06"
+              pos="0 0 0.2" dim="3" mass="0.8" radius="0.005">
+      <edge equality="true"/>
+      <contact selfcollide="none" internal="true"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  cm, mjm = _field_parity(xml)
+  assert cm.nflexelem == 48 == mjm.nflexelem
+  assert int(cm.flex_dim[0]) == 3
+
+  m_nat = io.put_model(cm)
+  m_pip = io.put_model(mjm)
+  d_nat = io.make_data(m_nat)
+  d_pip = io.make_data(m_pip)
+  mjd = mujoco.MjData(mjm)
+  step_nat = jax.jit(lambda dd: forward.step(m_nat, dd))
+  step_pip = jax.jit(lambda dd: forward.step(m_pip, dd))
+  for t in range(120):
+    d_nat = step_nat(d_nat)
+    d_pip = step_pip(d_pip)
+    mujoco.mj_step(mjm, mjd)
+    if t == 60:           # pre-contact free fall: oracle-exact
+      np.testing.assert_allclose(np.asarray(d_nat.qpos), mjd.qpos,
+                                 atol=1e-12)
+  # in-contact: native == pip-loaded bitwise (engine deviations cancel)
+  assert np.array_equal(np.asarray(d_nat.qpos), np.asarray(d_pip.qpos))
+  assert mjd.ncon > 0
+
+
+def test_flexcomp_dim2_internal_evpairs():
+  """Dim-2 flexcomp with internal collision: element-vertex pairs match
+  the reference compiler exactly (evpair creation, user_mesh.cc:5643-5665,
+  -1 address convention for empty flexes)."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <flexcomp name="sheet" type="grid" count="4 3 1" spacing="0.06 0.06 0.06"
+              pos="0 0 0.2" dim="2" mass="0.4" radius="0.006">
+      <edge equality="true"/>
+      <contact selfcollide="none" internal="true"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  cm, mjm = _field_parity(xml)
+  assert cm.flex_evpairnum[0] == 24 == mjm.flex_evpairnum[0]
+
+
 def test_model_save_load_roundtrip(tmp_path):
   """Binary serialization (mj_saveModel/mj_loadModel analog,
   engine_io.c:514-640): save -> load round-trips every array byte-exactly
