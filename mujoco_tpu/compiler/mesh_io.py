@@ -72,14 +72,43 @@ def load_stl(path: str):
   return verts, faces
 
 
+def load_msh(path: str):
+  """Legacy binary MSH (user_mesh.cc LoadMSH:1101): int32 header
+  [nvert, nnormal, ntexcoord, nface], float32 vertices (3n), normals (3n),
+  texcoords (2n), int32 faces (3f). Normals/texcoords are parsed for
+  layout validation and discarded (the engine recomputes shading)."""
+  with open(path, "rb") as f:
+    raw = f.read()
+  if len(raw) < 16:
+    raise ValueError(f"missing header in MSH file '{path}'")
+  nv, nn, nt, nf = _struct.unpack_from("<4i", raw, 0)
+  if nv < 4 or nf < 0 or nn < 0 or nt < 0 or (nn and nn != nv) or \
+      (nt and nt != nv):
+    raise ValueError(f"invalid sizes in MSH file '{path}'")
+  expect = 16 + 12 * nv + 12 * nn + 8 * nt + 12 * nf
+  if len(raw) != expect:
+    raise ValueError(f"unexpected file size in MSH file '{path}' "
+                     f"({len(raw)} != {expect})")
+  off = 16
+  verts = np.frombuffer(raw, dtype="<f4", count=3 * nv,
+                        offset=off).reshape(nv, 3).astype(np.float64)
+  off += 12 * nv + 12 * nn + 8 * nt
+  faces = (np.frombuffer(raw, dtype="<i4", count=3 * nf,
+                         offset=off).reshape(nf, 3).astype(np.int32)
+           if nf else None)
+  return verts, faces
+
+
 def load_mesh_file(path: str):
   ext = os.path.splitext(path)[1].lower()
   if ext == ".obj":
     return load_obj(path)
   if ext == ".stl":
     return load_stl(path)
-  raise NotImplementedError(f"mesh file format '{ext}' (OBJ/STL supported; "
-                            "legacy MSH is not)")
+  if ext == ".msh":
+    return load_msh(path)
+  raise NotImplementedError(f"mesh file format '{ext}' "
+                            "(OBJ/STL/MSH supported)")
 
 
 def volumetric_frame(verts: np.ndarray, faces: np.ndarray):

@@ -8,7 +8,8 @@ becomes geoms (visuals are discarded, mirroring discardvisual), and link
 inertials carry over as explicit <inertial> elements with the full inertia
 tensor. Joint mapping (urJoint_map, xml_urdf.cc:35): revolute→hinge with
 limits, continuous→hinge, prismatic→slide, fixed→weld, floating→free,
-spherical→ball; planar is not supported.
+spherical→ball; planar is not supported. <mimic> becomes an mjEQ_JOINT
+polynomial coupling (the reference's URDF reader drops mimic silently).
 """
 
 from __future__ import annotations
@@ -73,12 +74,23 @@ class _UrdfReader:
     self.mesh_names: Dict[str, str] = {}
 
   def run(self) -> Spec:
+    equalities: List[Element] = []
     for el in self.root:
       if el.tag == "link":
         self.links[el.get("name")] = el
       elif el.tag == "joint":
-        if el.find("mimic") is not None:
-          raise NotImplementedError("URDF mimic joints")
+        mimic = el.find("mimic")
+        if mimic is not None:
+          # URDF mimic: q = multiplier*q_ref + offset. The reference's URDF
+          # reader silently DROPS mimic tags (xml_urdf.cc has no handling);
+          # here it maps onto the native mjEQ_JOINT coupling with
+          # polycoef = [offset, multiplier, 0, 0, 0] (URDF joints have
+          # qpos0 = 0, so the polynomial is absolute).
+          mult = float(mimic.get("multiplier", "1"))
+          off = float(mimic.get("offset", "0"))
+          equalities.append(Element(kind="joint", attrs={
+              "joint1": el.get("name"), "joint2": mimic.get("joint"),
+              "polycoef": f"{off} {mult} 0 0 0"}))
         self.joints.append(el)
 
     children = {}
@@ -102,7 +114,7 @@ class _UrdfReader:
     return Spec(option={}, flags={},
                 compiler={"angle": "radian", "meshdir": self.mesh_dir},
                 worldbody=world, assets=self.assets, actuators=[],
-                sensors=[], tendons=[], equalities=[], contacts=[],
+                sensors=[], tendons=[], equalities=equalities, contacts=[],
                 keyframes=[])
 
   def _emit_joint_subtree(self, joint: ET.Element, parent: Element,

@@ -698,3 +698,37 @@ def test_cable_composite_free_head():
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
+
+
+def test_msh_file_mesh(tmp_path):
+  """Legacy binary MSH loading (user_mesh.cc LoadMSH:1101): header-driven
+  vertex/face blocks; mass properties and mesh fields match the reference
+  compiler."""
+  import struct
+  verts = [(0, 0, 0), (0.8, 0, 0), (0, 0.9, 0), (0, 0, 1.1),
+           (0.5, 0.5, 0.7)]
+  faces = [(0, 2, 1), (0, 1, 3), (0, 3, 2), (1, 2, 4), (2, 3, 4),
+           (3, 1, 4)]
+  with open(tmp_path / "blob.msh", "wb") as f:
+    f.write(struct.pack("<4i", len(verts), 0, 0, len(faces)))
+    for v in verts:
+      f.write(struct.pack("<3f", *v))
+    for fc in faces:
+      f.write(struct.pack("<3i", *fc))
+  xml = f"""
+<mujoco>
+  <compiler meshdir="{tmp_path}"/>
+  <asset><mesh name="blob" file="blob.msh"/></asset>
+  <worldbody>
+    <body pos="0 0 1"><freejoint/><geom type="mesh" mesh="blob"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert cm.mesh_vertnum[0] == 5 and cm.mesh_facenum[0] == 6
+  np.testing.assert_allclose(cm.body_mass, mjm.body_mass, atol=1e-6)
+  np.testing.assert_allclose(cm.mesh_pos, mjm.mesh_pos, atol=1e-6)
+  np.testing.assert_allclose(cm.body_inertia, mjm.body_inertia, atol=1e-6)
+  np.testing.assert_allclose(cm.mesh_vert,
+                             np.asarray(mjm.mesh_vert).reshape(-1, 3),
+                             atol=1e-6)

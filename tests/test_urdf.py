@@ -141,3 +141,59 @@ def test_urdf_floating_and_fixed_joints():
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+
+
+def test_urdf_mimic_joint():
+  """<mimic> maps to an mjEQ_JOINT polynomial coupling (the reference's
+  URDF reader drops mimic silently — this importer keeps the semantics):
+  the follower tracks q = multiplier*q_leader + offset."""
+  urdf = """
+<robot name="gripper">
+  <link name="base">
+    <inertial><mass value="1"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision><geometry><box size="0.1 0.1 0.1"/></geometry></collision>
+  </link>
+  <link name="finger_l">
+    <inertial><mass value="0.1"/>
+      <inertia ixx="0.0005" iyy="0.0005" izz="0.0005" ixy="0" ixz="0"
+               iyz="0"/></inertial>
+    <collision><geometry><sphere radius="0.02"/></geometry></collision>
+  </link>
+  <link name="finger_r">
+    <inertial><mass value="0.1"/>
+      <inertia ixx="0.0005" iyy="0.0005" izz="0.0005" ixy="0" ixz="0"
+               iyz="0"/></inertial>
+    <collision><geometry><sphere radius="0.02"/></geometry></collision>
+  </link>
+  <joint name="drive" type="prismatic">
+    <origin xyz="0.1 0.05 0"/>
+    <parent link="base"/><child link="finger_l"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-0.04" upper="0.04" effort="10"/>
+    <dynamics damping="0.5"/>
+  </joint>
+  <joint name="follow" type="prismatic">
+    <origin xyz="0.1 -0.05 0"/>
+    <parent link="base"/><child link="finger_r"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-0.05" upper="0.05" effort="10"/>
+    <dynamics damping="0.5"/>
+    <mimic joint="drive" multiplier="-1" offset="0.01"/>
+  </joint>
+</robot>"""
+  cm = load_urdf(urdf)
+  assert cm.neq == 1
+  m = io.put_model(cm)
+  d = io.make_data(m)
+  qfrc = np.zeros(m.nv)
+  qfrc[0] = 2.0                      # push the drive joint
+  d = d.replace(qfrc_applied=jnp.asarray(qfrc))
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(400):
+    d = step(d)
+  q = np.asarray(d.qpos)
+  # follower satisfies q1 = -q0 + 0.01 through the equality
+  assert abs(q[0]) > 1e-3            # the drive actually moved
+  np.testing.assert_allclose(q[1], -q[0] + 0.01, atol=1e-6)
