@@ -13,6 +13,7 @@ both the reference compiler and this one.
 
 from __future__ import annotations
 
+import copy
 import math
 import os
 from types import SimpleNamespace
@@ -305,10 +306,102 @@ def load_xml_path(path: str) -> "CompiledModel":
 
 def compile_spec(spec: Spec) -> "CompiledModel":
   from mujoco_tpu.compiler import setconst
+  _expand_replicates(spec)
   c = _Compiler(spec)
   m = c.run()
   setconst.set_const(m)
   return m
+
+
+# <replicate>: meta-element cloning a subtree count times with accumulated
+# frame offsets and zero-padded name suffixes, pulling referencing
+# actuators/sensors/tendons/equalities/contacts along with each copy
+# (xml_native_reader.cc:2494-2562 + the mjs_attach suffix machinery,
+# user_api.cc). Expanded here as a spec-level pass: each copy is wrapped in
+# a <frame pos quat>, so downstream compilation needs no new machinery.
+_REPL_REF_ATTRS = ("joint", "joint1", "joint2", "site", "geom", "geom1",
+                   "geom2", "body1", "body2", "subtree1", "subtree2",
+                   "tendon", "tendon1", "tendon2", "objname", "target",
+                   "refname", "sidesite", "body")
+
+
+def _expand_replicates(spec: Spec) -> None:
+  deg = _s(spec.compiler, "angle", "degree") == "degree"
+  eseq = _s(spec.compiler, "eulerseq", "xyz")
+
+  def collect_names(el: Element, out):
+    if "name" in el.attrs:
+      out.add(el.attrs["name"])
+    for c in el.children:
+      collect_names(c, out)
+
+  def rename(el: Element, names, suffix):
+    if el.attrs.get("name") in names:
+      el.attrs["name"] = el.attrs["name"] + suffix
+    for a in _REPL_REF_ATTRS:
+      if el.attrs.get(a) in names:
+        el.attrs[a] = el.attrs[a] + suffix
+    for c in el.children:
+      rename(c, names, suffix)
+
+  def references(el: Element, names) -> bool:
+    if any(el.attrs.get(a) in names for a in _REPL_REF_ATTRS):
+      return True
+    return any(references(c, names) for c in el.children)
+
+  def expand(parent: Element) -> None:
+    new_children = []
+    for el in parent.children:
+      if el.kind != "replicate":
+        expand(el)
+        new_children.append(el)
+        continue
+      expand(el)                              # nested replicates first
+      count = int(el.attrs["count"])
+      offset = _f(el.attrs, "offset", [0, 0, 0], 3)
+      rot = _quat_from_attrs(el.attrs, deg, eseq)
+      euler = _f(el.attrs, "euler", [0, 0, 0], 3)
+      sep = el.attrs.get("sep", "")
+      ndigits = len(str(count))
+
+      names = set()
+      for c in el.children:
+        collect_names(c, names)
+      reffing = []                            # (list, element) to clone
+      for lst in (spec.actuators, spec.sensors, spec.tendons,
+                  spec.equalities, spec.contacts):
+        for t in lst:
+          if references(t, names):
+            reffing.append((lst, t))
+
+      pos = np.zeros(3)
+      quat = np.array([1.0, 0, 0, 0])
+      for i in range(count):
+        suffix = sep + str(i).zfill(ndigits)
+        # orientation recomputed from i*euler for precision
+        # (xml_native_reader.cc:2536-2540); position accumulated by
+        # mjuu_frameaccum
+        qi = _quat_from_attrs({"euler": " ".join(repr(float(x) * i)
+                                                 for x in euler)}, deg, eseq)
+        frame = Element(kind="frame", attrs={
+            "pos": " ".join(repr(float(x)) for x in pos),
+            "quat": " ".join(repr(float(x)) for x in qi)})
+        for c in el.children:
+          cc = copy.deepcopy(c)
+          rename(cc, names, suffix)
+          frame.children.append(cc)
+        new_children.append(frame)
+        for lst, t in reffing:
+          tt = copy.deepcopy(t)
+          rename(tt, names, suffix)
+          lst.append(tt)
+        pos = pos + _rotvec(offset, quat)
+        quat = _mulquat(quat, rot)
+      for lst, t in reffing:
+        lst.remove(t)
+    parent.children[:] = new_children
+
+  expand(spec.worldbody)
 
 
 class _Compiler:

@@ -829,7 +829,65 @@ def _emit(self) -> CompiledModel:
                  if nk else np.zeros((0, 4 * self.nmocap)))
   _flex_emit(self, m)
   _tree_meta(self, m)
+  _body_simple(self, m)
   return m
+
+
+def _body_simple(self, m) -> None:
+  """mjModel.body_simple (user_model.cc:1012-1062): leaf bodies with an
+  identity inertial frame that are direct world children (or children of a
+  static direct world child), demoted for offset/misaligned joints or
+  multiple rotational dofs; promoted to 2 when every joint is a slide.
+  Consumed by setconst's invweight shortcuts
+  (engine_setconst.c:913-921, 940-948)."""
+  nbody = len(self.bodies)
+  par = m.body_parentid
+  simple = np.zeros(nbody, dtype=np.int32)
+  simple[0] = 1        # world: init passes, never demoted (parent demotion
+                       # skips id 0, user_model.cc:2926-2928)
+  jnts_of = {}
+  for jd in self.joints:
+    jnts_of.setdefault(jd["body"], []).append(jd)
+  is_parent = np.zeros(nbody, dtype=bool)
+  for b in range(1, nbody):
+    is_parent[par[b]] = True
+  for b in range(1, nbody):
+    sameframe = (np.abs(m.body_ipos[b]).max() < 1e-14
+                 and np.abs(m.body_iquat[b]
+                            - np.array([1.0, 0, 0, 0])).max() < 1e-14)
+    chain_ok = (par[b] == 0
+                or (par[b] > 0 and par[par[b]] == 0
+                    and m.body_dofnum[par[b]] == 0))
+    if not sameframe or not chain_ok or is_parent[b]:
+      continue
+    ok, rotfound = True, False
+    for jd in jnts_of.get(b, []):
+      axis_aligned = int(np.sum(np.abs(jd["axis"]) > 1e-14)) == 1
+      if rotfound or np.abs(jd["pos"]).max() > 1e-14 or \
+          (jd["type"] in (2, 3) and not axis_aligned):
+        ok = False
+        break
+      if jd["type"] in (1, 3):          # ball / hinge
+        rotfound = True
+    if not ok:
+      continue
+    simple[b] = 1
+    if m.body_dofnum[b] > 0 and all(
+        jd["type"] == 2 for jd in jnts_of.get(b, [])):
+      simple[b] = 2
+  # inertia-bearing tendons demote every wrapped body (FinalizeSimple,
+  # user_model.cc:4256-4273)
+  for t in range(len(self.tendon_list)):
+    if m.tendon_armature[t] == 0:
+      continue
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    for w in range(adr, adr + num):
+      wt, oid = int(m.wrap_type[w]), int(m.wrap_objid[w])
+      if wt == 3:         # site
+        simple[m.site_bodyid[oid]] = 0
+      elif wt in (4, 5):  # sphere/cylinder geom
+        simple[m.geom_bodyid[oid]] = 0
+  m.body_simple = simple
 
 
 def _flex_emit(self, m) -> None:

@@ -140,6 +140,13 @@ def _walk_body(el: ET.Element, defaults: Defaults,
       for sub in child:
         fc.children.append(Element(kind=sub.tag, attrs=dict(sub.attrib)))
       out.children.append(fc)
+    elif child.tag == "replicate":
+      # meta-element: kept as a subtree, expanded by the compiler's
+      # _expand_replicates pass (xml_native_reader.cc:2494)
+      rep = Element(kind="replicate", attrs=dict(child.attrib))
+      inner = _walk_body(child, defaults, cc)
+      rep.children = inner.children
+      out.children.append(rep)
     else:
       raise NotImplementedError(f"MJCF element <{child.tag}> in body")
   return out

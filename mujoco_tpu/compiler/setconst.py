@@ -54,10 +54,17 @@ def set_const(cm) -> None:
   qM = np.asarray(d.qM)
   minv = lambda rhs: np.asarray(smooth.solve_m(m, d, jnp.asarray(rhs)))
 
-  # body_invweight0 (engine_setconst.c:905-936)
+  bsimple = getattr(cm, "body_simple", np.zeros(nb, dtype=np.int32))
+
+  # body_invweight0 (engine_setconst.c:905-936); slide-only simple bodies
+  # shortcut to 1/mass with zero rotation (engine_setconst.c:913-921)
   inv = np.zeros((nb, 2))
   for b in range(1, nb):
     if cm.body_dofnum[cm.body_weldid[b]] == 0:
+      continue
+    if bsimple[b] == 2:
+      inv[b, 0] = 1.0 / max(cm.body_mass[b], 1e-15)
+      inv[b, 1] = 0.0
       continue
     jacp, jacr = support.jac(m, d, d.xipos[b], b)       # (3, nv) each
     jac6 = np.concatenate([np.asarray(jacp), np.asarray(jacr)])
@@ -66,10 +73,14 @@ def set_const(cm) -> None:
     inv[b, 1] = np.trace(a[3:, 3:]) / 3
   cm.body_invweight0 = inv
 
-  # dof_invweight0 (engine_setconst.c:938-987)
+  # dof_invweight0 (engine_setconst.c:938-987); the same simple-body
+  # shortcut applies per joint (engine_setconst.c:940-948)
   dinv = np.zeros(nv)
   for j in range(cm.njnt):
     adr = int(cm.jnt_dofadr[j])
+    if bsimple[cm.jnt_bodyid[j]] == 2:
+      dinv[adr] = 1.0 / max(cm.body_mass[cm.jnt_bodyid[j]], 1e-15)
+      continue
     dnum = {0: 6, 1: 3}.get(int(cm.jnt_type[j]), 1)
     jac = np.zeros((dnum, nv))
     for k in range(dnum):

@@ -700,6 +700,44 @@ def test_cable_composite_free_head():
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
 
 
+def test_replicate():
+  """<replicate> meta-element (xml_native_reader.cc:2494-2562): subtree
+  cloned count times with frame-accumulated offset/euler, zero-padded name
+  suffixes, and referencing actuators/sensors carried along per copy.
+  Field + trajectory parity vs the reference compiler."""
+  xml = """
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <replicate count="4" offset="0.5 0.1 0" euler="0 0 20" sep="-">
+      <body pos="0.2 0 0.6">
+        <joint name="swing" type="hinge" axis="0 1 0" damping="0.03"/>
+        <geom name="rod" type="capsule" size="0.03" fromto="0 0 0 0 0 -0.3"/>
+        <site name="tip" pos="0 0 -0.3"/>
+      </body>
+    </replicate>
+    <replicate count="12" euler="0 0 30">
+      <body pos="0.9 0 0.05">
+        <geom type="sphere" size="0.04" density="600"/>
+      </body>
+    </replicate>
+  </worldbody>
+  <actuator><motor joint="swing" gear="0.8"/></actuator>
+  <sensor>
+    <jointpos joint="swing"/>
+    <framepos objtype="site" objname="tip"/>
+  </sensor>
+</mujoco>"""
+  cm, mjm = _traj_match(
+      xml, 60, 1e-9, ctrl=lambda t: 0.4 * np.sin(0.1 * t) * np.ones(4))
+  assert cm.nbody == mjm.nbody == 17 and cm.nu == mjm.nu == 4
+  _model_fields_match(cm, mjm)
+  # copies renamed with zero-padded suffixes; references follow
+  names = [mjm.joint(i).name for i in range(mjm.njnt)]
+  assert names == ["swing-0", "swing-1", "swing-2", "swing-3"]
+
+
 def test_msh_file_mesh(tmp_path):
   """Legacy binary MSH loading (user_mesh.cc LoadMSH:1101): header-driven
   vertex/face blocks; mass properties and mesh fields match the reference
