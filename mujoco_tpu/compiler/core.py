@@ -284,9 +284,13 @@ class CompiledModel(SimpleNamespace):
   is_mjtpu_compiled = True
 
 
-def load_xml(xml: str, base_dir: Optional[str] = None) -> "CompiledModel":
-  """MJCF string → CompiledModel (mj_loadXML analog)."""
-  return compile_spec(parse_mjcf(xml, base_dir=base_dir))
+def load_xml(xml: str, base_dir: Optional[str] = None,
+             assets: Optional[dict] = None) -> "CompiledModel":
+  """MJCF string → CompiledModel (mj_loadXML analog). `assets` is the
+  mjVFS analog: a filename → bytes dict consulted before the filesystem by
+  includes, mesh files, and texture files (the from_xml_string(assets=)
+  contract)."""
+  return compile_spec(parse_mjcf(xml, base_dir=base_dir, assets=assets))
 
 
 def load_xml_path(path: str) -> "CompiledModel":
@@ -404,6 +408,91 @@ def _expand_replicates(spec: Spec) -> None:
   expand(spec.worldbody)
 
 
+# builtin texture synthesis, byte-exact vs mjCTexture::Builtin2D /
+# BuiltinCube (user_objects.cc:5024-5260; C double→byte casts truncate, as
+# does numpy's astype(uint8))
+
+def _tex_interp(c1, c2, pos):
+  """interp (user_objects.cc:5025): sigmoid blend, alpha weights c1."""
+  alpha = np.clip(0.5 * (1 + pos / np.sqrt(1 + pos * pos) * np.sqrt(2.0)),
+                  0.0, 1.0)
+  return (255 * (alpha[..., None] * c1 + (1 - alpha[..., None]) * c2)
+          ).astype(np.uint8)
+
+
+def _tex_checker(c1, c2, w, h):
+  out = np.empty((h, w, 3), dtype=np.uint8)
+  out[:] = (255 * c2).astype(np.uint8)
+  out[:h // 2, :w // 2] = (255 * c1).astype(np.uint8)
+  out[h // 2:, w // 2:] = (255 * c1).astype(np.uint8)
+  return out
+
+
+def _tex_marks(face, mark, markrgb, w, h):
+  rgbm = (255 * markrgb).astype(np.uint8)
+  if mark == "edge":
+    face[:, 0] = rgbm
+    face[:, w - 1] = rgbm
+    face[0, :] = rgbm
+    face[h - 1, :] = rgbm
+  elif mark == "cross":
+    face[:, w // 2] = rgbm
+    face[h // 2, :] = rgbm
+  elif mark == "random":
+    raise NotImplementedError("mark='random' (uses the C RNG stream)")
+
+
+def _builtin_2d(builtin, rgb1, rgb2, mark, markrgb, w, h):
+  if builtin == "gradient":
+    c = np.arange(w, dtype=np.float64)
+    r = np.arange(h, dtype=np.float64)
+    x = 2 * c[None, :] / (w - 1) - 1
+    y = 1 - 2 * r[:, None] / (h - 1)
+    pos = 2 * np.sqrt(x * x + y * y) - 1
+    out = _tex_interp(np.asarray(rgb2), np.asarray(rgb1),
+                      np.broadcast_to(pos, (h, w)))
+  elif builtin == "checker":
+    out = _tex_checker(rgb1, rgb2, w, h)
+  elif builtin == "flat":
+    out = np.broadcast_to((255 * np.asarray(rgb1)).astype(np.uint8),
+                          (h, w, 3)).copy()
+  else:
+    raise NotImplementedError(f"texture builtin '{builtin}'")
+  _tex_marks(out, mark, markrgb, w, h)
+  return out.reshape(-1)
+
+
+def _builtin_cube(builtin, rgb1, rgb2, mark, markrgb, w):
+  faces = np.zeros((6, w, w, 3), dtype=np.uint8)
+  if builtin == "gradient":
+    c = np.arange(w, dtype=np.float64)
+    r = np.arange(w, dtype=np.float64)
+    x = np.broadcast_to(2 * c[None, :] / (w - 1) - 1, (w, w))
+    y = np.broadcast_to(1 - 2 * r[:, None] / (w - 1), (w, w))
+    den = np.sqrt(1 + x * x + y * y)
+    elside = np.arcsin(y / den) / (0.5 * np.pi)
+    elup = 1 - np.arccos(1.0 / den) / (0.5 * np.pi)
+    side = _tex_interp(np.asarray(rgb1), np.asarray(rgb2), elside)
+    for f in (0, 1, 4, 5):
+      faces[f] = side
+    faces[2] = _tex_interp(np.asarray(rgb1), np.asarray(rgb2), elup)
+    faces[3] = _tex_interp(np.asarray(rgb1), np.asarray(rgb2), -elup)
+  elif builtin == "checker":
+    for f in (0, 1, 2, 3):
+      faces[f] = _tex_checker(rgb1, rgb2, w, w)
+    for f in (4, 5):
+      faces[f] = _tex_checker(rgb2, rgb1, w, w)
+  elif builtin == "flat":
+    for f in (0, 1, 2, 4, 5):
+      faces[f] = (255 * np.asarray(rgb1)).astype(np.uint8)
+    faces[3] = (255 * np.asarray(rgb2)).astype(np.uint8)
+  else:
+    raise NotImplementedError(f"texture builtin '{builtin}'")
+  for f in range(6):
+    _tex_marks(faces[f], mark, markrgb, w, w)
+  return faces.reshape(-1)
+
+
 class _Compiler:
   def __init__(self, spec: Spec):
     self.spec = spec
@@ -420,10 +509,12 @@ class _Compiler:
     self.meshes: List[dict] = []
     self.flexes: List[dict] = []
     self.hfields: List[dict] = []
+    self.textures: List[dict] = []
+    self.materials: List[dict] = []
     self.names: Dict[str, Dict[str, int]] = {
         k: {} for k in ("body", "joint", "geom", "site", "camera", "light",
                         "actuator", "sensor", "tendon", "equality", "key",
-                        "mesh", "hfield")}
+                        "mesh", "hfield", "texture", "material")}
 
   # ----- passes ------------------------------------------------------------
 
@@ -438,6 +529,7 @@ class _Compiler:
     for child in self.spec.worldbody.children:
       self._compile_element(child, parent=0,
                             fpos=np.zeros(3), fquat=np.array([1.0, 0, 0, 0]))
+    self._reorder_by_body()
     self._compute_inertia()
     self._address()
     self._compile_tendons()
@@ -447,6 +539,31 @@ class _Compiler:
     self._compile_sensors()
     self._compile_keyframes()
     return self._emit()
+
+  def _reorder_by_body(self) -> None:
+    """The reference stores per-body element lists, so its global arrays
+    come out grouped by body id (mjCModel list assembly, user_model.cc);
+    a document-order walk interleaves world elements with body elements
+    when a world geom/site/cam/light appears after a <body>. Stable-sort by
+    body and remap ids so addressing (e.g. body_geomadr contiguity) and
+    field ordering match."""
+    def sort(lst, kind):
+      order = sorted(range(len(lst)), key=lambda i: lst[i]["body"])
+      if order == list(range(len(lst))):
+        return {i: i for i in order}
+      remap = {old: new for new, old in enumerate(order)}
+      lst[:] = [lst[i] for i in order]
+      nm = self.names[kind]
+      for n in list(nm):
+        nm[n] = remap[nm[n]]
+      return remap
+
+    gremap = sort(self.geoms, "geom")
+    for b in self.bodies:
+      b["geomids"] = sorted(gremap[g] for g in b["geomids"])
+    sort(self.sites, "site")
+    sort(self.cams, "camera")
+    sort(self.lights, "light")
 
   # ----- tree --------------------------------------------------------------
 
@@ -550,8 +667,11 @@ class _Compiler:
     if gtype == 1:
       dataid = self.names["hfield"][a["hfield"]]
     name = _s(a, "name", f"geom{gid}")
+    matid = (self.names["material"][a["material"]] if "material" in a
+             and a["material"] else -1)
     self.geoms.append(dict(
         name=name, body=body, type=gtype, size=size, pos=pos, quat=quat,
+        matid=matid,
         contype=int(_s(a, "contype", "1")),
         conaffinity=int(_s(a, "conaffinity", "1")),
         condim=int(_s(a, "condim", "3")),
@@ -604,12 +724,25 @@ class _Compiler:
     lid = len(self.lights)
     name = _s(a, "name", f"light{lid}")
     d = _f(a, "dir", [0, 0, -1], 3)
+    # light type: explicit type attr wins, else the legacy directional flag
+    # (mjs_defaultLight: spot; xml_native_reader.cc light section)
+    ltype = {"spot": 0, "directional": 1, "point": 2, "image": 3}.get(
+        _s(a, "type", ""), 1 if _b(a, "directional", False) else 0)
     self.lights.append(dict(
         name=name, body=body,
         mode=_CAMLIGHT_MODES[_s(a, "mode", "fixed")],
         target=_s(a, "target"),
         pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
-        dir=_rotvec(d / max(np.linalg.norm(d), 1e-15), fquat)))
+        dir=_rotvec(d / max(np.linalg.norm(d), 1e-15), fquat),
+        type=ltype,
+        active=_b(a, "active", True),
+        castshadow=_b(a, "castshadow", True),
+        ambient=_f(a, "ambient", [0, 0, 0], 3),
+        diffuse=_f(a, "diffuse", [0.7, 0.7, 0.7], 3),
+        specular=_f(a, "specular", [0.3, 0.3, 0.3], 3),
+        attenuation=_f(a, "attenuation", [1, 0, 0], 3),
+        cutoff=float(_s(a, "cutoff", "45")),
+        exponent=float(_s(a, "exponent", "10"))))
     self.names["light"][name] = lid
 
   def _compile_inertial(self, el: Element, body: int, fpos, fquat):
@@ -861,6 +994,7 @@ class _Compiler:
   def _compile_assets(self):
     mesh_vert, mesh_face = [], []
     hf_data = []
+    mats: List[Element] = []
     for el in self.spec.assets:
       if el.kind == "mesh":
         if "vertex" in el.attrs:
@@ -870,9 +1004,11 @@ class _Compiler:
           default_name = f"mesh{len(self.meshes)}"
         elif "file" in el.attrs:
           from mujoco_tpu.compiler import mesh_io
+          from mujoco_tpu.compiler.parser import vfs_find
           meshdir = _s(self.spec.compiler, "meshdir", "")
           path = os.path.join(meshdir, el.attrs["file"])
-          verts, faces = mesh_io.load_mesh_file(path)
+          data = vfs_find(getattr(self.spec, "vfs", None), el.attrs["file"])
+          verts, faces = mesh_io.load_mesh_file(path, data=data)
           default_name = os.path.splitext(
               os.path.basename(el.attrs["file"]))[0]
         else:
@@ -902,8 +1038,84 @@ class _Compiler:
             name=name, nrow=nrow, ncol=ncol,
             size=_f(el.attrs, "size", n=4),
             data=np.zeros(nrow * ncol, dtype=np.float64)))
+      elif el.kind == "texture":
+        self._compile_texture(el)
+      elif el.kind == "material":
+        mats.append(el)                  # second pass: may reference textures
       else:
         raise NotImplementedError(f"asset <{el.kind}>")
+    for el in mats:
+      self._compile_material(el)
+
+  def _compile_texture(self, el: Element) -> None:
+    """<texture>: builtin pattern synthesis byte-exact vs mjCTexture
+    (Builtin2D/BuiltinCube, user_objects.cc:5069,5142) or PNG/image file
+    loading; cube/skybox builtins store 6 stacked w×w faces
+    (tex_height = 6*width)."""
+    a = el.attrs
+    tid = len(self.textures)
+    ttype = {"2d": 0, "cube": 1, "skybox": 2}[_s(a, "type", "cube")]
+    builtin = _s(a, "builtin", "none")
+    rgb1 = _f(a, "rgb1", [0.8, 0.8, 0.8], 3)
+    rgb2 = _f(a, "rgb2", [0.5, 0.5, 0.5], 3)
+    mark = _s(a, "mark", "none")
+    markrgb = _f(a, "markrgb", [0, 0, 0], 3)
+    w = int(_s(a, "width", "0"))
+    h = int(_s(a, "height", "0"))
+    if "file" in a:
+      if ttype != 0:
+        raise NotImplementedError("cube/skybox file textures")
+      from PIL import Image
+      from mujoco_tpu.compiler.parser import vfs_find
+      texturedir = _s(self.spec.compiler, "texturedir", "")
+      data = vfs_find(getattr(self.spec, "vfs", None), a["file"])
+      if data is not None:
+        import io as _io
+        img = Image.open(_io.BytesIO(data)).convert("RGB")
+      else:
+        img = Image.open(os.path.join(texturedir, a["file"])).convert("RGB")
+      data = np.asarray(img, dtype=np.uint8)
+      if _b(a, "vflip", False):
+        data = data[::-1]
+      if _b(a, "hflip", False):
+        data = data[:, ::-1]
+      h, w = data.shape[:2]
+      flat = np.ascontiguousarray(data).reshape(-1)
+      name = _s(a, "name", os.path.splitext(os.path.basename(a["file"]))[0])
+    elif builtin != "none":
+      if w <= 0:
+        raise ValueError("builtin texture needs width")
+      if ttype == 0:
+        if h <= 0:
+          raise ValueError("builtin 2d texture needs height")
+        flat = _builtin_2d(builtin, rgb1, rgb2, mark, markrgb, w, h)
+      else:
+        flat = _builtin_cube(builtin, rgb1, rgb2, mark, markrgb, w)
+        h = 6 * w
+      name = _s(a, "name", f"texture{tid}")
+    else:
+      raise NotImplementedError("texture without file or builtin")
+    self.names["texture"][name] = tid
+    self.textures.append(dict(name=name, type=ttype, width=w, height=h,
+                              data=flat))
+
+  def _compile_material(self, el: Element) -> None:
+    """<material> (mjs_defaultMaterial, user_init.c:284-292)."""
+    a = el.attrs
+    mid = len(self.materials)
+    name = a["name"]
+    texname = _s(a, "texture", "")
+    self.materials.append(dict(
+        name=name,
+        texid=self.names["texture"][texname] if texname else -1,
+        texrepeat=_f(a, "texrepeat", [1, 1], 2),
+        texuniform=_b(a, "texuniform", False),
+        emission=float(_s(a, "emission", "0")),
+        specular=float(_s(a, "specular", "0.5")),
+        shininess=float(_s(a, "shininess", "0.5")),
+        reflectance=float(_s(a, "reflectance", "0")),
+        rgba=_f(a, "rgba", [1, 1, 1, 1], 4)))
+    self.names["material"][name] = mid
 
   # ----- inertia -----------------------------------------------------------
 

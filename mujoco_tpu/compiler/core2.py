@@ -596,6 +596,7 @@ def _emit(self) -> CompiledModel:
   m.geom_gap = garr("gap")
   m.geom_fluid = np.zeros((ng, 12))
   m.geom_rbound = _rbound(self)
+  m.geom_matid = garr("matid", dtype=np.int32)
 
   # ----- sites / cams / lights
   m.site_bodyid = np.array([s["body"] for s in self.sites], dtype=np.int32)
@@ -642,6 +643,53 @@ def _emit(self) -> CompiledModel:
   m.light_pos0 = np.zeros((nl, 3))
   m.light_poscom0 = np.zeros((nl, 3))
   m.light_dir0 = np.zeros((nl, 3))
+  larr = lambda k, dv=None: np.array([l[k] for l in self.lights])
+  m.light_type = larr("type").astype(np.int32)
+  m.light_active = larr("active").astype(bool)
+  m.light_castshadow = larr("castshadow").astype(bool)
+  m.light_ambient = (np.stack([l["ambient"] for l in self.lights])
+                     if nl else np.zeros((0, 3)))
+  m.light_diffuse = (np.stack([l["diffuse"] for l in self.lights])
+                     if nl else np.zeros((0, 3)))
+  m.light_specular = (np.stack([l["specular"] for l in self.lights])
+                      if nl else np.zeros((0, 3)))
+  m.light_attenuation = (np.stack([l["attenuation"] for l in self.lights])
+                         if nl else np.zeros((0, 3)))
+  m.light_cutoff = larr("cutoff").astype(np.float64)
+  m.light_exponent = larr("exponent").astype(np.float64)
+
+  # ----- materials / textures (mjmodel.h mat_*/tex_*; tex_data is the
+  # reference's flat byte stream, tex_adr in bytes, nchannel == 3)
+  nmat, ntex = len(self.materials), len(self.textures)
+  m.nmat, m.ntex = nmat, ntex
+  marr = lambda k: np.array([x[k] for x in self.materials])
+  m.mat_texid = (marr("texid").astype(np.int32) if nmat
+                 else np.zeros(0, dtype=np.int32))
+  m.mat_texuniform = (marr("texuniform").astype(bool) if nmat
+                      else np.zeros(0, dtype=bool))
+  m.mat_texrepeat = (np.stack([x["texrepeat"] for x in self.materials])
+                     if nmat else np.zeros((0, 2)))
+  m.mat_rgba = (np.stack([x["rgba"] for x in self.materials])
+                if nmat else np.zeros((0, 4)))
+  m.mat_emission = (marr("emission").astype(np.float64) if nmat
+                    else np.zeros(0))
+  m.mat_specular = (marr("specular").astype(np.float64) if nmat
+                    else np.zeros(0))
+  m.mat_shininess = (marr("shininess").astype(np.float64) if nmat
+                     else np.zeros(0))
+  m.mat_reflectance = (marr("reflectance").astype(np.float64) if nmat
+                       else np.zeros(0))
+  m.tex_type = np.array([t["type"] for t in self.textures], dtype=np.int32)
+  m.tex_width = np.array([t["width"] for t in self.textures],
+                         dtype=np.int32)
+  m.tex_height = np.array([t["height"] for t in self.textures],
+                          dtype=np.int32)
+  m.tex_adr = (np.cumsum(
+      [0] + [t["data"].size for t in self.textures[:-1]]).astype(np.int64)
+      if ntex else np.zeros(0, dtype=np.int64))
+  m.tex_nchannel = np.full(ntex, 3, dtype=np.int32)
+  m.tex_data = (np.concatenate([t["data"] for t in self.textures])
+                if ntex else np.zeros(0, dtype=np.uint8))
 
   # ----- meshes / hfields
   if self.meshes:
@@ -830,7 +878,28 @@ def _emit(self) -> CompiledModel:
   _flex_emit(self, m)
   _tree_meta(self, m)
   _body_simple(self, m)
+  _visual_emit(self, m)
   return m
+
+
+def _visual_emit(self, m) -> None:
+  """<visual> subsections as a nested namespace mirroring mjVisual, so
+  put_model's _vis_meta_of reads compiled models and pip models alike."""
+  vis = getattr(self.spec, "visual", None)
+  if not vis:
+    return
+  from types import SimpleNamespace
+  sections = {}
+  for tag, attrs in vis.items():
+    vals = {}
+    for k, s in attrs.items():
+      try:
+        arr = np.array([float(x) for x in s.split()])
+        vals[k] = float(arr[0]) if arr.size == 1 else arr
+      except ValueError:
+        vals[k] = s
+    sections[tag] = SimpleNamespace(**vals)
+  m.vis = SimpleNamespace(**sections)
 
 
 def _body_simple(self, m) -> None:

@@ -16,36 +16,43 @@ import struct as _struct
 import numpy as np
 
 
-def load_obj(path: str):
+def load_obj(path: str, data: bytes | None = None):
   """Wavefront OBJ: v/f records, polygon faces fan-triangulated
   (user_mesh.cc LoadOBJ via tinyobjloader). Returns (verts, faces)."""
   verts, faces = [], []
-  with open(path, "r", errors="replace") as f:
-    for line in f:
-      t = line.split("#", 1)[0].split()
-      if not t:
-        continue
-      if t[0] == "v":
-        verts.append([float(t[1]), float(t[2]), float(t[3])])
-      elif t[0] == "f":
-        idx = []
-        for w in t[1:]:
-          s = w.split("/")[0]
-          i = int(s)
-          idx.append(i - 1 if i > 0 else len(verts) + i)
-        for k in range(1, len(idx) - 1):   # fan triangulation
-          faces.append([idx[0], idx[k], idx[k + 1]])
+  if data is not None:
+    lines = data.decode(errors="replace").splitlines()
+  else:
+    with open(path, "r", errors="replace") as f:
+      lines = f.read().splitlines()
+  for line in lines:
+    t = line.split("#", 1)[0].split()
+    if not t:
+      continue
+    if t[0] == "v":
+      verts.append([float(t[1]), float(t[2]), float(t[3])])
+    elif t[0] == "f":
+      idx = []
+      for w in t[1:]:
+        s = w.split("/")[0]
+        i = int(s)
+        idx.append(i - 1 if i > 0 else len(verts) + i)
+      for k in range(1, len(idx) - 1):   # fan triangulation
+        faces.append([idx[0], idx[k], idx[k + 1]])
   if not verts:
     raise ValueError(f"OBJ file {path} has no vertices")
   return (np.asarray(verts, dtype=np.float64),
           np.asarray(faces, dtype=np.int32).reshape(-1, 3))
 
 
-def load_stl(path: str):
+def load_stl(path: str, data: bytes | None = None):
   """STL, binary or ASCII (user_mesh.cc LoadSTL). Duplicate vertices are
   merged exactly (the reference welds identical coordinates)."""
-  with open(path, "rb") as f:
-    raw = f.read()
+  if data is not None:
+    raw = data
+  else:
+    with open(path, "rb") as f:
+      raw = f.read()
   is_ascii = raw[:5] == b"solid" and b"facet" in raw[:1000]
   tris = []
   if is_ascii:
@@ -72,13 +79,16 @@ def load_stl(path: str):
   return verts, faces
 
 
-def load_msh(path: str):
+def load_msh(path: str, data: bytes | None = None):
   """Legacy binary MSH (user_mesh.cc LoadMSH:1101): int32 header
   [nvert, nnormal, ntexcoord, nface], float32 vertices (3n), normals (3n),
   texcoords (2n), int32 faces (3f). Normals/texcoords are parsed for
   layout validation and discarded (the engine recomputes shading)."""
-  with open(path, "rb") as f:
-    raw = f.read()
+  if data is not None:
+    raw = data
+  else:
+    with open(path, "rb") as f:
+      raw = f.read()
   if len(raw) < 16:
     raise ValueError(f"missing header in MSH file '{path}'")
   nv, nn, nt, nf = _struct.unpack_from("<4i", raw, 0)
@@ -99,14 +109,15 @@ def load_msh(path: str):
   return verts, faces
 
 
-def load_mesh_file(path: str):
+def load_mesh_file(path: str, data: bytes | None = None):
+  """Dispatch by extension; `data` (mjVFS analog) bypasses the filesystem."""
   ext = os.path.splitext(path)[1].lower()
   if ext == ".obj":
-    return load_obj(path)
+    return load_obj(path, data)
   if ext == ".stl":
-    return load_stl(path)
+    return load_stl(path, data)
   if ext == ".msh":
-    return load_msh(path)
+    return load_msh(path, data)
   raise NotImplementedError(f"mesh file format '{ext}' "
                             "(OBJ/STL/MSH supported)")
 

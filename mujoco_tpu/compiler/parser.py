@@ -19,7 +19,7 @@ import numpy as np
 # /root/reference/src/user/user_objects.h)
 _DEFAULT_KINDS = ("joint", "geom", "site", "camera", "light", "tendon",
                   "general", "motor", "position", "velocity", "muscle",
-                  "pair", "equality", "mesh")
+                  "pair", "equality", "mesh", "material")
 
 
 @dataclass
@@ -42,6 +42,14 @@ class Spec:
   equalities: List[Element]
   contacts: List[Element]
   keyframes: List[Element]
+  # <visual> subsections (headlight/rgba/scale/map/global attr dicts keyed
+  # by subsection tag); consumed by the mjv-lite layer and the renderer
+  visual: Dict[str, Dict[str, str]] = dfield(default_factory=dict)
+  # in-memory asset store (mjVFS analog): filename → bytes, looked up
+  # before the filesystem by includes, meshes, and textures. Keys match
+  # either the full name or the stripped basename (mj_findFileVFS strips
+  # directories, engine_vfs.c)
+  vfs: Dict[str, bytes] = dfield(default_factory=dict)
 
 
 class Defaults:
@@ -152,10 +160,23 @@ def _walk_body(el: ET.Element, defaults: Defaults,
   return out
 
 
-def _splice_includes(root: ET.Element, base_dir: Optional[str]) -> None:
+def vfs_find(vfs: Optional[Dict[str, bytes]], fn: str) -> Optional[bytes]:
+  """VFS lookup by full name, then stripped basename (mj_findFileVFS strips
+  directory prefixes, engine_vfs.c)."""
+  import os
+  if not vfs:
+    return None
+  if fn in vfs:
+    return vfs[fn]
+  return vfs.get(os.path.basename(fn))
+
+
+def _splice_includes(root: ET.Element, base_dir: Optional[str],
+                     vfs: Optional[Dict[str, bytes]] = None) -> None:
   """Recursively replace <include file=.../> with the included file's
   top-level children (ParseXML include handling, xml.cc:322; the included
-  root may be <mujoco> or <mujocoinclude>)."""
+  root may be <mujoco> or <mujocoinclude>). Files resolve through the VFS
+  first."""
   import os
   for parent in root.iter():
     i = 0
@@ -165,11 +186,18 @@ def _splice_includes(root: ET.Element, base_dir: Optional[str]) -> None:
         fn = child.get("file")
         if fn is None:
           raise ValueError("<include> requires a file attribute")
-        path = os.path.join(base_dir, fn) if base_dir else fn
-        sub = ET.parse(path).getroot()
+        data = vfs_find(vfs, fn)
+        if data is not None:
+          sub = ET.fromstring(data.decode()
+                              if isinstance(data, bytes) else data)
+          subdir = base_dir
+        else:
+          path = os.path.join(base_dir, fn) if base_dir else fn
+          sub = ET.parse(path).getroot()
+          subdir = os.path.dirname(path)
         if sub.tag not in ("mujoco", "mujocoinclude"):
           raise ValueError(f"included file {fn} has root <{sub.tag}>")
-        _splice_includes(sub, os.path.dirname(path))
+        _splice_includes(sub, subdir, vfs)
         parent.remove(child)
         for j, el in enumerate(list(sub)):
           parent.insert(i + j, el)
@@ -177,18 +205,20 @@ def _splice_includes(root: ET.Element, base_dir: Optional[str]) -> None:
         i += 1
 
 
-def parse_mjcf(xml: str, base_dir: Optional[str] = None) -> Spec:
+def parse_mjcf(xml: str, base_dir: Optional[str] = None,
+               assets: Optional[Dict[str, bytes]] = None) -> Spec:
   root = ET.fromstring(xml)
   if root.tag != "mujoco":
     raise ValueError("not an MJCF document")
-  _splice_includes(root, base_dir)
+  _splice_includes(root, base_dir, assets)
 
   option: Dict[str, str] = {}
   flags: Dict[str, str] = {}
   compiler: Dict[str, str] = {}
   defaults = Defaults()
   worldbody = None
-  assets: List[Element] = []
+  asset_els: List[Element] = []
+  visual: Dict[str, Dict[str, str]] = {}
   actuators: List[Element] = []
   sensors: List[Element] = []
   tendons: List[Element] = []
@@ -214,10 +244,10 @@ def parse_mjcf(xml: str, base_dir: Optional[str] = None) -> Spec:
         worldbody.children.extend(wb.children)
     elif el.tag == "asset":
       for sub in el:
-        assets.append(Element(kind=sub.tag,
-                              attrs=_resolve(sub, defaults, None)
-                              if sub.tag in _DEFAULT_KINDS
-                              else dict(sub.attrib)))
+        asset_els.append(Element(kind=sub.tag,
+                                 attrs=_resolve(sub, defaults, None)
+                                 if sub.tag in _DEFAULT_KINDS
+                                 else dict(sub.attrib)))
     elif el.tag == "actuator":
       for sub in el:
         actuators.append(Element(kind=sub.tag,
@@ -246,7 +276,10 @@ def parse_mjcf(xml: str, base_dir: Optional[str] = None) -> Spec:
     elif el.tag == "keyframe":
       for sub in el:
         keyframes.append(Element(kind=sub.tag, attrs=dict(sub.attrib)))
-    elif el.tag in ("size", "visual", "statistic", "custom"):
+    elif el.tag == "visual":
+      for sub in el:
+        visual.setdefault(sub.tag, {}).update(dict(sub.attrib))
+    elif el.tag in ("size", "statistic", "custom"):
       continue  # no effect on the physics model subset
     else:
       raise NotImplementedError(f"MJCF section <{el.tag}>")
@@ -254,6 +287,7 @@ def parse_mjcf(xml: str, base_dir: Optional[str] = None) -> Spec:
   if worldbody is None:
     worldbody = Element(kind="body", attrs={})
   return Spec(option=option, flags=flags, compiler=compiler,
-              worldbody=worldbody, assets=assets, actuators=actuators,
+              worldbody=worldbody, assets=asset_els, actuators=actuators,
               sensors=sensors, tendons=tendons, equalities=equalities,
-              contacts=contacts, keyframes=keyframes)
+              contacts=contacts, keyframes=keyframes, visual=visual,
+              vfs=dict(assets) if assets else {})

@@ -104,7 +104,94 @@ def _vis_meta_of(mjm: Any) -> dict:
           _attr_path(vis, ("rgba", "contactforce"), (0.7, 0.9, 0.9, 1.0)),
           dtype=np.float64).tolist()) if vis is not None
       else (0.7, 0.9, 0.9, 1.0),
+      # headlight (mjVisual.headlight defaults, engine_init.c:157-165)
+      headlight_active=int(g(vis, ("headlight", "active"), 1)),
+      headlight_ambient=tuple(np.broadcast_to(np.asarray(_attr_path(
+          vis, ("headlight", "ambient"), 0.1), dtype=np.float64), 3).tolist()),
+      headlight_diffuse=tuple(np.broadcast_to(np.asarray(_attr_path(
+          vis, ("headlight", "diffuse"), 0.4), dtype=np.float64), 3).tolist()),
+      headlight_specular=tuple(np.broadcast_to(np.asarray(_attr_path(
+          vis, ("headlight", "specular"), 0.5), dtype=np.float64),
+          3).tolist()),
   )
+
+
+def _render_fields(mjm: Any, jx, si) -> dict:
+  """Material / texture / light-photometry model fields (mjmodel.h mat_*,
+  tex_*, light_*). Sources that predate these arrays (older CompiledModels)
+  get MJCF-default lights and an empty material/texture table. tex_data is
+  normalized to a flat [0, 1] RGB stream; 4-channel textures are repacked
+  to RGB (alpha is not consumed by the shader)."""
+  nl = int(mjm.nlight)
+  nmat = int(getattr(mjm, "nmat", 0))
+  ntex = int(getattr(mjm, "ntex", 0))
+  ngeom = int(mjm.ngeom)
+  g = lambda name, dv: np.asarray(getattr(mjm, name, dv))
+  # MJCF light defaults (mjs_defaultLight, user_init.c): spot, active,
+  # castshadow, diffuse .7, specular .3, attenuation (1,0,0), cutoff 45,
+  # exponent 10
+  out = dict(
+      light_type=si(g("light_type", np.zeros(nl, dtype=np.int32))),
+      light_active=g("light_active", np.ones(nl, dtype=bool)).astype(bool),
+      light_castshadow=g("light_castshadow",
+                         np.ones(nl, dtype=bool)).astype(bool),
+      light_ambient=jx(g("light_ambient", np.zeros((nl, 3)))),
+      light_diffuse=jx(g("light_diffuse", np.full((nl, 3), 0.7))),
+      light_specular=jx(g("light_specular", np.full((nl, 3), 0.3))),
+      light_attenuation=jx(g("light_attenuation",
+                             np.tile([1.0, 0, 0], (nl, 1)))),
+      light_cutoff=jx(g("light_cutoff", np.full(nl, 45.0))),
+      light_exponent=jx(g("light_exponent", np.full(nl, 10.0))),
+      nmat=nmat, ntex=ntex,
+      geom_matid=si(g("geom_matid", np.full(ngeom, -1, dtype=np.int32))),
+      mat_texuniform=g("mat_texuniform",
+                       np.zeros(nmat, dtype=bool)).astype(bool),
+      mat_texrepeat=jx(g("mat_texrepeat", np.ones((nmat, 2)))),
+      mat_rgba=jx(g("mat_rgba", np.ones((nmat, 4)))),
+      mat_emission=jx(g("mat_emission", np.zeros(nmat))),
+      mat_specular=jx(g("mat_specular", np.full(nmat, 0.5))),
+      mat_shininess=jx(g("mat_shininess", np.full(nmat, 0.5))),
+      mat_reflectance=jx(g("mat_reflectance", np.zeros(nmat))),
+  )
+  # mat_texid: RGB role column when the source carries per-role columns
+  # (mjNTEXROLE, mjTEXROLE_RGB == 1), else the flat array
+  mt = np.asarray(getattr(mjm, "mat_texid",
+                          np.full(nmat, -1, dtype=np.int32)))
+  out["mat_texid"] = si(mt[:, 1] if mt.ndim == 2 else mt)
+  # textures, repacked to 3 channels
+  ttype = np.asarray(getattr(mjm, "tex_type",
+                             np.zeros(ntex, dtype=np.int32)), dtype=np.int32)
+  tw = np.asarray(getattr(mjm, "tex_width",
+                          np.zeros(ntex, dtype=np.int32)), dtype=np.int32)
+  th = np.asarray(getattr(mjm, "tex_height",
+                          np.zeros(ntex, dtype=np.int32)), dtype=np.int32)
+  tadr_src = np.asarray(getattr(mjm, "tex_adr",
+                                np.zeros(ntex, dtype=np.int64)))
+  nchan = np.asarray(getattr(mjm, "tex_nchannel",
+                             np.full(ntex, 3, dtype=np.int32)))
+  src = np.asarray(getattr(mjm, "tex_data", np.zeros(0, dtype=np.uint8)))
+  if src.dtype == np.uint8:
+    src = src.astype(np.float64) / 255.0
+  adr = np.zeros(ntex, dtype=np.int64)
+  chunks = []
+  off = 0
+  for t in range(ntex):
+    npix = int(tw[t]) * int(th[t])
+    c = int(nchan[t])
+    block = src[int(tadr_src[t]):int(tadr_src[t]) + npix * c]
+    block = block.reshape(npix, c)[:, :3]
+    if c < 3:  # grayscale: broadcast
+      block = np.repeat(block[:, :1], 3, axis=1)
+    adr[t] = off
+    chunks.append(block.ravel())
+    off += npix * 3
+  out["tex_type"] = si(ttype)
+  out["tex_adr"] = adr
+  out["tex_width"] = si(tw)
+  out["tex_height"] = si(th)
+  out["tex_data"] = jx(np.concatenate(chunks) if chunks
+                       else np.zeros(0, dtype=np.float64))
+  return out
 
 
 def _attr_path(obj, path, default):
@@ -1215,6 +1302,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
       light_pos=jx(mjm.light_pos), light_dir=jx(mjm.light_dir),
       light_pos0=jx(mjm.light_pos0), light_poscom0=jx(mjm.light_poscom0),
       light_dir0=jx(mjm.light_dir0),
+      **_render_fields(mjm, jx, si),
       key_time=jx(mjm.key_time), key_qpos=jx(mjm.key_qpos),
       key_qvel=jx(mjm.key_qvel), key_act=jx(mjm.key_act),
       key_ctrl=jx(mjm.key_ctrl), key_mpos=jx(mjm.key_mpos),

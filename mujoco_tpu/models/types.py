@@ -729,6 +729,39 @@ class Model:
   light_pos0: jax.Array = field()
   light_poscom0: jax.Array = field()
   light_dir0: jax.Array = field()
+  # light photometry (mjmodel.h light_* render fields; consumed by
+  # ops/render.py's Blinn-Phong shading the way the classic GL renderer
+  # consumes them, render_gl3.c)
+  light_type: np.ndarray = static_field()        # (nlight,) mjtLightType
+  light_active: np.ndarray = static_field()      # (nlight,) bool
+  light_castshadow: np.ndarray = static_field()  # (nlight,) bool
+  light_ambient: jax.Array = field()             # (nlight, 3)
+  light_diffuse: jax.Array = field()             # (nlight, 3)
+  light_specular: jax.Array = field()            # (nlight, 3)
+  light_attenuation: jax.Array = field()         # (nlight, 3) K0 K1 K2
+  light_cutoff: jax.Array = field()              # (nlight,) spot, degrees
+  light_exponent: jax.Array = field()            # (nlight,) spot
+
+  # ----- materials and textures (mjmodel.h mat_*/tex_*; resolution rule
+  # per setMaterial, engine_vis_visualize.c:225-247). tex_data is traced so
+  # textures are domain-randomizable; layout is the reference's flat
+  # row-major RGB byte stream, stored normalized to [0, 1].
+  nmat: int = static_field()
+  ntex: int = static_field()
+  geom_matid: np.ndarray = static_field()        # (ngeom,) -1 if none
+  mat_texid: np.ndarray = static_field()         # (nmat,) RGB-role texture
+  mat_texuniform: np.ndarray = static_field()    # (nmat,) bool
+  mat_texrepeat: jax.Array = field()             # (nmat, 2)
+  mat_rgba: jax.Array = field()                  # (nmat, 4)
+  mat_emission: jax.Array = field()              # (nmat,)
+  mat_specular: jax.Array = field()              # (nmat,)
+  mat_shininess: jax.Array = field()             # (nmat,)
+  mat_reflectance: jax.Array = field()           # (nmat,)
+  tex_type: np.ndarray = static_field()          # (ntex,) mjtTexture
+  tex_adr: np.ndarray = static_field()           # (ntex,) into tex_data
+  tex_width: np.ndarray = static_field()         # (ntex,)
+  tex_height: np.ndarray = static_field()        # (ntex,)
+  tex_data: jax.Array = field()                  # (ntexdata,) RGB in [0,1]
 
   # ----- keyframes
   key_time: jax.Array = field()

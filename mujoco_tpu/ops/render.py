@@ -16,10 +16,22 @@ along -z of cam_xmat, x is image-left (the reference negates fx), fovy-based
 focal length unless sensorsize/intrinsic calibration is present. Pixel (0, 0)
 is the top-left corner; rays go through pixel centers.
 
+Shading follows the classic GL renderer's fixed-function model
+(render_gl3.c:255-275, 700-720): per-geom material resolution exactly as
+setMaterial (engine_vis_visualize.c:225-247 — material rgba unless the geom
+rgba differs from the 0.5/0.5/0.5/1 default), Blinn-Phong lighting with the
+mjVisual headlight plus every active model light (spot cutoff/exponent,
+point attenuation, directional), emission*rgb and specular*white with
+shininess*128 as in the GL material setup, and textures: builtin/file 2D
+textures on planes and hfields with the texrepeat/texuniform OBJECT_PLANE
+mapping, GL cube-map sampling for regular cube textures on other geoms, and
+skybox background. Optional shadows are true occlusion rays toward each
+casting light (instead of the reference's shadow maps). Nearest-texel
+sampling (the GL renderer mipmaps; documented deviation).
+
 Outputs:
   depth: (H, W) ray distances (inf where nothing is hit)
-  rgb:   (H, W, 3) in [0, 1]: geom rgba shaded by a camera headlight
-         (Lambertian n.l with a small ambient floor)
+  rgb:   (H, W, 3) in [0, 1]
   seg:   (H, W) int32 geom id, -1 for background
 """
 
@@ -142,13 +154,122 @@ def _camera_rays(m: Model, d: Data, camid: int, width: int, height: int,
   return dirs.reshape(-1, 3)
 
 
+def _tex_sample(m: Model, texid: int, u, v):
+  """Nearest-texel lookup of 2D texture `texid` at repeat-wrapped (u, v);
+  u, v are (npix,) in texture coordinates (integer part wraps, GL_REPEAT).
+  Row 0 of tex_data is the t=0 row, matching glTexImage2D upload order."""
+  w = int(m.tex_width[texid])
+  h = int(m.tex_height[texid])
+  adr = int(m.tex_adr[texid])
+  col = jnp.clip((u - jnp.floor(u)) * w, 0, w - 1).astype(jnp.int32)
+  row = jnp.clip((v - jnp.floor(v)) * h, 0, h - 1).astype(jnp.int32)
+  base = adr + 3 * (row * w + col)
+  return jnp.stack([m.tex_data[base], m.tex_data[base + 1],
+                    m.tex_data[base + 2]], axis=-1)
+
+
+def _tex_cube_sample(m: Model, texid: int, v3):
+  """GL cube-map sampling of cube/skybox texture `texid` by direction
+  `v3` (npix, 3): face = major axis, (s, t) per the GL spec table; faces
+  are stacked +x,-x,+y,-y,+z,-z in tex_data (render_context.c upload
+  order GL_TEXTURE_CUBE_MAP_POSITIVE_X + i)."""
+  w = int(m.tex_width[texid])
+  h = int(m.tex_height[texid])
+  # square faces: a 2D texture used as a cube repeats one face; detect the
+  # 6-face layout by height == 6*width
+  six = int(m.tex_height[texid]) == 6 * w
+  h = w if six else h
+  adr = int(m.tex_adr[texid])
+  x, y, z = v3[:, 0], v3[:, 1], v3[:, 2]
+  ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+  axis = jnp.argmax(jnp.stack([ax, ay, az], axis=-1), axis=-1)
+  ma = jnp.maximum(jnp.max(jnp.stack([ax, ay, az], axis=-1), axis=-1),
+                   mjm.MINVAL)
+  neg = jnp.stack([x, y, z], axis=-1)[jnp.arange(x.shape[0]), axis] < 0
+  face = 2 * axis + neg.astype(jnp.int32)
+  sc = jnp.select(
+      [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+      [-z, z, x, x, x, -x])
+  tc = jnp.select(
+      [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+      [-y, -y, z, -z, -y, -y])
+  s = 0.5 * (sc / ma + 1.0)
+  t = 0.5 * (tc / ma + 1.0)
+  col = jnp.clip(s * w, 0, w - 1).astype(jnp.int32)
+  row = jnp.clip(t * h, 0, h - 1).astype(jnp.int32)
+  if six:
+    base = adr + 3 * (face * w * h + row * w + col)
+  else:
+    base = adr + 3 * (row * w + col)
+  return jnp.stack([m.tex_data[base], m.tex_data[base + 1],
+                    m.tex_data[base + 2]], axis=-1)
+
+
+def _geom_surface(m: Model, g: int, lp, dtype):
+  """Resolved surface color and material scalars of geom g at local hit
+  points lp (npix, 3): the setMaterial rule + texture modulation.
+  Returns (rgb, emission, specular, shininess) with npix leading dims."""
+  npix = lp.shape[0]
+  matid = int(m.geom_matid[g]) if m.nmat else -1
+  grgba = m.geom_rgba[g]
+  if matid >= 0:
+    # geom rgba overrides the material's when it differs from the default
+    # (setMaterial, engine_vis_visualize.c:237-240)
+    explicit = jnp.any(jnp.abs(
+        grgba - jnp.array([0.5, 0.5, 0.5, 1.0], dtype=dtype)) > 1e-7)
+    rgba = jnp.where(explicit, grgba, m.mat_rgba[matid].astype(dtype))
+    emission = m.mat_emission[matid].astype(dtype)
+    specular = m.mat_specular[matid].astype(dtype)
+    shininess = m.mat_shininess[matid].astype(dtype)
+    texid = int(m.mat_texid[matid])
+  else:
+    rgba = grgba
+    emission = jnp.asarray(0.0, dtype=dtype)
+    specular = jnp.asarray(0.5, dtype=dtype)
+    shininess = jnp.asarray(0.5, dtype=dtype)
+    texid = -1
+  rgb = jnp.broadcast_to(rgba[:3], (npix, 3))
+  if texid >= 0:
+    ttype = int(m.tex_type[texid])
+    size = m.geom_size[g].astype(dtype)
+    uniform = bool(m.mat_texuniform[matid])
+    rep = m.mat_texrepeat[matid].astype(dtype)
+    if ttype == 0:                       # 2D: OBJECT_PLANE texgen,
+      # render_gl3.c:125-160 — object coords are lp/size for primitives
+      # (drawn unit-sized and scaled), lp for mesh/hfield (scl adjusted)
+      if uniform:
+        sx = sy = jnp.asarray(1.0, dtype=dtype)  # repeat per 2 units
+      else:
+        sx = jnp.where(size[0] > 0, size[0], 1.0)
+        sy = jnp.where(size[1] > 0, size[1], 1.0)
+      u = 0.5 * rep[0] * lp[:, 0] / sx - 0.5
+      v = -0.5 * rep[1] * lp[:, 1] / sy - 0.5
+      rgb = rgb * _tex_sample(m, texid, u, v)
+    else:                                # cube (or skybox used as cube):
+      # str = object coords (render_gl3.c:181-187)
+      den = jnp.where(size > 0, size, 1.0)
+      v3 = lp if uniform else lp / den[None, :]
+      rgb = rgb * _tex_cube_sample(m, texid, v3)
+  return rgb, emission, specular, shininess
+
+
+def _skybox_texid(m: Model) -> int:
+  """First skybox texture, or -1 (the GL renderer draws the first
+  mjTEXTURE_SKYBOX it finds as the background)."""
+  for t in range(int(getattr(m, "ntex", 0))):
+    if int(m.tex_type[t]) == 2:
+      return t
+  return -1
+
+
 def render(m: Model, d: Data, camid: int = 0, width: int = 64,
-           height: int = 64, geomgroup=None):
+           height: int = 64, geomgroup=None, shadows: bool = False):
   """Render (rgb, depth, seg) from camera `camid` at the current state.
 
   Pure jax function of (m, d): jit it, vmap it over batched Data for
   batched rendering (the MJX render.py contract), or differentiate depth
-  w.r.t. qpos.
+  w.r.t. qpos. With shadows=True each casting light also traces an
+  occlusion ray per pixel.
   """
   dtype = d.qpos.dtype
   pnt = d.cam_xpos[camid]
@@ -162,27 +283,114 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
   hit = jnp.isfinite(dist) & (dist < _INF) & (gid >= 0)
   dist = jnp.where(hit, dist, jnp.inf)
 
-  # hit points and per-geom normals (static loop, traced select)
+  # hit points, normals, and resolved surface properties (static loop,
+  # traced select)
   p = pnt[None, :] + dist[:, None] * dirs
   p = jnp.where(hit[:, None], p, 0.0)
   cache = _mesh_cache(m)
   normal = jnp.zeros((npix, 3), dtype=dtype)
-  rgba = jnp.zeros((npix, 4), dtype=dtype)
+  base = jnp.zeros((npix, 3), dtype=dtype)
+  emission = jnp.zeros(npix, dtype=dtype)
+  specular = jnp.zeros(npix, dtype=dtype)
+  shininess = jnp.zeros(npix, dtype=dtype)
   for g in range(m.ngeom):
     lp = jnp.einsum("ji,pj->pi", d.geom_xmat[g],
                     p - d.geom_xpos[g][None, :])   # world→local
     ln = jax.vmap(lambda q: _normal_local(m, g, q, cache))(lp)
     wn = jnp.einsum("ij,pj->pi", d.geom_xmat[g], ln)
-    sel = (gid == g)[:, None]
-    normal = jnp.where(sel, wn, normal)
-    rgba = jnp.where(sel, m.geom_rgba[g][None, :], rgba)
+    srgb, sem, sspec, sshin = _geom_surface(m, g, lp, dtype)
+    sel = gid == g
+    normal = jnp.where(sel[:, None], wn, normal)
+    base = jnp.where(sel[:, None], srgb, base)
+    emission = jnp.where(sel, sem, emission)
+    specular = jnp.where(sel, sspec, specular)
+    shininess = jnp.where(sel, sshin, shininess)
 
-  # headlight Lambertian with ambient floor; normal flipped toward the eye
-  ndotl = jnp.abs(jnp.sum(normal * dirs, axis=-1)
-                  / jnp.maximum(mjm.norm_safe(dirs), mjm.MINVAL))
-  shade = jnp.clip(0.3 + 0.7 * ndotl, 0.0, 1.0)
-  rgb = rgba[:, :3] * shade[:, None]
-  rgb = jnp.where(hit[:, None], rgb, 0.0)
+  view = dirs / jnp.maximum(mjm.norm_safe(dirs), mjm.MINVAL)[:, None]
+  # two-sided lighting: flip the normal toward the eye (GL_FRONT_AND_BACK)
+  normal = jnp.where(jnp.sum(normal * view, axis=-1)[:, None] > 0,
+                     -normal, normal)
+  shiny = shininess * 128.0
+
+  def _accum(rgb, ldir, lamb, ldif, lspec, atten, spot, occl):
+    """One GL light: ldir is the unit direction surface→light."""
+    ndotl = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
+    half = ldir - view
+    half = half / jnp.maximum(mjm.norm_safe(half), mjm.MINVAL)[:, None]
+    ndoth = jnp.maximum(jnp.sum(normal * half, axis=-1), 0.0)
+    spec = jnp.where(ndotl > 0, ndoth ** jnp.maximum(shiny, 1e-6), 0.0)
+    f = (atten * spot * occl)[:, None]
+    return rgb + f * (lamb[None, :] * base
+                      + ldif[None, :] * base * ndotl[:, None]
+                      + lspec[None, :] * specular[:, None] * spec[:, None])
+
+  def _shadow(ldir, ldist):
+    if not shadows:
+      return jnp.ones(npix, dtype=dtype)
+    org = p + 1e-4 * normal
+    sdist, sgid = jax.vmap(
+        lambda o, v: ray_mod.ray(m, d, o, v, geomgroup=geomgroup))(
+            org, ldir)
+    blocked = jnp.isfinite(sdist) & (sdist < ldist) & (sgid >= 0)
+    return jnp.where(blocked, 0.0, 1.0)
+
+  rgb = emission[:, None] * base
+  vm = m.vis_meta
+  if vm.get("headlight_active", 1):
+    hdir = -view                                   # surface → camera
+    rgb = _accum(rgb, hdir,
+                 jnp.asarray(vm.get("headlight_ambient", (.1,) * 3),
+                             dtype=dtype),
+                 jnp.asarray(vm.get("headlight_diffuse", (.4,) * 3),
+                             dtype=dtype),
+                 jnp.asarray(vm.get("headlight_specular", (.5,) * 3),
+                             dtype=dtype),
+                 jnp.ones(npix, dtype=dtype), jnp.ones(npix, dtype=dtype),
+                 jnp.ones(npix, dtype=dtype))
+  for li in range(m.nlight):
+    if not bool(m.light_active[li]):
+      continue
+    directional = int(m.light_type[li]) == 1       # mjLIGHT_DIRECTIONAL
+    if directional:
+      ldir = jnp.broadcast_to(
+          -mjm.normalize(d.light_xdir[li]), (npix, 3))
+      atten = jnp.ones(npix, dtype=dtype)
+      spot = jnp.ones(npix, dtype=dtype)
+      ldist = jnp.full(npix, _INF, dtype=dtype)
+    else:
+      tolight = d.light_xpos[li][None, :] - p
+      ldist = jnp.maximum(mjm.norm_safe(tolight), mjm.MINVAL)
+      ldir = tolight / ldist[:, None]
+      k = m.light_attenuation[li].astype(dtype)
+      atten = 1.0 / jnp.maximum(k[0] + k[1] * ldist + k[2] * ldist ** 2,
+                                mjm.MINVAL)
+      if int(m.light_type[li]) == 0:               # mjLIGHT_SPOT
+        sdir = mjm.normalize(d.light_xdir[li])
+        cosang = jnp.sum(-ldir * sdir[None, :], axis=-1)
+        cutoff = jnp.cos(m.light_cutoff[li].astype(dtype)
+                         * jnp.pi / 180.0)
+        spot = jnp.where(
+            cosang >= cutoff,
+            jnp.maximum(cosang, 0.0)
+            ** jnp.maximum(m.light_exponent[li].astype(dtype), 0.0), 0.0)
+      else:                                        # mjLIGHT_POINT
+        spot = jnp.ones(npix, dtype=dtype)
+    occl = (_shadow(ldir, ldist) if bool(m.light_castshadow[li])
+            else jnp.ones(npix, dtype=dtype))
+    rgb = _accum(rgb, ldir, m.light_ambient[li].astype(dtype),
+                 m.light_diffuse[li].astype(dtype),
+                 m.light_specular[li].astype(dtype), atten, spot, occl)
+
+  rgb = jnp.clip(rgb, 0.0, 1.0)
+  # background: skybox sample by view direction (rotated 90 deg around X,
+  # render_gl3.c:193-200), else black
+  sky = _skybox_texid(m)
+  if sky >= 0:
+    skyv = jnp.stack([view[:, 0], view[:, 2], -view[:, 1]], axis=-1)
+    bg = _tex_cube_sample(m, sky, skyv)
+  else:
+    bg = jnp.zeros((npix, 3), dtype=dtype)
+  rgb = jnp.where(hit[:, None], rgb, bg)
 
   seg = jnp.where(hit, gid, -1).astype(jnp.int32)
   return (rgb.reshape(height, width, 3),

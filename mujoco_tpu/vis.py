@@ -74,7 +74,18 @@ def update_scene(m: Model, d: Data, contact_points: bool = True,
   pos = [d.geom_xpos]
   mat = [d.geom_xmat]
   size = [m.geom_size]
-  rgba = [m.geom_rgba]
+  # material resolution (setMaterial, engine_vis_visualize.c:225-247):
+  # material rgba unless the geom rgba differs from the 0.5/0.5/0.5/1
+  # default or there is no material
+  grgba = m.geom_rgba
+  if int(getattr(m, "nmat", 0)):
+    default = jnp.asarray([0.5, 0.5, 0.5, 1.0], dtype=dtype)
+    explicit = jnp.any(jnp.abs(grgba - default) > 1e-7, axis=1)
+    matid = jnp.asarray(np.asarray(m.geom_matid), dtype=jnp.int32)
+    mrgba = jnp.where((matid >= 0)[:, None],
+                      m.mat_rgba[jnp.maximum(matid, 0)].astype(dtype), grgba)
+    grgba = jnp.where(explicit[:, None], grgba, mrgba)
+  rgba = [grgba]
   active = [jnp.ones((m.ngeom,), dtype=bool)]
 
   if ncon:
