@@ -511,10 +511,12 @@ class _Compiler:
     self.hfields: List[dict] = []
     self.textures: List[dict] = []
     self.materials: List[dict] = []
+    self.skins: List[dict] = []
+    self._pending_skins: List[Element] = []
     self.names: Dict[str, Dict[str, int]] = {
         k: {} for k in ("body", "joint", "geom", "site", "camera", "light",
                         "actuator", "sensor", "tendon", "equality", "key",
-                        "mesh", "hfield", "texture", "material")}
+                        "mesh", "hfield", "texture", "material", "skin")}
 
   # ----- passes ------------------------------------------------------------
 
@@ -530,6 +532,7 @@ class _Compiler:
       self._compile_element(child, parent=0,
                             fpos=np.zeros(3), fquat=np.array([1.0, 0, 0, 0]))
     self._reorder_by_body()
+    self._compile_skins()
     self._compute_inertia()
     self._address()
     self._compile_tendons()
@@ -995,6 +998,7 @@ class _Compiler:
     mesh_vert, mesh_face = [], []
     hf_data = []
     mats: List[Element] = []
+    skins: List[Element] = []
     for el in self.spec.assets:
       if el.kind == "mesh":
         if "vertex" in el.attrs:
@@ -1042,10 +1046,13 @@ class _Compiler:
         self._compile_texture(el)
       elif el.kind == "material":
         mats.append(el)                  # second pass: may reference textures
+      elif el.kind == "skin":
+        skins.append(el)                 # after bodies: resolves body names
       else:
         raise NotImplementedError(f"asset <{el.kind}>")
     for el in mats:
       self._compile_material(el)
+    self._pending_skins = skins
 
   def _compile_texture(self, el: Element) -> None:
     """<texture>: builtin pattern synthesis byte-exact vs mjCTexture
@@ -1098,6 +1105,53 @@ class _Compiler:
     self.names["texture"][name] = tid
     self.textures.append(dict(name=name, type=ttype, width=w, height=h,
                               data=flat))
+
+  def _compile_skins(self) -> None:
+    """<skin> assets with inline <bone> children (mjCSkin::Compile,
+    user_mesh.cc:3114-3262): per-vertex weight normalization, bindquat
+    normalization, body/material name resolution. Runs after the tree walk
+    so bone body names resolve. SKN files are not supported (inline only)."""
+    for el in self._pending_skins:
+      a = el.attrs
+      if "file" in a:
+        raise NotImplementedError("skin .skn files (use inline skin data)")
+      sid = len(self.skins)
+      name = _s(a, "name", f"skin{sid}")
+      verts = _f(a, "vertex").reshape(-1, 3)
+      faces = _f(a, "face").astype(np.int32).reshape(-1, 3)
+      texcoord = (_f(a, "texcoord").reshape(-1, 2)
+                  if "texcoord" in a else np.zeros((0, 2)))
+      matname = _s(a, "material", "")
+      bones = []
+      for c in el.children:
+        if c.kind != "bone":
+          raise NotImplementedError(f"skin child <{c.kind}>")
+        ca = c.attrs
+        q = _f(ca, "bindquat", [1, 0, 0, 0], 4)
+        bones.append(dict(
+            body=self.names["body"][ca["body"]],
+            bindpos=_f(ca, "bindpos", [0, 0, 0], 3),
+            bindquat=q / max(np.linalg.norm(q), 1e-15),
+            vertid=_f(ca, "vertid").astype(np.int32),
+            vertweight=_f(ca, "vertweight")))
+      if not bones:
+        raise ValueError(f"skin {name} has no bones")
+      # normalize weights so each vertex's total is 1
+      vw = np.zeros(len(verts))
+      for b in bones:
+        np.add.at(vw, b["vertid"], b["vertweight"])
+      if (vw <= 1e-15).any():
+        raise ValueError(f"skin {name}: vertex with zero total weight")
+      for b in bones:
+        b["vertweight"] = b["vertweight"] / vw[b["vertid"]]
+      self.skins.append(dict(
+          name=name, verts=verts, faces=faces, texcoord=texcoord,
+          matid=self.names["material"][matname] if matname else -1,
+          rgba=_f(a, "rgba", [1, 1, 1, 1], 4),
+          inflate=float(_s(a, "inflate", "0")),
+          group=int(_s(a, "group", "0")),
+          bones=bones))
+      self.names["skin"][name] = sid
 
   def _compile_material(self, el: Element) -> None:
     """<material> (mjs_defaultMaterial, user_init.c:284-292)."""

@@ -690,6 +690,7 @@ def _emit(self) -> CompiledModel:
   m.tex_nchannel = np.full(ntex, 3, dtype=np.int32)
   m.tex_data = (np.concatenate([t["data"] for t in self.textures])
                 if ntex else np.zeros(0, dtype=np.uint8))
+  _skin_emit(self, m)
 
   # ----- meshes / hfields
   if self.meshes:
@@ -880,6 +881,64 @@ def _emit(self) -> CompiledModel:
   _body_simple(self, m)
   _visual_emit(self, m)
   return m
+
+
+def _skin_emit(self, m) -> None:
+  """mjModel skin_* arrays (CopyObjects skin section, user_model.cc):
+  flat vertex/face/bone tables with per-skin addressing; bone weight lists
+  concatenated in bone order."""
+  skins = self.skins
+  ns = len(skins)
+  m.nskin = ns
+  arr = lambda k, dt: np.array([s[k] for s in skins], dtype=dt)
+  m.skin_matid = arr("matid", np.int32)
+  m.skin_group = arr("group", np.int32)
+  m.skin_inflate = arr("inflate", np.float64)
+  m.skin_rgba = (np.stack([s["rgba"] for s in skins])
+                 if ns else np.zeros((0, 4)))
+  m.skin_vertnum = np.array([len(s["verts"]) for s in skins],
+                            dtype=np.int32)
+  m.skin_vertadr = (np.concatenate(
+      [[0], np.cumsum(m.skin_vertnum)[:-1]]).astype(np.int32)
+      if ns else np.zeros(0, dtype=np.int32))
+  m.skin_facenum = np.array([len(s["faces"]) for s in skins],
+                            dtype=np.int32)
+  m.skin_faceadr = (np.concatenate(
+      [[0], np.cumsum(m.skin_facenum)[:-1]]).astype(np.int32)
+      if ns else np.zeros(0, dtype=np.int32))
+  m.skin_bonenum = np.array([len(s["bones"]) for s in skins],
+                            dtype=np.int32)
+  m.skin_boneadr = (np.concatenate(
+      [[0], np.cumsum(m.skin_bonenum)[:-1]]).astype(np.int32)
+      if ns else np.zeros(0, dtype=np.int32))
+  m.skin_vert = (np.concatenate([s["verts"] for s in skins])
+                 if ns else np.zeros((0, 3)))
+  m.skin_face = (np.concatenate([s["faces"] for s in skins])
+                 if ns else np.zeros((0, 3), dtype=np.int32))
+  tc = [s["texcoord"] for s in skins if len(s["texcoord"])]
+  m.skin_texcoord = np.concatenate(tc) if tc else np.zeros((0, 2))
+  m.skin_texcoordadr = np.full(ns, -1, dtype=np.int32)
+  off = 0
+  for i, s in enumerate(skins):
+    if len(s["texcoord"]):
+      m.skin_texcoordadr[i] = off
+      off += len(s["texcoord"])
+  bones = [b for s in skins for b in s["bones"]]
+  nb = len(bones)
+  m.skin_bonebodyid = np.array([b["body"] for b in bones], dtype=np.int32)
+  m.skin_bonebindpos = (np.stack([b["bindpos"] for b in bones])
+                        if nb else np.zeros((0, 3)))
+  m.skin_bonebindquat = (np.stack([b["bindquat"] for b in bones])
+                         if nb else np.zeros((0, 4)))
+  m.skin_bonevertnum = np.array([len(b["vertid"]) for b in bones],
+                                dtype=np.int32)
+  m.skin_bonevertadr = (np.concatenate(
+      [[0], np.cumsum(m.skin_bonevertnum)[:-1]]).astype(np.int32)
+      if nb else np.zeros(0, dtype=np.int32))
+  m.skin_bonevertid = (np.concatenate([b["vertid"] for b in bones])
+                       if nb else np.zeros(0, dtype=np.int32))
+  m.skin_bonevertweight = (np.concatenate([b["vertweight"] for b in bones])
+                           if nb else np.zeros(0))
 
 
 def _visual_emit(self, m) -> None:

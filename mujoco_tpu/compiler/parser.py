@@ -244,10 +244,13 @@ def parse_mjcf(xml: str, base_dir: Optional[str] = None,
         worldbody.children.extend(wb.children)
     elif el.tag == "asset":
       for sub in el:
-        asset_els.append(Element(kind=sub.tag,
-                                 attrs=_resolve(sub, defaults, None)
-                                 if sub.tag in _DEFAULT_KINDS
-                                 else dict(sub.attrib)))
+        ae = Element(kind=sub.tag,
+                     attrs=_resolve(sub, defaults, None)
+                     if sub.tag in _DEFAULT_KINDS
+                     else dict(sub.attrib))
+        for c in sub:                     # e.g. <skin><bone .../></skin>
+          ae.children.append(Element(kind=c.tag, attrs=dict(c.attrib)))
+        asset_els.append(ae)
     elif el.tag == "actuator":
       for sub in el:
         actuators.append(Element(kind=sub.tag,

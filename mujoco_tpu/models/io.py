@@ -191,6 +191,45 @@ def _render_fields(mjm: Any, jx, si) -> dict:
   out["tex_height"] = si(th)
   out["tex_data"] = jx(np.concatenate(chunks) if chunks
                        else np.zeros(0, dtype=np.float64))
+  # skins (mjmodel.h skin_*); counts derived from the arrays so sources
+  # without nskinvert/nskinface/nskinbone headers (CompiledModel) work
+  nskin = int(getattr(mjm, "nskin", 0))
+  nsv = np.asarray(getattr(mjm, "skin_vert", np.zeros((0, 3)))).size // 3
+  nsf = np.asarray(getattr(mjm, "skin_face",
+                           np.zeros((0, 3), dtype=np.int32))).size // 3
+  nsb = np.asarray(getattr(mjm, "skin_bonebodyid",
+                           np.zeros(0, dtype=np.int32))).size
+  nsbv = np.asarray(getattr(mjm, "skin_bonevertid",
+                            np.zeros(0, dtype=np.int32))).size
+  out.update(
+      nskin=nskin,
+      skin_matid=si(g("skin_matid", np.full(nskin, -1, dtype=np.int32))),
+      skin_group=si(g("skin_group", np.zeros(nskin, dtype=np.int32))),
+      skin_rgba=jx(g("skin_rgba", np.ones((nskin, 4)))),
+      skin_inflate=jx(g("skin_inflate", np.zeros(nskin))),
+      skin_vertadr=si(g("skin_vertadr", np.zeros(nskin, dtype=np.int32))),
+      skin_vertnum=si(g("skin_vertnum", np.zeros(nskin, dtype=np.int32))),
+      skin_faceadr=si(g("skin_faceadr", np.zeros(nskin, dtype=np.int32))),
+      skin_facenum=si(g("skin_facenum", np.zeros(nskin, dtype=np.int32))),
+      skin_boneadr=si(g("skin_boneadr", np.zeros(nskin, dtype=np.int32))),
+      skin_bonenum=si(g("skin_bonenum", np.zeros(nskin, dtype=np.int32))),
+      skin_vert=jx(g("skin_vert", np.zeros((nsv, 3))).reshape(nsv, 3)),
+      skin_face=si(g("skin_face",
+                     np.zeros((nsf, 3), dtype=np.int32)).reshape(nsf, 3)),
+      skin_bonevertadr=si(g("skin_bonevertadr",
+                            np.zeros(nsb, dtype=np.int32))),
+      skin_bonevertnum=si(g("skin_bonevertnum",
+                            np.zeros(nsb, dtype=np.int32))),
+      skin_bonebodyid=si(g("skin_bonebodyid",
+                           np.zeros(nsb, dtype=np.int32))),
+      skin_bonebindpos=jx(g("skin_bonebindpos",
+                            np.zeros((nsb, 3))).reshape(nsb, 3)),
+      skin_bonebindquat=jx(g("skin_bonebindquat",
+                             np.zeros((nsb, 4))).reshape(nsb, 4)),
+      skin_bonevertid=si(g("skin_bonevertid",
+                           np.zeros(nsbv, dtype=np.int32))),
+      skin_bonevertweight=jx(g("skin_bonevertweight", np.zeros(nsbv))),
+  )
   return out
 
 

@@ -763,6 +763,31 @@ class Model:
   tex_height: np.ndarray = static_field()        # (ntex,)
   tex_data: jax.Array = field()                  # (ntexdata,) RGB in [0,1]
 
+  # ----- skins (mjmodel.h skin_*; evolved by ops/skin.skin_update, the
+  # mjv_updateActiveSkin analog, engine_vis_visualize.c:3403). Topology is
+  # static; bind poses, rest vertices, and weights are traced so skinned
+  # characters are domain-randomizable.
+  nskin: int = static_field()
+  skin_matid: np.ndarray = static_field()        # (nskin,)
+  skin_group: np.ndarray = static_field()        # (nskin,)
+  skin_rgba: jax.Array = field()                 # (nskin, 4)
+  skin_inflate: jax.Array = field()              # (nskin,)
+  skin_vertadr: np.ndarray = static_field()      # (nskin,)
+  skin_vertnum: np.ndarray = static_field()      # (nskin,)
+  skin_faceadr: np.ndarray = static_field()      # (nskin,)
+  skin_facenum: np.ndarray = static_field()      # (nskin,)
+  skin_boneadr: np.ndarray = static_field()      # (nskin,)
+  skin_bonenum: np.ndarray = static_field()      # (nskin,)
+  skin_vert: jax.Array = field()                 # (nskinvert, 3) rest pose
+  skin_face: np.ndarray = static_field()         # (nskinface, 3)
+  skin_bonevertadr: np.ndarray = static_field()  # (nskinbone,)
+  skin_bonevertnum: np.ndarray = static_field()  # (nskinbone,)
+  skin_bonebodyid: np.ndarray = static_field()   # (nskinbone,)
+  skin_bonebindpos: jax.Array = field()          # (nskinbone, 3)
+  skin_bonebindquat: jax.Array = field()         # (nskinbone, 4)
+  skin_bonevertid: np.ndarray = static_field()   # (nskinbonevert,)
+  skin_bonevertweight: jax.Array = field()       # (nskinbonevert,)
+
   # ----- keyframes
   key_time: jax.Array = field()
   key_qpos: jax.Array = field()
