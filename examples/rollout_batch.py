@@ -3,6 +3,7 @@
 Run:  python examples/rollout_batch.py          (TPU or CPU)
 """
 
+import os
 import time
 
 import jax
@@ -10,7 +11,8 @@ import jax.numpy as jnp
 from mujoco_tpu.models import zoo
 from mujoco_tpu.parallel import rollout
 
-NBATCH, NSTEP = 1024, 100
+NBATCH = int(os.environ.get("EX_NBATCH", "1024"))
+NSTEP = int(os.environ.get("EX_NSTEP", "100"))
 
 m = zoo.humanoid(dtype=jnp.float32)
 batch = rollout.make_batch(m, NBATCH, dtype=jnp.float32)

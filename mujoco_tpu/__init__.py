@@ -28,11 +28,15 @@ from mujoco_tpu.ops.forward import (euler, forward, fwd_acceleration,
                                     fwd_position, fwd_velocity, rungekutta4,
                                     step)
 from mujoco_tpu.ops.inverse import compare_fwd_inv, inverse
-from mujoco_tpu.ops.derivative_fd import transition, transition_fd
+from mujoco_tpu.ops.derivative_fd import (inverse_derivatives, transition,
+                                          transition_fd)
 from mujoco_tpu.ops.ray import ray, ray_geom
 from mujoco_tpu import plugin
 from mujoco_tpu import vis
 from mujoco_tpu import sysid
+from mujoco_tpu import usd_export
+from mujoco_tpu.ops.skin import skin_update
+from mujoco_tpu.usd_export import export_usd
 from mujoco_tpu.ops.render import render, render_scene
 from mujoco_tpu.ops.sleep import init_sleep
 from mujoco_tpu.ops.history import (init_ctrl_history, init_sensor_history,

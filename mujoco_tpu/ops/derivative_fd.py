@@ -51,6 +51,34 @@ def _state_step(m: Model, d: Data):
   return f
 
 
+def inverse_derivatives(m: Model, d: Data, flg_actuation: bool = True):
+  """Analytic (AD) counterpart of mjd_inverseFD
+  (engine_derivative_fd.c:608): Jacobians of inverse dynamics and sensors
+  w.r.t. (qpos, qvel, qacc), in the reference's transposed layout —
+  DfDq[i, j] = ∂ qfrc_inverse_j / ∂ qpos_i along tangent direction i.
+
+  Returns (DfDq, DfDv, DfDa, DsDq, DsDv, DsDa) with shapes (nv, nv) ×3 and
+  (nv, nsensordata) ×3. flg_actuation subtracts qfrc_actuator from
+  qfrc_inverse, like the reference flag. The mass-matrix Jacobian DmDq is
+  not provided (this engine keeps no sparse qM layout)."""
+  from mujoco_tpu.ops import actuation, inverse as inv_mod
+
+  def f(dq, dv, da_acc):
+    dd = _apply_tangent(m, d, dq, dv, jnp.zeros(m.na), jnp.zeros(m.nu))
+    dd = dd.replace(qacc=d.qacc + da_acc)
+    out = inv_mod.inverse(m, dd)
+    qfrc = out.qfrc_inverse
+    if flg_actuation:
+      qfrc = qfrc - actuation.fwd_actuation(m, out).qfrc_actuator
+    return qfrc, out.sensordata
+
+  z = jnp.zeros(m.nv)
+  jac = jax.jacfwd(f, argnums=(0, 1, 2))
+  (dfdq, dfdv, dfda), (dsdq, dsdv, dsda) = jac(z, z, z)
+  # jacfwd output axes are (out, in); the reference stores (in, out)
+  return (dfdq.T, dfdv.T, dfda.T, dsdq.T, dsdv.T, dsda.T)
+
+
 def transition(m: Model, d: Data):
   """(A, B, C, D) via forward-mode autodiff of the full step.
 

@@ -445,7 +445,9 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     rootid = jnp.asarray(m.body_rootid, dtype=jnp.int32)
     b1s = gb[d.contact.geomids[:, 0]]                        # (ncon,) traced
     b2s = gb[jnp.maximum(d.contact.geomids[:, 1], 0)]
-    is_flex = jnp.asarray(m.con.flex2 >= 0)
+    # static numpy, not jnp: under jacfwd-inside-jit an asarray of host
+    # metadata stages to a tracer and breaks the Python branch below
+    is_flex = np.asarray(m.con.flex2 >= 0)
 
     def side_add(cfrc_ext, bodies, sgn, live):
       v = jax.vmap(lambda c, k, p: mjm.transform_spatial(

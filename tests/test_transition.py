@@ -76,3 +76,59 @@ def test_grad_through_batched_step():
   e = jnp.zeros_like(qvel0).at[1, 0].set(eps)
   fd = (loss(qvel0 + e) - loss(qvel0 - e)) / (2 * eps)
   np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=1e-4)
+
+
+def test_inverse_derivatives_vs_oracle():
+  """AD inverse-dynamics Jacobians vs mjd_inverseFD
+  (engine_derivative_fd.c:608): force and sensor Jacobians w.r.t.
+  qpos/qvel/qacc in the reference's transposed layout."""
+  xml = """
+<mujoco>
+  <option timestep="0.003"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.35">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0"/>
+      <site name="tip" pos="0.3 0 0"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="slide" axis="0 0 1" stiffness="8"/>
+        <geom type="sphere" size="0.06" mass="0.3"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor joint="j1" gear="1.5"/></actuator>
+  <sensor><jointpos joint="j1"/><accelerometer site="tip"/>
+          <jointvel joint="j2"/></sensor>
+  <!-- jointactuatorfrc is excluded: the oracle's FD perturbs inverse
+       passes that never refresh qfrc_actuator, producing a 1/eps
+       artifact in that sensor's row -->
+
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = [0.35, -0.04]
+  mjd.qvel[:] = [0.6, -0.2]
+  mjd.qacc[:] = [0.8, 1.1]
+  mjd.ctrl[:] = [0.4]
+  nv, ns = mjm.nv, mjm.nsensordata
+  DfDq = np.zeros((nv, nv)); DfDv = np.zeros((nv, nv))
+  DfDa = np.zeros((nv, nv))
+  DsDq = np.zeros((nv, ns)); DsDv = np.zeros((nv, ns))
+  DsDa = np.zeros((nv, ns))
+  mujoco.mjd_inverseFD(mjm, mjd, 1e-7, 1,
+                       DfDq, DfDv, DfDa, DsDq, DsDv, DsDa, None)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                qvel=jnp.asarray(mjd.qvel.copy()),
+                qacc=jnp.asarray(mjd.qacc.copy()),
+                ctrl=jnp.asarray(mjd.ctrl.copy()))
+  out = jax.jit(lambda dd: derivative_fd.inverse_derivatives(m, dd))(d)
+  ours = [np.asarray(x) for x in out]
+  for got, ref, name in zip(
+      ours, (DfDq, DfDv, DfDa, DsDq, DsDv, DsDa),
+      ("DfDq", "DfDv", "DfDa", "DsDq", "DsDv", "DsDa")):
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4,
+                               err_msg=name)

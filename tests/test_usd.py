@@ -1,0 +1,82 @@
+"""USD export: stage structure and trajectory time samples.
+
+No pxr runtime in this environment, so the checks parse the emitted usda
+text (schema per the reference's exporter,
+/root/reference/python/mujoco/usd/exporter.py + shapes.py).
+"""
+
+import re
+
+import mujoco
+import numpy as np
+
+import jax
+
+from mujoco_tpu import usd_export
+from mujoco_tpu.models import io
+from mujoco_tpu.ops import forward
+
+
+XML = """
+<mujoco>
+  <asset>
+    <mesh name="tet" vertex="0 0 0  .2 0 0  0 .2 0  0 0 .2"/>
+    <material name="red" rgba="1 0 0 1"/>
+  </asset>
+  <worldbody>
+    <light pos="0 0 3" dir="0 0 -1"/>
+    <light directional="true" pos="1 0 3" dir="0 0 -1"/>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body pos="0 0 1"><freejoint/>
+      <geom name="ball" type="sphere" size=".25" material="red"/></body>
+    <body pos="1 0 1"><freejoint/>
+      <geom name="chunk" type="mesh" mesh="tet"/></body>
+    <body pos="-1 0 .5"><freejoint/>
+      <geom name="pill" type="capsule" size=".1 .2"/></body>
+    <camera name="cam" pos="0 -3 1" xyaxes="1 0 0 0 .3 .95"/>
+  </worldbody>
+</mujoco>"""
+
+
+def test_usd_single_frame(tmp_path):
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  m = io.put_model(mjm)
+  d = forward.forward(m, io.make_data(m))
+  p = tmp_path / "scene.usda"
+  text = usd_export.export_usd(m, d, str(p))
+  assert p.exists() and text.startswith("#usda 1.0")
+  # one Xform per geom with the right Gprim types
+  assert text.count("def Xform") == 1 + mjm.ngeom   # World + geoms
+  assert 'def Sphere "shape"' in text
+  assert 'def Capsule "shape"' in text
+  assert 'def Mesh "shape"' in text                 # tet + plane quad
+  assert 'def Camera "camera_0"' in text
+  assert "def SphereLight" in text and "def DistantLight" in text
+  # material rgba reached displayColor (setMaterial rule)
+  assert re.search(r"displayColor = \[\(1\.0, 0\.0, 0\.0\)\]", text)
+  # named prims
+  assert 'def Xform "ball"' in text and 'def Xform "pill"' in text
+  # mesh has 4 faces of the tet
+  mm = re.search(r"faceVertexCounts = \[((?:3, )*3)\]", text)
+  assert mm and mm.group(1).count("3") == 4
+
+
+def test_usd_trajectory(tmp_path):
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  frames = []
+  for _ in range(4):
+    d = step(d)
+    frames.append(d)
+  p = tmp_path / "traj.usda"
+  text = usd_export.export_usd(m, frames, str(p), fps=100.0)
+  assert "endTimeCode = 3" in text
+  assert "timeCodesPerSecond = 100.0" in text
+  assert text.count("xformOp:transform.timeSamples") == mjm.ngeom
+  # the falling ball's z decreases across samples
+  ball = text.split('def Xform "ball"')[1].split("def ")[0]
+  zs = [float(r.split(",")[-2]) for r in
+        re.findall(r"\(([^()]+, [^()]+, [^()]+, 1\.0)\)", ball)]
+  assert len(zs) == 4 and zs[-1] < zs[0]
