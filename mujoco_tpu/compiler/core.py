@@ -776,9 +776,16 @@ class _Compiler:
     a = el.attrs
     ctype = _s(a, "type", "particle")
     if ctype != "cable":
-      raise NotImplementedError(
-          f"composite type '{ctype}' (only 'cable' is supported; grids and "
-          "cloth use <flexcomp>)")
+      # parity with the reference: every non-cable composite type is a
+      # deprecation error there too (user_composite.cc:191-224)
+      replacement = {"particle": "replicate", "grid": "flex",
+                     "rope": "cable", "loop": "flexcomp",
+                     "cloth": "shell"}.get(ctype)
+      if replacement:
+        raise ValueError(
+            f'The "{ctype}" composite type is deprecated. Please use '
+            f'"{replacement}" instead.')
+      raise ValueError("Unknown shape in composite")
     if _s(a, "curve", "s") != "s":
       raise NotImplementedError("cable composite with a non-straight curve")
     cnt = [int(x) for x in _s(a, "count", "20 1 1").split()]

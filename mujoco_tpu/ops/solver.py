@@ -466,19 +466,21 @@ def _row_bounds(m: Model, d: Data):
 
 
 def solve_pgs(m: Model, d: Data) -> Data:
-  """Dual PGS (solPGS, engine_solver.c:457) for pyramidal cones.
+  """Dual PGS (solPGS, engine_solver.c:457), pyramidal and elliptic cones.
 
   Deterministic sweep order (the reference shuffles with a fixed-seed PCG32;
   the dual objective is strictly convex so both converge to the same forces).
-  AR = J M⁻¹ Jᵀ + diag(R) is assembled dense once; each Gauss-Seidel row
-  update is one dynamic-sliced dot inside a fori_loop.
+  AR = J M⁻¹ Jᵀ + diag(R) is assembled dense once; scalar rows are one
+  dynamic-sliced dot per Gauss-Seidel update inside a fori_loop. Elliptic
+  contacts update as blocks: the reference's normal-or-ray step followed by
+  the fixed-normal friction QCQP over the ellipsoid
+  (engine_solver.c:605-677, solveQCQP:402).
   """
-  if int(m.opt.cone) == int(ConeType.ELLIPTIC):
-    raise NotImplementedError("PGS with elliptic cones: use Newton/CG")
   from mujoco_tpu.ops import smooth
   dtype = d.qpos.dtype
   meta = m.efc
   nefc = meta.nefc
+  elliptic = int(m.opt.cone) == int(ConeType.ELLIPTIC)
 
   # PGS needs the multi-rhs M-solve; build the tree factor here (fwd_position
   # skips it for non-CG solvers)
@@ -498,8 +500,46 @@ def solve_pgs(m: Model, d: Data) -> Data:
     fi = jnp.clip(f[c] - res * arinv[c], lo[c], hi[c])
     return f.at[c].set(fi)
 
+  def elliptic_block(f, c):
+    """One elliptic contact block (engine_solver.c:605-677)."""
+    dim = int(m.con.condim[c])
+    adr = int(meta.con_efcadr[c])
+    active = d.efc_active[adr]
+    if dim == 1:
+      res = jnp.dot(ar[adr], f) + b[adr]
+      fi = jnp.maximum(f[adr] - res * arinv[adr], 0.0)
+      return f.at[adr].set(jnp.where(active, fi, f[adr]))
+    athis = ar[adr:adr + dim, adr:adr + dim]
+    res = ar[adr:adr + dim] @ f + b[adr:adr + dim]
+    oldf = f[adr:adr + dim]
+    # normal update (f_n ~ 0) or ray update along the current force
+    fn_normal = jnp.maximum(oldf[0] - res[0] * arinv[adr], 0.0)
+    v = oldf
+    denom = jnp.dot(v, athis @ v)
+    x = jnp.where(denom >= mjm.MINVAL,
+                  -jnp.dot(v, res) / jnp.maximum(denom, mjm.MINVAL), 0.0)
+    x = jnp.maximum(x, -1.0)            # keep the normal non-negative
+    fray = oldf + x * v
+    small = oldf[0] < mjm.MINVAL
+    fnew0 = jnp.where(small, fn_normal, fray[0])
+    # friction update with the normal fixed (QCQP over the ellipsoid)
+    ac = athis[1:, 1:]
+    bc = (res[1:] - ac @ oldf[1:] + athis[1:, 0] * (fnew0 - oldf[0]))
+    mu_vec = d.contact.friction[c, :dim - 1]
+    fr = _qcqp(ac, bc, mu_vec, fnew0)
+    fr = jnp.where(fnew0 < mjm.MINVAL, jnp.zeros_like(fr), fr)
+    block = jnp.concatenate([fnew0[None], fr])
+    block = jnp.where(active, block, oldf)
+    return f.at[adr:adr + dim].set(block)
+
+  ncon_start = int(meta.con_efcadr[0]) if (elliptic and m.con.ncon) else nefc
+
   def sweep(f):
-    return jax.lax.fori_loop(0, nefc, row_update, f)
+    f = jax.lax.fori_loop(0, ncon_start, row_update, f)
+    if elliptic:
+      for c in range(m.con.ncon):
+        f = elliptic_block(f, c)
+    return f
 
   # dual cost for honest convergence reporting (solPGS accumulates per-row
   # costChange into `improvement`, scales by 1/(meaninertia·max(1,nv)), and

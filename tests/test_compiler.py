@@ -894,3 +894,17 @@ def test_vfs_assets_dict():
     mujoco.mj_step(mjm, mjd)
     d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
+
+
+def test_composite_deprecations_match_reference():
+  """Every non-cable composite type is a deprecation error in the reference
+  too (user_composite.cc:191-224) — same message, same outcome."""
+  for ctype in ("particle", "grid", "rope", "loop", "cloth"):
+    xml = f"""
+<mujoco><worldbody><body>
+  <composite type="{ctype}" count="3 3 1"><geom size=".02"/>
+  </composite></body></worldbody></mujoco>"""
+    with pytest.raises(ValueError, match="deprecated"):
+      load_xml(xml)
+    with pytest.raises(ValueError):       # the pip oracle rejects them too
+      mujoco.MjModel.from_xml_string(xml)

@@ -136,3 +136,45 @@ def test_noslip_elliptic_condim4_vs_oracle():
   d = forward.forward(m, d)
   np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-5,
                              err_msg="qacc condim4 elliptic noslip")
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_pgs_elliptic_vs_oracle(seed):
+  """Elliptic-cone PGS: normal-or-ray block update + fixed-normal friction
+  QCQP (solPGS elliptic branch, engine_solver.c:605-677)."""
+  xml = _ball_xml('solver="PGS" cone="elliptic" iterations="300"')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(seed)
+  mjd.qvel[:] = 0.3 * rng.randn(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=5e-4,
+                             rtol=1e-5, err_msg="qacc")
+  np.testing.assert_allclose(np.asarray(d.qfrc_constraint),
+                             mjd.qfrc_constraint, atol=5e-4, rtol=1e-5)
+
+
+def test_pgs_elliptic_condim4_trajectory():
+  """Elliptic PGS trajectory with torsional friction (condim 4)."""
+  xml = _ball_xml('solver="PGS" cone="elliptic" iterations="200"')
+  xml = xml.replace('<geom type="sphere" size="0.1" friction="0.8 0.008 0.001"/>',
+                    '<geom type="sphere" size="0.1" condim="4" '
+                    'friction="0.8 0.008 0.001"/>')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(7)
+  mjd.qvel[:] = 0.2 * rng.randn(mjm.nv)
+
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(100):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-5)
