@@ -667,6 +667,49 @@ class _Compiler:
       md = self.meshes[dataid]
       pos = pos + _rotvec(md["pos"], quat)
       quat = _mulquat(quat, md["quat"])
+    elif "mesh" in a and a["mesh"]:
+      # geom fitting: primitive sized to the referenced mesh
+      # (mjCMesh::FitGeom, user_mesh.cc:944-1018 + the frame accumulation
+      # in mjCGeom::Compile, user_objects.cc:4043-4060)
+      md = self.meshes[self.names["mesh"][a["mesh"]]]
+      fitscale = float(_s(a, "fitscale", "1"))
+      center = np.zeros(3)
+      if _b(self.spec.compiler, "fitaabb", False):
+        vmin = md["verts"].min(axis=0)
+        vmax = md["verts"].max(axis=0)
+        center = 0.5 * (vmin + vmax)
+        half = vmax - center
+        if gtype == 2:                       # sphere
+          size = np.array([half.max(), 0, 0])
+        elif gtype in (3, 5):                # capsule / cylinder
+          r = max(half[0], half[1])
+          hz = half[2] - (r if gtype == 3 else 0.0)
+          size = np.array([r, hz, 0])
+        elif gtype in (4, 6):                # ellipsoid / box
+          size = half.copy()
+        else:
+          raise ValueError(f"invalid geom type {gtype} in mesh fitting")
+      else:
+        # equivalent-inertia box (boxsz_, user_mesh.cc:1506-1510)
+        ev = np.asarray(md["principal"], dtype=np.float64)
+        vol = md["volume"]
+        bs = 0.5 * np.sqrt(np.maximum(
+            6 * (ev.sum() - 2 * ev) / max(vol, 1e-15), 0.0))
+        if gtype == 2:                       # sphere
+          size = np.array([bs.mean(), 0, 0])
+        elif gtype == 3:                     # capsule
+          r = (bs[0] + bs[1]) / 2
+          size = np.array([r, max(0.0, bs[2] - r / 2), 0])
+        elif gtype == 5:                     # cylinder
+          size = np.array([(bs[0] + bs[1]) / 2, bs[2], 0])
+        elif gtype in (4, 6):                # ellipsoid / box
+          size = bs.copy()
+        else:
+          raise ValueError(f"invalid geom type {gtype} in mesh fitting")
+      size = size * fitscale
+      meshpos = md["pos"] + _rotvec(center, md["quat"])
+      pos = pos + _rotvec(meshpos, quat)
+      quat = _mulquat(quat, md["quat"])
     if gtype == 1:
       dataid = self.names["hfield"][a["hfield"]]
     name = _s(a, "name", f"geom{gid}")

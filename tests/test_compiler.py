@@ -908,3 +908,42 @@ def test_composite_deprecations_match_reference():
       load_xml(xml)
     with pytest.raises(ValueError):       # the pip oracle rejects them too
       mujoco.MjModel.from_xml_string(xml)
+
+
+@pytest.mark.parametrize("fitaabb", [False, True])
+def test_geom_fitting(fitaabb):
+  """Primitive geoms fitted to meshes (mjCMesh::FitGeom,
+  user_mesh.cc:944-1018): equivalent-inertia box or aabb mode, fitscale,
+  and the mesh frame accumulation into the geom frame."""
+  flag = 'fitaabb="true"' if fitaabb else ""
+  xml = f"""
+<mujoco>
+  <compiler {flag}/>
+  <asset>
+    <mesh name="blob" vertex="0 0 0  .4 0 0  0 .3 0  0 0 .5  .3 .3 .3"/>
+  </asset>
+  <worldbody>
+    <body pos="0 0 1"><freejoint/>
+      <geom type="box" mesh="blob"/></body>
+    <body pos="1 0 1"><freejoint/>
+      <geom type="sphere" mesh="blob" fitscale="1.4"/></body>
+    <body pos="2 0 1"><freejoint/>
+      <geom type="capsule" mesh="blob"/></body>
+    <body pos="3 0 1"><freejoint/>
+      <geom type="cylinder" mesh="blob"/></body>
+    <body pos="4 0 1"><freejoint/>
+      <geom type="ellipsoid" mesh="blob"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  np.testing.assert_allclose(cm.geom_size, mjm.geom_size, atol=1e-6)
+  np.testing.assert_allclose(cm.geom_pos, mjm.geom_pos, atol=1e-6)
+  q = np.asarray(mjm.geom_quat)
+  q = np.where(np.sum(q * np.asarray(cm.geom_quat), axis=1,
+                      keepdims=True) < 0, -q, q)
+  np.testing.assert_allclose(cm.geom_quat, q, atol=1e-6)
+  # mass/inertia amplify the f32 mesh-vertex roundoff through size^3
+  np.testing.assert_allclose(cm.body_mass, mjm.body_mass, rtol=1e-6)
+  np.testing.assert_allclose(cm.body_inertia, mjm.body_inertia, rtol=2e-6,
+                             atol=1e-9)
