@@ -32,6 +32,45 @@ from xml.etree import ElementTree as ET
 import numpy as np
 
 from mujoco_tpu.compiler.parser import Element, Spec, parse_mjcf
+from mujoco_tpu.compiler import schema_data as _schema
+
+
+def validate_attrs(kind: str, attrs: dict) -> None:
+  """Edit-time validation against the MJCF grammar (the reference's
+  mjs_set* setters are typed and validate immediately; our table is
+  generated from src/xml/mjcf.schema by tools/gen_schema.py). Checks
+  attribute names (with did-you-mean), numeric arity, enum keywords, and
+  bools. Unknown element kinds are left to compile-time."""
+  tbl = _schema.ELEMENTS.get(kind)
+  if tbl is None:
+    return
+  for k, s in attrs.items():
+    spec = tbl.get(k)
+    if spec is None:
+      import difflib
+      close = difflib.get_close_matches(k, tbl, 1)
+      hint = f"; did you mean {close[0]!r}?" if close else ""
+      raise ValueError(f"<{kind}> has no attribute {k!r}{hint} "
+                       "(mjcf.schema)")
+    base, lo, hi = spec
+    if base in ("double", "float", "int"):
+      vals = s.split()
+      if lo and not (lo <= len(vals) <= (hi or len(vals))):
+        raise ValueError(f"<{kind}> {k}: expected {lo}"
+                         + (f"..{hi}" if hi != lo else "")
+                         + f" values, got {len(vals)}: {s!r}")
+      for v in vals:
+        try:
+          float(v)
+        except ValueError:
+          raise ValueError(f"<{kind}> {k}: non-numeric value {v!r}") \
+              from None
+    elif base.startswith("enum:") and hi == 1:
+      keys = _schema.ENUMS.get(base[5:], ())
+      if keys and s not in keys:
+        raise ValueError(f"<{kind}> {k}: {s!r} is not one of {keys}")
+    elif base == "bool" and s not in ("true", "false"):
+      raise ValueError(f"<{kind}> {k}: expected true/false, got {s!r}")
 
 
 def _attr(v) -> str:
@@ -65,13 +104,17 @@ class MjsElement:
     return self._el.attrs.get(attr)
 
   def set(self, **attrs) -> "MjsElement":
-    """Set attributes (mjs_set* setters)."""
-    for k, v in attrs.items():
-      self._el.attrs[k] = _attr(v)
+    """Set attributes (mjs_set* setters); validated against the grammar
+    at edit time like the reference's typed setters."""
+    new = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs(self._el.kind, new)
+    self._el.attrs.update(new)
     return self
 
   def _add(self, kind: str, **attrs) -> "MjsElement":
-    el = Element(kind=kind, attrs={k: _attr(v) for k, v in attrs.items()})
+    a = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs(kind, a)
+    el = Element(kind=kind, attrs=a)
     self._el.children.append(el)
     return MjsElement(el)
 
@@ -170,23 +213,32 @@ class MjSpec:
     return MjsElement(self.spec.worldbody)
 
   def set_option(self, **attrs) -> "MjSpec":
-    self.spec.option.update({k: _attr(v) for k, v in attrs.items()})
+    new = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs("option", new)
+    self.spec.option.update(new)
     return self
 
   def set_flag(self, **attrs) -> "MjSpec":
-    self.spec.flags.update({k: _attr(v) for k, v in attrs.items()})
+    new = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs("flag", new)
+    self.spec.flags.update(new)
     return self
 
   def set_compiler(self, **attrs) -> "MjSpec":
-    self.spec.compiler.update({k: _attr(v) for k, v in attrs.items()})
+    new = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs("compiler", new)
+    self.spec.compiler.update(new)
     return self
 
   def _add_to(self, lst: List[Element], kind: str, children=(),
               **attrs) -> MjsElement:
-    el = Element(kind=kind, attrs={k: _attr(v) for k, v in attrs.items()})
+    a = {k: _attr(v) for k, v in attrs.items()}
+    validate_attrs(kind, a)
+    el = Element(kind=kind, attrs=a)
     for ck, cattrs in children:
-      el.children.append(
-          Element(kind=ck, attrs={k: _attr(v) for k, v in cattrs.items()}))
+      ca = {k: _attr(v) for k, v in cattrs.items()}
+      validate_attrs(ck, ca)
+      el.children.append(Element(kind=ck, attrs=ca))
     lst.append(el)
     return MjsElement(el)
 

@@ -135,3 +135,33 @@ def test_attach_with_prefix():
   assert cm.nu == 2 and cm.njnt == 2
   assert mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_JOINT, "left_swing") >= 0
   _drive_both(cm, mjm, ctrl=lambda t: np.array([0.3, -0.3]), atol=1e-11)
+
+
+def test_edit_time_validation():
+  """mjs_set*-style typed validation at edit time (generated from the
+  reference's mjcf.schema): unknown attributes (with did-you-mean), wrong
+  numeric arity, bad enum keywords, and bad bools all raise immediately."""
+  spec = MjSpec()
+  b = spec.worldbody.add_body(name="b", pos=[0, 0, 1])
+  with pytest.raises(ValueError, match="did you mean 'pos'"):
+    b.add_geom(type="sphere", size=[0.1], poss=[1, 2, 3])
+  with pytest.raises(ValueError, match="expected 1..3 values"):
+    b.add_geom(type="sphere", size=[0.1, 0.2, 0.3, 0.4])
+  with pytest.raises(ValueError, match="not one of"):
+    b.add_geom(type="blob", size=[0.1])
+  with pytest.raises(ValueError, match="no attribute"):
+    b.add_joint(type="hinge", axes=[0, 1, 0])
+  with pytest.raises(ValueError, match="non-numeric"):
+    b.add_geom(type="sphere", size="tiny")
+  with pytest.raises(ValueError):
+    spec.set_option(timestp=0.001)
+  with pytest.raises(ValueError, match="not one of"):
+    spec.set_flag(sleep="on")       # must be enable/disable
+  g = b.add_geom(type="sphere", size=[0.1])
+  with pytest.raises(ValueError):
+    g.set(rgba=[1, 0, 0])           # rgba is float[4]
+  g.set(rgba=[1, 0, 0, 1])          # correct arity passes
+  spec.set_option(timestep=0.002)
+  spec.set_flag(sleep="enable")
+  m = spec.compile()
+  assert m.ngeom == 1
