@@ -1414,6 +1414,22 @@ def _opt_f(mjm, name, shape):
   return np.asarray(v, dtype=np.float64).reshape(shape)
 
 
+def _mocap_init(m: Model, dtype):
+  """(mocap_pos, mocap_quat) at the mocap bodies' model poses, ordered by
+  mocapid (mj_resetData's mocap initialization). Static index table +
+  traced gather, so make_data stays jit-compatible."""
+  if not m.nmocap:
+    return (jnp.zeros((0, 3), dtype=dtype),
+            jnp.zeros((0, 4), dtype=dtype))
+  mid = np.asarray(m.body_mocapid)
+  body_of = np.zeros(m.nmocap, dtype=np.int32)
+  for b in np.nonzero(mid >= 0)[0]:
+    body_of[mid[b]] = b
+  idx = jnp.asarray(body_of)
+  return (jnp.asarray(m.body_pos, dtype=dtype)[idx],
+          jnp.asarray(m.body_quat, dtype=dtype)[idx])
+
+
 def make_data(m: Model, dtype=None) -> Data:
   """Allocate a zero-initialized Data at qpos0 (counterpart of mj_makeData,
   /root/reference/src/engine/engine_io.c:227 — no arena needed, XLA owns
@@ -1450,9 +1466,10 @@ def make_data(m: Model, dtype=None) -> Data:
       act=z(m.na), ctrl=z(m.nu), qfrc_applied=z(nv),
       xfrc_applied=z(nb, 6),
       eq_active=jnp.asarray(m.eq_active0),
-      mocap_pos=z(m.nmocap, 3),
-      mocap_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype),
-                          (m.nmocap, 1)),
+      # mocap bodies start at their model pose (mj_resetData,
+      # engine_io.c: d->mocap_pos = m->body_pos of the mocap body)
+      mocap_pos=_mocap_init(m, dtype)[0],
+      mocap_quat=_mocap_init(m, dtype)[1],
       qacc_warmstart=z(nv),
       xpos=z(nb, 3), xquat=quat0, xmat=eye3,
       xipos=z(nb, 3), ximat=eye3,

@@ -209,6 +209,21 @@ def wake(m: Model, d: Data) -> Data:
     wv = counter[jnp.clip(waker, 0, nt - 1)]
     req, val = request(req, val, sleeper, one_awake, wv)
 
+    # mocap-contact wake: a dof-less body whose root is a mocap body counts
+    # as awake and fully wakes the sleeping side (engine_sleep.c:336-341)
+    if m.nmocap:
+      rootid = jnp.asarray(m.body_rootid, dtype=jnp.int32)
+      mocapid = jnp.asarray(m.body_mocapid, dtype=jnp.int32)
+      is_mocap = mocapid[rootid[bodies]] >= 0               # (ncon, 2)
+      live_m = (d.contact.dist < d.contact.includemargin)
+      for s in (0, 1):
+        o = 1 - s
+        ts = trees[:, s]
+        want = (live_m & (ts >= 0) & asleep[jnp.clip(ts, 0, nt - 1)]
+                & (trees[:, o] < 0) & is_mocap[:, o])
+        req, val = request(req, val, ts, want,
+                           jnp.full_like(ts, K_AWAKE))
+
   # --- equality wake (static pairs, traced active/sleep state)
   for i in range(m.neq):
     t1, t2 = _equality_trees(m, i)
@@ -225,6 +240,26 @@ def wake(m: Model, d: Data) -> Data:
     diff = on & s1 & s2 & (label[t1] != label[t2])
     req, val = request(req, val, jnp.full((), t1, jnp.int32), diff, K_AWAKE)
     req, val = request(req, val, jnp.full((), t2, jnp.int32), diff, K_AWAKE)
+
+  # --- flex equality wake (mjEQ_FLEX/FLEXVERT): any awake tree of the flex
+  # wakes every sleeping tree of the flex with its countdown
+  # (engine_sleep.c:443-480); tree membership is static
+  for i in range(m.neq):
+    if int(m.eq_type[i]) not in (4, 5):     # mjEQ_FLEX, mjEQ_FLEXVERT
+      continue
+    f = int(m.eq_obj1id[i])
+    adr, num = int(m.flx.vertadr[f]), int(m.flx.vertnum[f])
+    tf = np.unique(np.asarray(m.body_treeid)[
+        np.asarray(m.flx.vertbodyid)[adr:adr + num]])
+    tf = tf[tf >= 0]
+    if len(tf) < 2:
+      continue
+    tfj = jnp.asarray(tf, dtype=jnp.int32)
+    aw = awake[tfj]
+    first = jnp.argmax(aw)                  # first awake tree, vertex order
+    wv = counter[tfj[first]]
+    want = d.eq_active[i] & aw.any() & asleep[tfj]
+    req, val = request(req, val, tfj, want, jnp.full_like(tfj, 1) * wv)
 
   # --- tendon wake (static pairs, taut check traced)
   for t in range(m.ntendon):

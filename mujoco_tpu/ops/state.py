@@ -91,9 +91,15 @@ def set_state(m: Model, d: Data, spec: int, vec) -> Data:
 
 
 def reset_data(m: Model, d: Data) -> Data:
-  """mj_resetData: state back to qpos0, everything else zeroed."""
+  """mj_resetData: state back to qpos0, everything else zeroed. Like the
+  reference (engine_io.c:1486-1497), models with sleep='init' trees run a
+  forward pass here and put those trees to sleep (static check: models
+  without SLEEP_INIT trees pay nothing)."""
   from mujoco_tpu.models import io
   fresh = io.make_data(m, dtype=d.qpos.dtype)
+  if m.ntree and np.any(np.asarray(m.tree_sleep_policy) == 5):
+    from mujoco_tpu.ops import sleep as sleep_mod
+    fresh = sleep_mod.init_sleep(m, fresh)
   return fresh
 
 

@@ -218,3 +218,56 @@ def transform_spatial(vec, flg_force, newpos, oldpos, rotnew2old=None):
     ang = (rt @ ang[..., None])[..., 0]
     lin = (rt @ lin[..., None])[..., 0]
   return jnp.concatenate([ang, lin], axis=-1)
+
+
+def box_qp(h, g, lower, upper, x0=None, maxiter=100):
+  """Box-constrained QP: minimize ½xᵀHx + gᵀx s.t. lower ≤ x ≤ upper.
+
+  Projected-Newton counterpart of mju_boxQP
+  (engine_util_solve.c:1435, Tassa's algorithm): clamp set from the
+  gradient sign at the bounds, Newton step on the free subspace (masked
+  solve instead of the reference's index compaction — fixed shapes for
+  jit), Armijo backtracking on the projected path. H must be SPD on the
+  free subspace. Returns (x, converged: bool).
+  """
+  import jax
+  import jax.numpy as jnp
+  n = h.shape[0]
+  dtype = h.dtype
+  lower = jnp.broadcast_to(jnp.asarray(lower, dtype=dtype), (n,))
+  upper = jnp.broadcast_to(jnp.asarray(upper, dtype=dtype), (n,))
+  x = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None
+               else jnp.asarray(x0, dtype=dtype), lower, upper)
+  eye = jnp.eye(n, dtype=dtype)
+
+  def body(_, carry):
+    x, done = carry
+    grad = h @ x + g
+    at_lo = (x <= lower) & (grad > 0)
+    at_hi = (x >= upper) & (grad < 0)
+    clamped = at_lo | at_hi
+    free = ~clamped
+    gnorm = jnp.sum(jnp.where(free, grad, 0.0) ** 2)
+    # masked Newton step: clamped rows/cols become identity
+    fm = free.astype(dtype)
+    hmask = h * fm[:, None] * fm[None, :] + eye * (1.0 - fm)
+    dx = -jnp.linalg.solve(hmask, jnp.where(free, grad, 0.0))
+    dx = jnp.where(free, dx, 0.0)
+    sdotg = jnp.dot(dx, grad)
+    # Armijo backtracking over the projected path (fixed 25 halvings)
+    def cost(y):
+      return 0.5 * jnp.dot(y, h @ y) + jnp.dot(y, g)
+    c0 = cost(x)
+    alphas = 0.5 ** jnp.arange(25, dtype=dtype)
+    cand = jax.vmap(
+        lambda a: jnp.clip(x + a * dx, lower, upper))(alphas)
+    costs = jax.vmap(cost)(cand)
+    ok = costs <= c0 + 0.1 * alphas * sdotg
+    first = jnp.argmax(ok)
+    x_new = jnp.where(ok.any(), cand[first], x)
+    conv = (gnorm < 1e-16) | ~ok.any()
+    x_out = jnp.where(done, x, x_new)
+    return x_out, done | conv
+
+  x, done = jax.lax.fori_loop(0, maxiter, body, (x, jnp.zeros((), bool)))
+  return x, done

@@ -188,3 +188,114 @@ def test_sleep_disabled_is_inert():
     d = step(d)
   assert np.all(np.asarray(d.tree_asleep) == -11)
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+
+
+def test_mocap_contact_wake():
+  """A mocap body pushed into a sleeping box wakes it (the reference treats
+  dof-less bodies with mocap roots as awake contacts,
+  engine_sleep.c:336-341)."""
+  xml = """
+<mujoco>
+  <option timestep="0.002" sleep_tolerance="1e-4">
+    <flag sleep="enable"/>
+  </option>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body pos="0 0 0.1"><freejoint/><geom type="box" size=".1 .1 .1"/></body>
+    <body name="hand" mocap="true" pos="1.5 0 0.1">
+      <geom type="sphere" size=".08"/>
+    </body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  # make_data starts the mocap body at its model pose (mj_resetData)
+  np.testing.assert_allclose(np.asarray(d.mocap_pos[0]), [1.5, 0, 0.1])
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(600):
+    d = step(d)
+  assert np.asarray(d.tree_asleep)[0] >= 0         # box asleep
+  # teleport the mocap sphere into contact with the box; the 3.11 engine
+  # wakes on mocap contact (engine_sleep.c:336-341 in the reference tree;
+  # the pip 3.10 oracle predates this wake path, so no status-matching)
+  d = d.replace(mocap_pos=jnp.asarray(np.array([[0.0, 0, 0.12]])))
+  d = step(d)
+  assert np.asarray(d.tree_asleep)[0] < 0          # woken by the mocap hand
+  # and fully awake (kAwake), not a resumed countdown
+  assert np.asarray(d.tree_asleep)[0] <= -10
+
+
+def test_sleep_init_in_reset():
+  """sleep='init' trees come out of reset_data asleep, like mj_resetData
+  (engine_io.c:1486-1497)."""
+  from mujoco_tpu.ops import state
+  xml = """
+<mujoco>
+  <option timestep="0.002">
+    <flag sleep="enable"/>
+  </option>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body pos="0 0 0.0995" sleep="init">
+      <freejoint/><geom type="box" size=".1 .1 .1"/></body>
+    <body pos="2 0 0.5"><freejoint/><geom type="sphere" size=".1"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)             # mj_resetData runs in MjData init
+  m = io.put_model(mjm)
+  d = state.reset_data(m, io.make_data(m))
+  ours = np.asarray(d.tree_asleep)
+  assert ours[0] >= 0 and mjd.tree_asleep[0] >= 0   # init tree asleep
+  assert ours[1] < 0 and mjd.tree_asleep[1] < 0     # free ball awake
+  # stepping keeps parity
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(200):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    assert _status_match(np.asarray(d.tree_asleep), mjd.tree_asleep), t
+
+
+def test_flex_equality_wake():
+  """Poking one vertex of a sleeping cloth wakes the whole flex through
+  the edge equality (mj_wakeEquality mjEQ_FLEX branch,
+  engine_sleep.c:443-480). Milestone-based (countdown phases at the sleep
+  threshold are trajectory-sensitive): both engines sleep, then the poke
+  wakes every flex tree in both."""
+  xml = """
+<mujoco>
+  <option timestep="0.002" sleep_tolerance="1e-3">
+    <flag sleep="enable"/>
+  </option>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <flexcomp name="cloth" type="grid" dim="2" count="3 3 1"
+              spacing="0.12 0.12 0.12" pos="0 0 0.05" mass="0.45">
+      <edge equality="true" damping="0.3"/>
+      <contact selfcollide="none"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(2000):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  ours = np.asarray(d.tree_asleep)
+  assert (ours >= 0).all(), ours                 # whole cloth asleep
+  assert (mjd.tree_asleep >= 0).all(), mjd.tree_asleep
+  # poke one vertex
+  qv = np.zeros(m.nv)
+  qv[2] = 1.5
+  mjd.qvel[:] = qv
+  d = d.replace(qvel=jnp.asarray(qv))
+  for _ in range(3):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  ours = np.asarray(d.tree_asleep)
+  assert (ours < 0).all(), ours                  # all woken via the flex eq
+  assert (mjd.tree_asleep < 0).all(), mjd.tree_asleep

@@ -93,3 +93,34 @@ def test_smooth_stages(name, seed):
   y = rng.randn(mjm.nv)
   x = smooth.solve_m(m, d, jnp.asarray(y))
   np.testing.assert_allclose(np.asarray(d.qM) @ np.asarray(x), y, atol=1e-9)
+
+
+def test_box_qp_vs_oracle():
+  """box_qp vs mju_boxQP (engine_util_solve.c:1435) on random SPD problems:
+  the minimizer over the box is unique, so both must agree."""
+  from mujoco_tpu.utils.math import box_qp
+  rng = np.random.RandomState(0)
+  for n in (3, 6, 10):
+    for trial in range(4):
+      a = rng.randn(n, n)
+      h = a @ a.T + n * np.eye(n)
+      g = 2.0 * rng.randn(n)
+      lo = -np.abs(rng.randn(n)) * 0.5
+      hi = np.abs(rng.randn(n)) * 0.5
+      res = np.zeros(n)
+      r = np.zeros((n, n + 7))
+      index = np.zeros(n, dtype=np.int32)
+      status = mujoco.mju_boxQP(res, r, index, h, g, lo, hi)
+      assert status >= 1
+      x, conv = box_qp(jnp.asarray(h), jnp.asarray(g), lo, hi)
+      np.testing.assert_allclose(np.asarray(x), res, atol=1e-8,
+                                 err_msg=f"n={n} trial={trial}")
+  # unbounded: pure Newton point
+  n = 5
+  a = rng.randn(n, n)
+  h = a @ a.T + n * np.eye(n)
+  g = rng.randn(n)
+  x, _ = box_qp(jnp.asarray(h), jnp.asarray(g),
+                np.full(n, -1e10), np.full(n, 1e10))
+  np.testing.assert_allclose(np.asarray(x), np.linalg.solve(h, -g),
+                             atol=1e-8)

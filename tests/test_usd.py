@@ -80,3 +80,21 @@ def test_usd_trajectory(tmp_path):
   zs = [float(r.split(",")[-2]) for r in
         re.findall(r"\(([^()]+, [^()]+, [^()]+, 1\.0)\)", ball)]
   assert len(zs) == 4 and zs[-1] < zs[0]
+
+
+def test_record_tool(tmp_path):
+  """The record CLI (sample/record.cc analog) writes PNG frames and a
+  time-sampled USD stage."""
+  import os
+  from mujoco_tpu import record as rec
+  xml = tmp_path / "m.xml"
+  xml.write_text(XML)
+  out = tmp_path / "frames"
+  rec.main([str(xml), "--out", str(out), "--seconds", "0.05",
+            "--fps", "100", "--width", "24", "--height", "18", "--usd"])
+  pngs = sorted(p for p in os.listdir(out) if p.endswith(".png"))
+  assert len(pngs) >= 2
+  from PIL import Image
+  img = np.asarray(Image.open(out / pngs[0]))
+  assert img.shape == (18, 24, 3) and img.max() > 0
+  assert (out / "trajectory.usda").exists()
