@@ -746,7 +746,8 @@ def _flex_meta(mjm: Any):
         elemedge=zi(0).reshape(0, 6), edgeflap=zi(0).reshape(0, 2),
         has_stretch=zi(0).astype(bool), has_bending=zi(0).astype(bool),
         vert_simple=zi(0).astype(bool), vert_free=zi(0).astype(bool),
-        vert_dofadr=zi(0), elem_collidable=zi(0).astype(bool))
+        vert_dofadr=zi(0), elem_collidable=zi(0).astype(bool),
+        elem_layer=zi(0))
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if (interp != 0).any():
@@ -840,6 +841,7 @@ def _flex_meta(mjm: Any):
 
   return FlexMeta(
       elem_collidable=elem_collidable,
+      elem_layer=layer.astype(np.int32),
       elemedge=elemedge, edgeflap=edgeflap,
       has_stretch=has_stretch, has_bending=has_bending,
       vert_simple=vert_simple, vert_free=vert_free,

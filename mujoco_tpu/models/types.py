@@ -413,6 +413,7 @@ class FlexMeta:
   # per-element collision filter: dim-3 elements collide only in the
   # surface layers (elemlayer < activelayers, engine_collision_driver.c:351)
   elem_collidable: np.ndarray = static_field()  # (nelem,) bool
+  elem_layer: np.ndarray = static_field()       # (nelem,) flex_elemlayer
 
 
 @pytree_dataclass

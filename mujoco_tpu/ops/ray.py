@@ -290,3 +290,119 @@ def multi_ray(m: Model, d: Data, pnt, vecs, **kw):
   Returns (dists (n,), geomids (n,))."""
   import jax
   return jax.vmap(lambda v: ray(m, d, pnt, v, **kw))(vecs)
+
+
+def ray_flex(m: Model, d: Data, flexid: int, pnt, vec, flex_layer: int = 0,
+             flg_vert: bool = False, flg_edge: bool = True,
+             flg_face: bool = True, flg_skin: bool = True):
+  """Ray vs one flex (mj_rayFlex, engine_ray.c:1002): nearest distance and
+  the nearest LOCAL vertex id, (-1.0, -1) on miss. Default flags match the
+  mjVisual flex defaults (skin faces + edges, no vertex spheres). The
+  per-candidate tables are static; poses are traced — one fused gather
+  instead of the reference's per-primitive loop."""
+  flx = m.flx
+  dim = int(flx.dim[flexid])
+  vadr = int(flx.vertadr[flexid])
+  vnum = int(flx.vertnum[flexid])
+  radius = m.flex_radius[flexid].astype(d.qpos.dtype)
+  pnt = jnp.asarray(pnt, dtype=d.qpos.dtype)
+  vec = jnp.asarray(vec, dtype=d.qpos.dtype)
+  verts = d.flexvert_xpos[vadr:vadr + vnum]             # (vnum, 3)
+
+  dists = []
+  vids = []
+
+  # element faces: dim-2 elements are triangles; dim-3 surface faces come
+  # from layer-filtered tets (skin: layer 0; else the requested layer)
+  if dim > 1 and (flg_face or flg_skin):
+    eadr, enum_ = int(flx.elemadr[flexid]), int(flx.elemnum[flexid])
+    tris = []
+    for e in range(eadr, eadr + enum_):
+      if dim == 3:
+        lay = int(flx.elem_layer[e])
+        if (flg_skin and lay > 0) or (not flg_skin and lay != flex_layer):
+          continue
+      ev = flx.elem[e]
+      combos = ([(0, 1, 2)] if dim == 2
+                else [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)])
+      for c in combos:
+        tris.append([ev[c[0]] - vadr, ev[c[1]] - vadr,
+                     ev[c[2]] - vadr])
+    if tris:
+      t = np.asarray(tris, dtype=np.int32)
+      v0, v1, v2 = verts[t[:, 0]], verts[t[:, 1]], verts[t[:, 2]]
+      # Möller–Trumbore per triangle (keep per-candidate distances: the
+      # nearest-vertex id depends on which triangle wins)
+      e1, e2 = v1 - v0, v2 - v0
+      h = jnp.cross(vec[None, :], e2)
+      a = jnp.sum(e1 * h, axis=-1)
+      f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
+      s = pnt[None, :] - v0
+      u = f * jnp.sum(s * h, axis=-1)
+      q = jnp.cross(s, e1)
+      vv = f * jnp.sum(vec[None, :] * q, axis=-1)
+      tt = f * jnp.sum(e2 * q, axis=-1)
+      ok = ((jnp.abs(a) > 1e-12) & (u >= 0) & (vv >= 0)
+            & (u + vv <= 1) & (tt >= 0))
+      dist = jnp.where(ok, tt, jnp.inf)
+      hitp = pnt[None, :] + dist[:, None] * vec[None, :]
+      dv = jnp.stack([mjm_norm(hitp - verts[t[:, k]]) for k in range(3)],
+                     axis=-1)
+      nearest = jnp.argmin(dv, axis=-1)
+      vid = jnp.asarray(t)[jnp.arange(t.shape[0]), nearest]
+      dists.append(dist)
+      vids.append(vid)
+
+  # edges as capsules
+  if flg_edge or (dim > 1 and flg_skin):
+    eadr, en = int(flx.edgeadr[flexid]), int(flx.edgenum[flexid])
+    ed = flx.edge[eadr:eadr + en] - vadr                # (en, 2) local
+    p1, p2 = verts[ed[:, 0]], verts[ed[:, 1]]
+    seg = p2 - p1
+    L = jnp.maximum(jnp.sqrt(jnp.sum(seg ** 2, -1)), 1e-15)
+    z = seg / L[:, None]
+    # any orthonormal frame with z along the segment (capsules are
+    # axisymmetric)
+    alt = jnp.where(jnp.abs(z[:, :1]) < 0.9,
+                    jnp.tile(jnp.array([1.0, 0, 0], dtype=z.dtype),
+                             (z.shape[0], 1)),
+                    jnp.tile(jnp.array([0.0, 1, 0], dtype=z.dtype),
+                             (z.shape[0], 1)))
+    x = jnp.cross(alt, z)
+    x = x / jnp.maximum(jnp.sqrt(jnp.sum(x ** 2, -1, keepdims=True)),
+                        1e-15)
+    y = jnp.cross(z, x)
+    mat = jnp.stack([x, y, z], axis=-1)                 # (en, 3, 3)
+    pos = 0.5 * (p1 + p2)
+    size = jnp.stack([jnp.full(en, radius), 0.5 * L,
+                      jnp.zeros(en)], axis=-1)
+    dist = jax.vmap(lambda P, M, S: ray_capsule(P, M, S, pnt, vec))(
+        pos, mat, size)
+    dist = jnp.where(jnp.isfinite(dist) & (dist >= 0), dist, jnp.inf)
+    hitp = pnt[None, :] + dist[:, None] * vec[None, :]
+    near0 = mjm_norm(hitp - p1) < mjm_norm(hitp - p2)
+    vid = jnp.where(near0, jnp.asarray(ed[:, 0]), jnp.asarray(ed[:, 1]))
+    dists.append(dist)
+    vids.append(vid)
+
+  # vertex spheres
+  elif flg_vert:
+    r2 = radius * radius
+    dist = jax.vmap(lambda c: _ray_sphere_at(c, r2, pnt, vec))(verts)
+    dist = jnp.where(jnp.isfinite(dist) & (dist >= 0), dist, jnp.inf)
+    dists.append(dist)
+    vids.append(jnp.arange(vnum, dtype=jnp.int32))
+
+  if not dists:
+    return (jnp.asarray(-1.0, dtype=d.qpos.dtype),
+            jnp.asarray(-1, dtype=jnp.int32))
+  alld = jnp.concatenate(dists)
+  allv = jnp.concatenate([v.astype(jnp.int32) for v in vids])
+  best = jnp.argmin(alld)
+  hit = jnp.isfinite(alld[best])
+  return (jnp.where(hit, alld[best], -1.0),
+          jnp.where(hit, allv[best], -1))
+
+
+def mjm_norm(x):
+  return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 1e-30))

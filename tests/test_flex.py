@@ -446,3 +446,50 @@ def test_flex_solid_sphere_press():
   # gel stays coherent: vertex heights within the oracle envelope
   assert abs(float(np.asarray(d.flexvert_xpos)[:, 2].max())
              - mjd.flexvert_xpos[:, 2].max()) < 5e-3
+
+
+def test_ray_flex_vs_oracle():
+  """ray_flex vs mj_rayFlex (engine_ray.c:1002): distances and nearest
+  vertex ids over a fan of rays, cloth (dim 2) and solid (dim 3)."""
+  from mujoco_tpu.ops.ray import ray_flex
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <flexcomp name="cloth" type="grid" dim="2" count="4 4 1"
+              spacing="0.1 0.1 0.1" pos="0 0 0.4" mass="0.5" radius="0.01">
+      <contact selfcollide="none"/>
+    </flexcomp>
+    <flexcomp name="jelly" type="grid" dim="3" count="3 3 3"
+              spacing="0.1 0.1 0.1" pos="1 0 0.4" mass="0.5" radius="0.008">
+      <contact selfcollide="none"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = forward.forward(m, io.make_data(m))
+  rng = np.random.RandomState(0)
+  vertid = np.zeros(1, dtype=np.int32)
+  normal = np.zeros(3)
+  for f, center in ((0, [0, 0, 0.4]), (1, [1, 0, 0.4])):
+    hits = 0
+    for trial in range(40):
+      src = np.array(center) + np.array([0, 0, 2.0]) + 0.3 * rng.randn(3)
+      tgt = np.array(center) + 0.12 * rng.randn(3)
+      vec = tgt - src
+      vec /= np.linalg.norm(vec)
+      dref = mujoco.mj_rayFlex(mjm, mjd, 0, 0, 1, 1, 1, f,
+                               src, vec, vertid)
+      dist, vid = ray_flex(m, d, f, src, vec)
+      dist = float(dist)
+      if dref < 0:
+        assert dist < 0, (f, trial, dist, dref)
+        continue
+      hits += 1
+      np.testing.assert_allclose(dist, dref, atol=1e-9,
+                                 err_msg=f"flex {f} trial {trial}")
+      assert int(vid) == int(vertid[0]), (f, trial, int(vid), vertid[0])
+    assert hits > 10, (f, hits)
