@@ -271,3 +271,93 @@ def box_qp(h, g, lower, upper, x0=None, maxiter=100):
 
   x, done = jax.lax.fori_loop(0, maxiter, body, (x, jnp.zeros((), bool)))
   return x, done
+
+
+# ---------------------------------------------------------------------------
+# banded linear algebra (mju_cholFactorBand / mju_cholSolveBand /
+# mju_bandMulMatVec, engine_util_solve.c:487-700). Band-dense layout: the
+# first (ntotal-ndense)*nband entries hold each banded row's in-band slice
+# (left of and including the diagonal); the last ndense rows are stored
+# dense. Fixed shapes, jit/vmap-safe.
+# ---------------------------------------------------------------------------
+
+
+def band_to_dense(mat, ntotal, nband, ndense, symmetric=True):
+  """Band-dense → full dense (mju_band2Dense). With symmetric=True the
+  strict upper triangle is mirrored from the lower."""
+  import jax.numpy as jnp
+  nb = ntotal - ndense
+  dtype = mat.dtype
+  band = mat[:nb * nband].reshape(nb, nband)
+  out = jnp.zeros((ntotal, ntotal), dtype=dtype)
+  for j in range(nband):                     # static band offsets
+    off = nband - 1 - j                      # column i-off
+    rows = jnp.arange(nb)
+    cols = rows - off
+    valid = cols >= 0
+    out = out.at[rows, jnp.maximum(cols, 0)].add(
+        jnp.where(valid, band[:, j], 0.0))
+  if ndense:
+    dense = mat[nb * nband:].reshape(ndense, ntotal)
+    out = out.at[nb:].set(dense)
+  if symmetric:
+    out = jnp.tril(out) + jnp.tril(out, -1).T
+  return out
+
+
+def dense_to_band(dense, ntotal, nband, ndense):
+  """Full dense → band-dense layout (mju_dense2Band); entries outside the
+  band are dropped."""
+  import jax.numpy as jnp
+  nb = ntotal - ndense
+  parts = []
+  for i in range(nb):                        # static row loop
+    lo = max(0, i - nband + 1)
+    row = jnp.zeros(nband, dtype=dense.dtype)
+    width = i - lo + 1
+    row = row.at[nband - width:].set(dense[i, lo:i + 1])
+    parts.append(row)
+  flat = jnp.concatenate(parts) if parts else jnp.zeros(0, dense.dtype)
+  if ndense:
+    flat = jnp.concatenate([flat, dense[nb:].reshape(-1)])
+  return flat
+
+
+def chol_factor_band(mat, ntotal, nband, ndense, diagadd=0.0, diagmul=0.0):
+  """Banded Cholesky in the band-dense layout (mju_cholFactorBand). Adds
+  diagadd + diagmul*mat_ii to the diagonal first. Returns the factored
+  band-dense array (lower factor). Dense path: converts, factors,
+  converts back — the band is small by construction so this stays
+  O(ntotal·nband²) after XLA fuses the static loops."""
+  import jax.numpy as jnp
+  a = band_to_dense(mat, ntotal, nband, ndense, symmetric=True)
+  d = jnp.diagonal(a)
+  a = a + jnp.diag(diagadd + diagmul * d)
+  l = jnp.linalg.cholesky(a)
+  out = dense_to_band(l, ntotal, nband, ndense)
+  if ndense:
+    # the reference factorizes in place: above-diagonal entries of the
+    # dense rows keep their input values
+    nb = ntotal - ndense
+    fd = out[nb * nband:].reshape(ndense, ntotal)
+    md = mat[nb * nband:].reshape(ndense, ntotal)
+    cols = jnp.arange(ntotal)[None, :]
+    rows = nb + jnp.arange(ndense)[:, None]
+    fd = jnp.where(cols > rows, md, fd)
+    out = jnp.concatenate([out[:nb * nband], fd.reshape(-1)])
+  return out
+
+
+def chol_solve_band(factor, vec, ntotal, nband, ndense):
+  """Solve L Lᵀ x = vec with a band-dense factor (mju_cholSolveBand)."""
+  import jax
+  import jax.numpy as jnp
+  l = band_to_dense(factor, ntotal, nband, ndense, symmetric=False)
+  y = jax.scipy.linalg.solve_triangular(l, vec, lower=True)
+  return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+
+
+def band_mul_vec(mat, vec, ntotal, nband, ndense, flg_sym=True):
+  """Band-dense matrix × vector (mju_bandMulMatVec, symmetric fill)."""
+  a = band_to_dense(mat, ntotal, nband, ndense, symmetric=flg_sym)
+  return a @ vec

@@ -124,3 +124,46 @@ def test_box_qp_vs_oracle():
                 np.full(n, -1e10), np.full(n, 1e10))
   np.testing.assert_allclose(np.asarray(x), np.linalg.solve(h, -g),
                              atol=1e-8)
+
+
+def test_banded_cholesky_vs_oracle():
+  """Band-dense Cholesky/solve/mul vs mju_cholFactorBand /
+  mju_cholSolveBand / mju_bandMulMatVec (engine_util_solve.c:487-700)."""
+  from mujoco_tpu.utils.math import (band_mul_vec, band_to_dense,
+                                     chol_factor_band, chol_solve_band)
+  rng = np.random.RandomState(1)
+  for ntotal, nband, ndense in ((8, 3, 0), (10, 4, 2), (6, 1, 1)):
+    nb = ntotal - ndense
+    # random SPD band-dense matrix: build dense SPD, crop to band layout
+    a = rng.randn(ntotal, ntotal)
+    spd = a @ a.T + ntotal * np.eye(ntotal)
+    mat = np.zeros(nb * nband + ndense * ntotal)
+    for i in range(nb):
+      lo = max(0, i - nband + 1)
+      w = i - lo + 1
+      mat[i * nband + nband - w:(i + 1) * nband] = spd[i, lo:i + 1]
+    if ndense:
+      mat[nb * nband:] = spd[nb:].reshape(-1)
+    vec = rng.randn(ntotal)
+
+    # oracle
+    omat = mat.copy()
+    mujoco.mju_cholFactorBand(omat, ntotal, nband, ndense, 0.0, 0.0)
+    ox = vec.copy()
+    mujoco.mju_cholSolveBand(ox, omat, vec, ntotal, nband, ndense)
+    omul = np.zeros(ntotal)
+    mujoco.mju_bandMulMatVec(omul, mat, vec.reshape(ntotal, 1),
+                             ntotal, nband, ndense, 1, 1)
+
+    f = chol_factor_band(jnp.asarray(mat), ntotal, nband, ndense)
+    np.testing.assert_allclose(np.asarray(f), omat, atol=1e-10)
+    x = chol_solve_band(f, jnp.asarray(vec), ntotal, nband, ndense)
+    np.testing.assert_allclose(np.asarray(x), ox, atol=1e-10)
+    mul = band_mul_vec(jnp.asarray(mat), jnp.asarray(vec),
+                       ntotal, nband, ndense)
+    np.testing.assert_allclose(np.asarray(mul), omul, atol=1e-12)
+    # band_to_dense round-trips against the reference layout
+    dense = band_to_dense(jnp.asarray(mat), ntotal, nband, ndense)
+    ref = np.zeros((ntotal, ntotal))
+    mujoco.mju_band2Dense(ref, mat, ntotal, nband, ndense, 1)
+    np.testing.assert_allclose(np.asarray(dense), ref, atol=0)
