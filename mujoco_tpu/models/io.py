@@ -18,8 +18,8 @@ import numpy as np
 
 from mujoco_tpu.models.types import (BiasType, ConeType, Contact, ContactMeta,
                                      Data, DisableBit, DynType, EfcMeta,
-                                     EqType, GainType, GeomType, JointType,
-                                     Model, Option, TreeTopology)
+                                     EnableBit, EqType, GainType, GeomType,
+                                     JointType, Model, Option, TreeTopology)
 
 # Contact capacity per (type1, type2) pair — the static slot budget each
 # candidate geom pair owns. Sized to the reference narrowphase's maximums
@@ -747,11 +747,23 @@ def _flex_meta(mjm: Any):
         has_stretch=zi(0).astype(bool), has_bending=zi(0).astype(bool),
         vert_simple=zi(0).astype(bool), vert_free=zi(0).astype(bool),
         vert_dofadr=zi(0), elem_collidable=zi(0).astype(bool),
-        elem_layer=zi(0))
+        elem_layer=zi(0), interp=zi(0), nnode=0, nodeadr=zi(0),
+        nodenum=zi(0), nodebodyid=zi(0), node_iszero=zi(0).astype(bool),
+        cellnum=zi(0).reshape(0, 3), vert0=np.zeros((0, 3)),
+        vert_node=zi(0).reshape(0, 8),
+        vert_nodew=np.zeros((0, 8)))
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
-  if (interp != 0).any():
-    raise NotImplementedError("interpolated/nodal flexes (flex_interp != 0)")
+  if ((interp < 0) | (interp > 1)).any():
+    raise NotImplementedError(
+        "quadratic/shell interpolated flexes (|flex_interp| > 1)")
+  if (interp == 1).any():
+    stiffadr_i = np.asarray(getattr(mjm, "flex_stiffnessadr",
+                                    np.full(nflex, -1)), dtype=np.int64)
+    if (stiffadr_i[interp == 1] >= 0).any():
+      raise NotImplementedError(
+          "FLEXSTRAIN elasticity for interpolated flexes (per-element FEM "
+          "stiffness, engine_core_constraint.c:810)")
   if (np.asarray(mjm.flex_edgeequality) > 1).any():
     raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
 
@@ -855,15 +867,71 @@ def _flex_meta(mjm: Any):
       centered=np.asarray(mjm.flex_centered, dtype=bool),
       vert_iszero=(vert == 0).all(axis=1),
       edge=edge_global, edge_flexid=edge_flexid,
-      edge_rigid=np.asarray(getattr(mjm, "flexedge_rigid",
-                                    np.zeros(nedge)), dtype=bool),
+      edge_rigid=(np.asarray(getattr(mjm, "flexedge_rigid",
+                                     np.zeros(nedge)), dtype=bool)
+                  # interp flexes generate no edge forces/Jacobians
+                  # (engine_core_smooth.c:696: flex_rigid || flex_interp)
+                  | (interp[edge_flexid] != 0)),
       elem=elem_global, elem_flexid=elem_flexid,
       rigid=np.asarray(mjm.flex_rigid, dtype=bool),
       edgeequality=np.asarray(mjm.flex_edgeequality, dtype=np.int32),
       condim=np.asarray(mjm.flex_condim, dtype=np.int32),
       priority=np.asarray(mjm.flex_priority, dtype=np.int32),
       contype=np.asarray(mjm.flex_contype, dtype=np.int32),
-      conaffinity=np.asarray(mjm.flex_conaffinity, dtype=np.int32))
+      conaffinity=np.asarray(mjm.flex_conaffinity, dtype=np.int32),
+      **_interp_meta(mjm, nflex, nvert, interp, vertadr))
+
+
+def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
+  """Node tables + static per-vertex trilinear weights for interpolated
+  flexes (mj_flex interp branch, engine_core_smooth.c:580-625;
+  mju_cellLookup + mju_evalBasisArray, engine_util_misc.c:627,578).
+  flex_vert0 holds rest grid coordinates in [0, 1]^3; per-vertex node ids
+  and weights are constants of the rest pose, so the runtime interpolation
+  is one fused (nvert, 8) gather + weighted sum."""
+  nnode = int(getattr(mjm, "nflexnode", 0))
+  nodeadr = np.asarray(getattr(mjm, "flex_nodeadr", np.full(nflex, -1)),
+                       dtype=np.int32)
+  nodenum = np.asarray(getattr(mjm, "flex_nodenum", np.zeros(nflex)),
+                       dtype=np.int32)
+  nodebodyid = np.asarray(getattr(mjm, "flex_nodebodyid",
+                                  np.zeros(nnode)), dtype=np.int32)
+  node = np.asarray(getattr(mjm, "flex_node",
+                            np.zeros((nnode, 3)))).reshape(nnode, 3)
+  cellnum = np.asarray(getattr(mjm, "flex_cellnum",
+                               np.ones((nflex, 3)))).reshape(nflex, 3)
+  cellnum = cellnum.astype(np.int32)
+  vert0 = np.asarray(getattr(mjm, "flex_vert0",
+                             np.zeros((nvert, 3)))).reshape(nvert, 3)
+  vert_node = np.zeros((nvert, 8), dtype=np.int32)
+  vert_nodew = np.zeros((nvert, 8))
+  for f in range(nflex):
+    if int(interp[f]) != 1:
+      continue
+    va, vn = int(vertadr[f]), int(np.asarray(mjm.flex_vertnum)[f])
+    cx, cy, cz = (int(x) for x in cellnum[f])
+    ny_g, nz_g = cy + 1, cz + 1
+    for v in range(va, va + vn):
+      coord = vert0[v]
+      ci = np.clip(np.floor(coord * [cx, cy, cz]).astype(int),
+                   0, [cx - 1, cy - 1, cz - 1])
+      local = np.clip(coord * [cx, cy, cz] - ci, 0.0, 1.0)
+      p = np.stack([1.0 - local, local], axis=-1)      # (3, 2)
+      k = 0
+      for i0 in range(2):
+        for i1 in range(2):
+          for i2 in range(2):
+            idx = (((ci[0] + i0) * ny_g + (ci[1] + i1)) * nz_g
+                   + (ci[2] + i2))
+            vert_node[v, k] = nodeadr[f] + idx
+            vert_nodew[v, k] = p[0, i0] * p[1, i1] * p[2, i2]
+            k += 1
+  return dict(interp=interp.astype(np.int32), nnode=nnode,
+              nodeadr=nodeadr, nodenum=nodenum, nodebodyid=nodebodyid,
+              node_iszero=(node == 0).all(axis=1) if nnode
+              else np.zeros(0, dtype=bool),
+              cellnum=cellnum, vert0=vert0,
+              vert_node=vert_node, vert_nodew=vert_nodew)
 
 
 def _flex_stiffness_dense(mjm: Any, flx) -> np.ndarray:
@@ -1144,6 +1212,10 @@ def put_model(mjm: Any, dtype=None) -> Model:
   (act_dyntype, act_gaintype, act_biastype, act_slots, act_wrapprd,
    act_group) = _actuator_meta(mjm)
   flx = _flex_meta(mjm)
+  if (np.asarray(flx.interp) == 1).any() and \
+      (int(mjm.opt.enableflags) & int(EnableBit.SLEEP)):
+    raise NotImplementedError(
+        "sleep with interpolated flexes (node-tree sleep accounting)")
 
   opt = Option(
       timestep=jx(mjm.opt.timestep),
@@ -1187,6 +1259,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       has_flex=flx.nflex > 0,
       flx=flx,
       flex_vert=jx(np.asarray(getattr(mjm, 'flex_vert',
+                                      np.zeros((0, 3)))).reshape(-1, 3)),
+      flex_node=jx(np.asarray(getattr(mjm, 'flex_node',
                                       np.zeros((0, 3)))).reshape(-1, 3)),
       flex_radius=jx(getattr(mjm, 'flex_radius', np.zeros(0))),
       flexedge_length0=jx(getattr(mjm, 'flexedge_length0', np.zeros(0))),

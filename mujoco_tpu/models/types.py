@@ -414,6 +414,19 @@ class FlexMeta:
   # surface layers (elemlayer < activelayers, engine_collision_driver.c:351)
   elem_collidable: np.ndarray = static_field()  # (nelem,) bool
   elem_layer: np.ndarray = static_field()       # (nelem,) flex_elemlayer
+  # interpolated (nodal) flexes, order-1 trilinear (flex_interp == 1):
+  # vertices are interpolated from node bodies; per-vertex node ids and
+  # trilinear weights are static (from the rest grid coords flex_vert0)
+  interp: np.ndarray = static_field()       # (nflex,) 0 / 1
+  nnode: int = static_field()
+  nodeadr: np.ndarray = static_field()      # (nflex,)
+  nodenum: np.ndarray = static_field()
+  nodebodyid: np.ndarray = static_field()   # (nnode,)
+  node_iszero: np.ndarray = static_field()  # (nnode,) bool
+  cellnum: np.ndarray = static_field()      # (nflex, 3)
+  vert0: np.ndarray = static_field()        # (nvert, 3) rest grid coords
+  vert_node: np.ndarray = static_field()    # (nvert, 8) global node ids
+  vert_nodew: np.ndarray = static_field()   # (nvert, 8) trilinear weights
 
 
 @pytree_dataclass
@@ -825,6 +838,7 @@ class Model:
   # ----- flex (deformables); topology in flx, numeric parameters traced
   flx: FlexMeta = static_field()
   flex_vert: jax.Array = field()             # (nvert, 3) local offsets
+  flex_node: jax.Array = field()             # (nnode, 3) local offsets
   flex_radius: jax.Array = field()           # (nflex,)
   flexedge_length0: jax.Array = field()      # (nedge,)
   flexedge_invweight0: jax.Array = field()   # (nedge,)

@@ -480,22 +480,18 @@ def _contact_rows(m: Model, d: Data):
     rot2 = iw[b2_t, 1]
 
     if is_flex.any():
-      def flex_side(vids):
-        """Inverse-distance weighted body mask + invweights for a flex side
-        carrying up to 4 vertex ids (mj_elemBodyWeight,
-        engine_core_constraint.c:221)."""
-        valid = vids >= 0
-        vsafe = jnp.maximum(vids, 0)
-        vpos = d.flexvert_xpos[vsafe]                  # (ncon, 4, 3)
-        dvert = mjm.norm_safe(con.pos[:, None, :] - vpos)
-        w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
-        w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
-        vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
-        return (jnp.einsum('cw,cwv->cv', w, amask_all[vbody]),
-                jnp.einsum('cw,cw->c', w, iw[vbody, 0]),
-                jnp.einsum('cw,cw->c', w, iw[vbody, 1]))
+      from mujoco_tpu.ops.flex import contact_body_weights
 
-      wmask2, wtran2, wrot2 = flex_side(con.flexvert)
+      def flex_side(vids, conflex):
+        """Weighted body mask + invweights for a flex side: inverse-distance
+        vertex-body weights (mj_elemBodyWeight, engine_core_constraint.c:221)
+        or the trilinear node chain for interpolated flexes."""
+        bodies, w8 = contact_body_weights(m, d, vids, conflex, con.pos)
+        return (jnp.einsum('ck,ckv->cv', w8, amask_all[bodies]),
+                jnp.einsum('ck,ck->c', w8, iw[bodies, 0]),
+                jnp.einsum('ck,ck->c', w8, iw[bodies, 1]))
+
+      wmask2, wtran2, wrot2 = flex_side(con.flexvert, m.con.flex2)
       isf = jnp.asarray(is_flex)
       mask2 = jnp.where(isf[:, None], wmask2, mask2)
       tran2 = jnp.where(isf, wtran2, tran2)
@@ -505,7 +501,7 @@ def _contact_rows(m: Model, d: Data):
       # element (mjContact.flex[0]/elem[0], engine_core_constraint.c:1611)
       is_ff = m.con.flex1 >= 0
       if is_ff.any():
-        wmask1, wtran1, wrot1 = flex_side(con.flexvert1)
+        wmask1, wtran1, wrot1 = flex_side(con.flexvert1, m.con.flex1)
         isff = jnp.asarray(is_ff)
         mask1 = jnp.where(isff[:, None], wmask1, mask1)
         tran1 = jnp.where(isff, wtran1, tran1)

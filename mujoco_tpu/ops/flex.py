@@ -28,11 +28,28 @@ def flex(m: Model, d: Data) -> Data:
 
   # vertex positions: body origin when centered or zero offset, else
   # body frame transform of the local offset (engine_core_smooth.c:566-577)
-  bid = flx.vertbodyid                               # (nvert,) static
+  bid = np.maximum(flx.vertbodyid, 0)                # (nvert,) static
   base = d.xpos[bid]
   offset = jnp.einsum('vij,vj->vi', d.xmat[bid], m.flex_vert)
   centered = flx.centered[_vert_flexid(flx)] | flx.vert_iszero
   vert_xpos = jnp.where(jnp.asarray(centered)[:, None], base, base + offset)
+
+  # interpolated flexes: vertices are trilinear blends of node body
+  # positions (engine_core_smooth.c:580-625); node ids/weights are static
+  if flx.nnode:
+    nb = flx.nodebodyid
+    nbase = d.xpos[nb]
+    noff = jnp.einsum('nij,nj->ni', d.xmat[nb], m.flex_node)
+    node_flexid = np.repeat(np.arange(flx.nflex), flx.nodenum)
+    ncent = flx.centered[node_flexid] | flx.node_iszero
+    node_xpos = jnp.where(jnp.asarray(ncent)[:, None], nbase,
+                          nbase + noff)
+    ipos = jnp.einsum('vk,vkc->vc',
+                      jnp.asarray(flx.vert_nodew, dtype=dtype),
+                      node_xpos[flx.vert_node])
+    is_interp = np.asarray(flx.interp)[_vert_flexid(flx)] == 1
+    vert_xpos = jnp.where(jnp.asarray(is_interp)[:, None], ipos,
+                          vert_xpos)
 
   # edge lengths (engine_core_smooth.c:718-721)
   v1 = flx.edge[:, 0]
@@ -62,6 +79,10 @@ def flex(m: Model, d: Data) -> Data:
     j2 = point_jac(vert_xpos[v2], bid[v2])
     j1 = point_jac(vert_xpos[v1], bid[v1])
     ej = jnp.einsum('enc,ec->en', j2 - j1, uvec)
+    # interp/rigid edges generate no forces and their vertices have no
+    # bodies — zero their rows (engine_core_smooth.c:696)
+    if flx.edge_rigid.any():
+      ej = ej * jnp.asarray(~flx.edge_rigid, dtype=dtype)[:, None]
 
   return d.replace(flexvert_xpos=vert_xpos, flexedge_length=length,
                    flexedge_J=ej)
@@ -257,3 +278,72 @@ def edge_passive(m: Model, d: Data):
   frc_spring = live * k * (m.flexedge_length0 - d.flexedge_length)
   frc_damper = live * (-c) * d.flexedge_velocity
   return d.flexedge_J.T @ frc_spring, d.flexedge_J.T @ frc_damper
+
+
+def contact_body_weights(m: Model, d: Data, vids, conflex, pos):
+  """Per-contact (bodies, weights), each (ncon, 8): the physical bodies a
+  flex contact side attributes force to. Non-interpolated flexes use
+  inverse-distance weights over the element's vertex bodies
+  (mj_elemBodyWeight, engine_core_constraint.c:221; 4 slots + 4 zero pads);
+  interpolated flexes chain through the trilinear basis at the contact's
+  rest-space coordinates (the flexInterpWeights path,
+  engine_core_constraint.c:270-360): coord = Σ|w_i|·vert0_i, traced cell
+  lookup, 8 node bodies with basis weights.
+
+  vids: (ncon, 4) traced local→global vertex ids (-1 padded);
+  conflex: (ncon,) STATIC flex id per slot (-1 for non-flex slots);
+  pos: (ncon, 3) contact positions."""
+  flx = m.flx
+  dtype = d.qpos.dtype
+  ncon = vids.shape[0]
+  valid = vids >= 0
+  vsafe = jnp.maximum(vids, 0)
+  vpos = d.flexvert_xpos[vsafe]                      # (ncon, 4, 3)
+  dvert = mjm.norm_safe(pos[:, None, :] - vpos)
+  w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
+  w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
+
+  vb = jnp.asarray(flx.vertbodyid, dtype=jnp.int32)[vsafe]
+  w4 = jnp.where(vb >= 0, w, 0.0)
+  bodies = jnp.concatenate(
+      [jnp.maximum(vb, 0), jnp.zeros((ncon, 4), dtype=jnp.int32)], axis=1)
+  weights = jnp.concatenate(
+      [w4, jnp.zeros((ncon, 4), dtype=dtype)], axis=1)
+
+  conflex = np.asarray(conflex)
+  is_interp = (conflex >= 0) & (
+      np.asarray(flx.interp)[np.maximum(conflex, 0)] == 1)
+  if not is_interp.any():
+    return bodies, weights
+
+  # rest-space coordinates of the contact (absolute weights)
+  v0 = jnp.asarray(flx.vert0, dtype=dtype)[vsafe]    # (ncon, 4, 3)
+  coord = jnp.einsum('cw,cwk->ck', w, v0)
+  cn = np.asarray(flx.cellnum)[np.maximum(conflex, 0)].astype(np.float64)
+  cnj = jnp.asarray(cn, dtype=dtype)                 # (ncon, 3)
+  ci = jnp.clip(jnp.floor(coord * cnj), 0.0,
+                jnp.maximum(cnj - 1.0, 0.0))
+  local = jnp.clip(coord * cnj - ci, 0.0, 1.0)       # (ncon, 3)
+  ci = ci.astype(jnp.int32)
+  ny_g = jnp.asarray(cn[:, 1].astype(np.int32) + 1)
+  nz_g = jnp.asarray(cn[:, 2].astype(np.int32) + 1)
+  nadr = jnp.asarray(np.asarray(flx.nodeadr)[np.maximum(conflex, 0)])
+  p = jnp.stack([1.0 - local, local], axis=-1)       # (ncon, 3, 2)
+  nbody = jnp.asarray(
+      np.concatenate([np.asarray(flx.nodebodyid, dtype=np.int32),
+                      np.zeros(1, dtype=np.int32)]))
+  ib = []
+  iw = []
+  for i0 in range(2):
+    for i1 in range(2):
+      for i2 in range(2):
+        idx = (((ci[:, 0] + i0) * ny_g + (ci[:, 1] + i1)) * nz_g
+               + (ci[:, 2] + i2))
+        ib.append(nbody[jnp.clip(nadr + idx, 0, flx.nnode)])
+        iw.append(p[:, 0, i0] * p[:, 1, i1] * p[:, 2, i2])
+  ibod = jnp.stack(ib, axis=1)                       # (ncon, 8)
+  iwgt = jnp.stack(iw, axis=1).astype(dtype)
+  mask = jnp.asarray(is_interp)
+  bodies = jnp.where(mask[:, None], ibod, bodies)
+  weights = jnp.where(mask[:, None], iwgt, weights)
+  return bodies, weights

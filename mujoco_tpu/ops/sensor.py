@@ -460,19 +460,16 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     cfrc_ext = side_add(cfrc_ext, b2s, 1.0,
                         (~is_flex).astype(dtype))
     if is_flex.any():
-      # flex side: distribute over the contacting element's vertex bodies
-      # with the same inverse-distance weights as the contact Jacobian
-      vids = d.contact.flexvert
-      valid = vids >= 0
-      vsafe = jnp.maximum(vids, 0)
-      vpos = d.flexvert_xpos[vsafe]
-      dvert = mjm.norm_safe(d.contact.pos[:, None, :] - vpos)
-      w = jnp.where(valid, 1.0 / jnp.maximum(mjm.MINVAL, dvert), 0.0)
-      w = w / jnp.maximum(mjm.MINVAL, jnp.sum(w, axis=1, keepdims=True))
-      vbody = jnp.asarray(m.flx.vertbodyid, dtype=jnp.int32)[vsafe]
-      for j in range(4):
-        cfrc_ext = side_add(cfrc_ext, vbody[:, j], 1.0,
-                            is_flex.astype(dtype) * w[:, j])
+      # flex side: distribute over the bodies the contact Jacobian
+      # attributes to (vertex bodies, or trilinear node bodies for
+      # interpolated flexes)
+      from mujoco_tpu.ops.flex import contact_body_weights
+      bodies8, w8 = contact_body_weights(m, d, d.contact.flexvert,
+                                         m.con.flex2, d.contact.pos)
+      flexf = jnp.asarray(is_flex.astype(dtype))
+      for j in range(8):
+        cfrc_ext = side_add(cfrc_ext, bodies8[:, j], 1.0,
+                            flexf * w8[:, j])
 
   # ---- cfrc_ext += connect/weld equality forces
   for e in range(m.neq):

@@ -493,3 +493,49 @@ def test_ray_flex_vs_oracle():
                                  err_msg=f"flex {f} trial {trial}")
       assert int(vid) == int(vertid[0]), (f, trial, int(vid), vertid[0])
     assert hits > 10, (f, hits)
+
+
+def test_trilinear_interp_flex_vs_oracle():
+  """Order-1 interpolated (trilinear) flex: 27 vertices blended from 8
+  corner node bodies (flex_interp == 1, engine_core_smooth.c:580-625), with
+  contact forces chained to the node dofs through the trilinear basis
+  (engine_core_constraint.c:270-360). A gel block dropped on the plane
+  tracks the oracle trajectory; FLEXSTRAIN elasticity is a documented gap
+  (no <elasticity> here, so the oracle model has none either)."""
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <flexcomp name="gel" type="grid" dim="3" count="3 3 3"
+              spacing="0.1 0.1 0.1" pos="0 0 0.25" mass="1" dof="trilinear">
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+
+  # kinematics parity at a perturbed pose
+  rng = np.random.RandomState(0)
+  q = mjd.qpos.copy() + 0.03 * rng.randn(mjm.nq)
+  mjd.qpos[:] = q
+  mujoco.mj_forward(mjm, mjd)
+  d = d.replace(qpos=jnp.asarray(q))
+  d = jax.jit(lambda dd: forward.forward(m, dd))(d)
+  np.testing.assert_allclose(np.asarray(d.flexvert_xpos),
+                             mjd.flexvert_xpos, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-6,
+                             rtol=1e-6)
+
+  # trajectory: drop onto the plane (contact forces reach the node dofs)
+  mjd2 = mujoco.MjData(mjm)
+  d2 = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(300):
+    mujoco.mj_step(mjm, mjd2)
+    d2 = step(d2)
+  assert (np.asarray(d2.flexvert_xpos)[:, 2] > -0.01).all()  # resting
+  np.testing.assert_allclose(np.asarray(d2.qpos), mjd2.qpos, atol=1e-7)
