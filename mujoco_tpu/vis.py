@@ -187,3 +187,53 @@ def update_scene_into(m: Model, d: Data, scn, catmask: int = 7) -> int:
       g.size[1] = size[i][0]
     scn.ngeom += 1
   return scn.ngeom - n0
+
+
+def apply_perturb_force(m: Model, d: Data, body: int, localpos, refselpos,
+                        refquat=None, localmass: float = 1.0,
+                        translate: bool = True, rotate: bool = False):
+  """Mouse-perturbation force/torque on a selected body → new xfrc_applied
+  (mjv_applyPerturbForce, engine_vis_interact.c:717-784): critically damped
+  spring from the selection point to the reference point
+  (vis.map.stiffness = 100), plus torsional damping; rotate mode drives the
+  body inertia quaternion toward refquat (stiffnessrot = 500).
+
+  Pure jax function of traced (d, refselpos, refquat): jit/vmap it to drive
+  batched envs interactively."""
+  import jax.numpy as jnp
+  dtype = d.qpos.dtype
+  stiffness = 100.0                     # mjVisual.map defaults
+  stiffnessrot = 500.0
+
+  ang = d.cvel[body, :3]
+  lin = (d.cvel[body, 3:]
+         + jnp.cross(ang, d.xipos[body]
+                     - d.subtree_com[m.body_rootid[body]]))
+  invweight = m.body_invweight0[body, 1]
+  inertia = jnp.where(invweight > 0,
+                      1.0 / jnp.maximum(invweight, 1e-15), 1.0)
+
+  force = jnp.zeros(3, dtype=dtype)
+  torque = jnp.zeros(3, dtype=dtype)
+  if translate:
+    selpos = d.xpos[body] + d.xmat[body] @ jnp.asarray(localpos,
+                                                       dtype=dtype)
+    diff = selpos - jnp.asarray(refselpos, dtype=dtype)
+    force = -stiffness * localmass * diff
+    arm = selpos - d.xipos[body]
+    svel = lin + jnp.cross(ang, arm)
+    force = force - jnp.sqrt(stiffness) * localmass * svel
+    torque = jnp.cross(arm, force)
+    diffn = diff / jnp.maximum(jnp.linalg.norm(diff), 1e-15)
+    torque = torque - (jnp.sqrt(stiffnessrot) * inertia
+                       * jnp.dot(diffn, ang)) * diffn
+  if rotate and refquat is not None:
+    from mujoco_tpu.utils import math as mjmath
+    xiquat = mjmath.mul_quat(d.xquat[body], m.body_iquat[body])
+    difquat = mjmath.mul_quat(jnp.asarray(refquat, dtype=dtype),
+                              mjmath.conj_quat(xiquat))
+    torque = (mjmath.quat_to_vel(difquat) * (stiffnessrot * inertia)
+              - jnp.sqrt(stiffnessrot) * inertia * ang)
+  xfrc = d.xfrc_applied.at[body, :3].set(force)
+  xfrc = xfrc.at[body, 3:].set(torque)
+  return d.replace(xfrc_applied=xfrc)

@@ -105,3 +105,54 @@ def test_render_scene_draws_glyphs():
   changed = np.any(np.asarray(rgb0) != np.asarray(rgb1))
   assert changed, "glyphs did not affect the image"
   assert np.all(np.asarray(depth1) <= np.asarray(depth0) + 1e-12)
+
+
+def test_perturb_force_vs_oracle():
+  """apply_perturb_force vs mjv_applyPerturbForce
+  (engine_vis_interact.c:717): translate-mode spring + damping force and
+  rotate-mode torsional spring on a moving free body."""
+  from mujoco_tpu import vis as vis_mod
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.5" euler="15 10 5"><freejoint/>
+      <geom type="box" size=".1 .08 .06" mass="0.7"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(2)
+  mjd.qvel[:] = 0.4 * rng.randn(6)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+  d = forward.forward(m, d)
+
+  pert = mujoco.MjvPerturb()
+  pert.select = 1
+  pert.active = mujoco.mjtPertBit.mjPERT_TRANSLATE
+  pert.localpos = np.array([0.05, 0.02, 0.0])
+  pert.refselpos = np.array([0.3, -0.2, 0.8])
+  pert.localmass = 0.9
+  mujoco.mjv_applyPerturbForce(mjm, mjd, pert)
+
+  d2 = jax.jit(lambda dd: vis_mod.apply_perturb_force(
+      m, dd, 1, [0.05, 0.02, 0.0], [0.3, -0.2, 0.8],
+      localmass=0.9))(d)
+  np.testing.assert_allclose(np.asarray(d2.xfrc_applied)[1],
+                             mjd.xfrc_applied[1], atol=1e-9)
+
+  # rotate mode
+  pert.active = mujoco.mjtPertBit.mjPERT_ROTATE
+  q = np.array([0.9, 0.1, -0.3, 0.2])
+  q /= np.linalg.norm(q)
+  pert.refquat = q
+  mjd.xfrc_applied[:] = 0
+  mujoco.mjv_applyPerturbForce(mjm, mjd, pert)
+  d3 = jax.jit(lambda dd: vis_mod.apply_perturb_force(
+      m, dd, 1, [0, 0, 0], [0, 0, 0], refquat=q, translate=False,
+      rotate=True))(d)
+  np.testing.assert_allclose(np.asarray(d3.xfrc_applied)[1],
+                             mjd.xfrc_applied[1], atol=1e-9)
