@@ -754,13 +754,14 @@ def _flex_meta(mjm: Any):
         vert_nodew=np.zeros((0, 8)))
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
-  if ((interp < 0) | (interp > 1)).any():
+  if ((interp < 0) | (interp > 2)).any():
     raise NotImplementedError(
-        "quadratic/shell interpolated flexes (|flex_interp| > 1)")
-  if (interp == 1).any():
+        "shell interpolated flexes (flex_interp < 0: TFI interior "
+        "reconstruction)")
+  if (interp >= 1).any():
     stiffadr_i = np.asarray(getattr(mjm, "flex_stiffnessadr",
                                     np.full(nflex, -1)), dtype=np.int64)
-    if (stiffadr_i[interp == 1] >= 0).any():
+    if (stiffadr_i[interp >= 1] >= 0).any():
       raise NotImplementedError(
           "FLEXSTRAIN elasticity for interpolated flexes (per-element FEM "
           "stiffness, engine_core_constraint.c:810)")
@@ -903,26 +904,35 @@ def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
   cellnum = cellnum.astype(np.int32)
   vert0 = np.asarray(getattr(mjm, "flex_vert0",
                              np.zeros((nvert, 3)))).reshape(nvert, 3)
-  vert_node = np.zeros((nvert, 8), dtype=np.int32)
-  vert_nodew = np.zeros((nvert, 8))
+  kmax = 27 if (interp == 2).any() else 8
+  vert_node = np.zeros((nvert, kmax), dtype=np.int32)
+  vert_nodew = np.zeros((nvert, kmax))
   for f in range(nflex):
-    if int(interp[f]) != 1:
+    order = int(interp[f])
+    if order == 0:
       continue
     va, vn = int(vertadr[f]), int(np.asarray(mjm.flex_vertnum)[f])
     cx, cy, cz = (int(x) for x in cellnum[f])
-    ny_g, nz_g = cy + 1, cz + 1
+    ny_g, nz_g = cy * order + 1, cz * order + 1
     for v in range(va, va + vn):
       coord = vert0[v]
       ci = np.clip(np.floor(coord * [cx, cy, cz]).astype(int),
                    0, [cx - 1, cy - 1, cz - 1])
       local = np.clip(coord * [cx, cy, cz] - ci, 0.0, 1.0)
-      p = np.stack([1.0 - local, local], axis=-1)      # (3, 2)
+      # 1D Lagrange shape functions (mju_flexPhi, engine_util_misc.h:130)
+      if order == 1:
+        p = np.stack([1.0 - local, local], axis=-1)    # (3, 2)
+      else:
+        s = local
+        p = np.stack([2 * s * s - 3 * s + 1, 4 * (s - s * s),
+                      2 * s * s - s], axis=-1)          # (3, 3)
       k = 0
-      for i0 in range(2):
-        for i1 in range(2):
-          for i2 in range(2):
-            idx = (((ci[0] + i0) * ny_g + (ci[1] + i1)) * nz_g
-                   + (ci[2] + i2))
+      for i0 in range(order + 1):
+        for i1 in range(order + 1):
+          for i2 in range(order + 1):
+            idx = (((ci[0] * order + i0) * ny_g
+                    + (ci[1] * order + i1)) * nz_g
+                   + (ci[2] * order + i2))
             vert_node[v, k] = nodeadr[f] + idx
             vert_nodew[v, k] = p[0, i0] * p[1, i1] * p[2, i2]
             k += 1
@@ -1212,7 +1222,7 @@ def put_model(mjm: Any, dtype=None) -> Model:
   (act_dyntype, act_gaintype, act_biastype, act_slots, act_wrapprd,
    act_group) = _actuator_meta(mjm)
   flx = _flex_meta(mjm)
-  if (np.asarray(flx.interp) == 1).any() and \
+  if (np.asarray(flx.interp) >= 1).any() and \
       (int(mjm.opt.enableflags) & int(EnableBit.SLEEP)):
     raise NotImplementedError(
         "sleep with interpolated flexes (node-tree sleep accounting)")

@@ -47,7 +47,7 @@ def flex(m: Model, d: Data) -> Data:
     ipos = jnp.einsum('vk,vkc->vc',
                       jnp.asarray(flx.vert_nodew, dtype=dtype),
                       node_xpos[flx.vert_node])
-    is_interp = np.asarray(flx.interp)[_vert_flexid(flx)] == 1
+    is_interp = np.asarray(flx.interp)[_vert_flexid(flx)] >= 1
     vert_xpos = jnp.where(jnp.asarray(is_interp)[:, None], ipos,
                           vert_xpos)
 
@@ -311,10 +311,19 @@ def contact_body_weights(m: Model, d: Data, vids, conflex, pos):
       [w4, jnp.zeros((ncon, 4), dtype=dtype)], axis=1)
 
   conflex = np.asarray(conflex)
-  is_interp = (conflex >= 0) & (
-      np.asarray(flx.interp)[np.maximum(conflex, 0)] == 1)
+  order_np = np.where(conflex >= 0,
+                      np.asarray(flx.interp)[np.maximum(conflex, 0)], 0)
+  is_interp = order_np >= 1
   if not is_interp.any():
     return bodies, weights
+  omax = int(order_np.max())
+  npc = (omax + 1) ** 3
+  if npc > weights.shape[1]:                         # widen to 27 slots
+    padn = npc - weights.shape[1]
+    bodies = jnp.concatenate(
+        [bodies, jnp.zeros((ncon, padn), dtype=jnp.int32)], axis=1)
+    weights = jnp.concatenate(
+        [weights, jnp.zeros((ncon, padn), dtype=dtype)], axis=1)
 
   # rest-space coordinates of the contact (absolute weights)
   v0 = jnp.asarray(flx.vert0, dtype=dtype)[vsafe]    # (ncon, 4, 3)
@@ -325,24 +334,45 @@ def contact_body_weights(m: Model, d: Data, vids, conflex, pos):
                 jnp.maximum(cnj - 1.0, 0.0))
   local = jnp.clip(coord * cnj - ci, 0.0, 1.0)       # (ncon, 3)
   ci = ci.astype(jnp.int32)
-  ny_g = jnp.asarray(cn[:, 1].astype(np.int32) + 1)
-  nz_g = jnp.asarray(cn[:, 2].astype(np.int32) + 1)
+  order_j = jnp.asarray(order_np.astype(np.int32))   # (ncon,)
+  ny_g = jnp.asarray((cn[:, 1].astype(np.int32)) * order_np + 1)
+  nz_g = jnp.asarray((cn[:, 2].astype(np.int32)) * order_np + 1)
   nadr = jnp.asarray(np.asarray(flx.nodeadr)[np.maximum(conflex, 0)])
-  p = jnp.stack([1.0 - local, local], axis=-1)       # (ncon, 3, 2)
+  o2 = jnp.asarray(order_np == 2)
+
+  def phi(s, i):
+    """mju_flexPhi with per-slot static order (engine_util_misc.h:130)."""
+    lin = jnp.where(i == 0, 1.0 - s, jnp.where(i == 1, s, 0.0))
+    quad = jnp.where(i == 0, 2 * s * s - 3 * s + 1,
+                     jnp.where(i == 1, 4 * (s - s * s), 2 * s * s - s))
+    return jnp.where(o2, quad, lin)
+
   nbody = jnp.asarray(
       np.concatenate([np.asarray(flx.nodebodyid, dtype=np.int32),
                       np.zeros(1, dtype=np.int32)]))
   ib = []
   iw = []
-  for i0 in range(2):
-    for i1 in range(2):
-      for i2 in range(2):
-        idx = (((ci[:, 0] + i0) * ny_g + (ci[:, 1] + i1)) * nz_g
-               + (ci[:, 2] + i2))
+  for i0 in range(omax + 1):
+    for i1 in range(omax + 1):
+      for i2 in range(omax + 1):
+        idx = (((ci[:, 0] * order_j + i0) * ny_g
+                + (ci[:, 1] * order_j + i1)) * nz_g
+               + (ci[:, 2] * order_j + i2))
+        wk = phi(local[:, 0], i0) * phi(local[:, 1], i1) \
+            * phi(local[:, 2], i2)
+        valid_combo = (i0 <= order_j) & (i1 <= order_j) & (i2 <= order_j)
+        # the reference skips small/negative basis weights (the quadratic
+        # lobes), engine_core_constraint.c:306/348: `if (w < 1e-5) continue`
         ib.append(nbody[jnp.clip(nadr + idx, 0, flx.nnode)])
-        iw.append(p[:, 0, i0] * p[:, 1, i1] * p[:, 2, i2])
-  ibod = jnp.stack(ib, axis=1)                       # (ncon, 8)
+        iw.append(jnp.where(valid_combo & (wk >= 1e-5), wk, 0.0))
+  ibod = jnp.stack(ib, axis=1)                       # (ncon, npc)
   iwgt = jnp.stack(iw, axis=1).astype(dtype)
+  if ibod.shape[1] < weights.shape[1]:
+    padn = weights.shape[1] - ibod.shape[1]
+    ibod = jnp.concatenate(
+        [ibod, jnp.zeros((ncon, padn), dtype=jnp.int32)], axis=1)
+    iwgt = jnp.concatenate(
+        [iwgt, jnp.zeros((ncon, padn), dtype=dtype)], axis=1)
   mask = jnp.asarray(is_interp)
   bodies = jnp.where(mask[:, None], ibod, bodies)
   weights = jnp.where(mask[:, None], iwgt, weights)

@@ -467,7 +467,7 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
       bodies8, w8 = contact_body_weights(m, d, d.contact.flexvert,
                                          m.con.flex2, d.contact.pos)
       flexf = jnp.asarray(is_flex.astype(dtype))
-      for j in range(8):
+      for j in range(bodies8.shape[1]):
         cfrc_ext = side_add(cfrc_ext, bodies8[:, j], 1.0,
                             flexf * w8[:, j])
 

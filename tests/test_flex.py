@@ -539,3 +539,46 @@ def test_trilinear_interp_flex_vs_oracle():
     d2 = step(d2)
   assert (np.asarray(d2.flexvert_xpos)[:, 2] > -0.01).all()  # resting
   np.testing.assert_allclose(np.asarray(d2.qpos), mjd2.qpos, atol=1e-7)
+
+
+def test_quadratic_interp_flex_vs_oracle(monkeypatch):
+  """Order-2 (quadratic) interpolated flex: 27-node Lagrange basis
+  (mju_flexPhi order 2, engine_util_misc.h:130). Same gel-drop protocol as
+  the trilinear test. The squishing 5x5x5 gel peaks at 50 simultaneous
+  plane contacts, above the suite's default 32-slot flex budget."""
+  monkeypatch.setenv("MJTPU_FLEX_BUDGET", "96")
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <flexcomp name="gel" type="grid" dim="3" count="5 5 5"
+              spacing="0.05 0.05 0.05" pos="0 0 0.2" mass="1"
+              dof="quadratic">
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+
+  rng = np.random.RandomState(1)
+  q = mjd.qpos.copy() + 0.02 * rng.randn(mjm.nq)
+  mjd.qpos[:] = q
+  mujoco.mj_forward(mjm, mjd)
+  d = d.replace(qpos=jnp.asarray(q))
+  d = jax.jit(lambda dd: forward.forward(m, dd))(d)
+  np.testing.assert_allclose(np.asarray(d.flexvert_xpos),
+                             mjd.flexvert_xpos, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-6,
+                             rtol=1e-6)
+
+  mjd2 = mujoco.MjData(mjm)
+  d2 = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(200):
+    mujoco.mj_step(mjm, mjd2)
+    d2 = step(d2)
+  np.testing.assert_allclose(np.asarray(d2.qpos), mjd2.qpos, atol=1e-7)
