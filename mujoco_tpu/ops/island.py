@@ -72,12 +72,15 @@ def _eq_trees(m: Model, i: int):
 def _tendon_pairs(m: Model):
   """Static (t1, t2) tree pairs for two-tree tendons that can emit efc rows
   (limit or friction) — unioned unconditionally, see module docstring."""
+  # friction status must come from the STATIC efc meta, not the traced
+  # tendon_frictionloss leaf (which stages to a tracer when this runs
+  # inside the jitted solve)
+  fric_ten = set(int(t) for t in np.asarray(m.efc.friction_ten) if t >= 0)
   pairs = []
   for t in range(m.ntendon):
     if int(m.tendon_treenum[t]) != 2:
       continue
-    has_rows = bool(m.tendon_limited[t]) or (
-        float(m.tendon_frictionloss[t]) > 0)
+    has_rows = bool(m.tendon_limited[t]) or (t in fric_ten)
     if not has_rows:
       continue
     t1, t2 = int(m.tendon_treeid[t, 0]), int(m.tendon_treeid[t, 1])
