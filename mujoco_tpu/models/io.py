@@ -1272,6 +1272,10 @@ def put_model(mjm: Any, dtype=None) -> Model:
                                       np.zeros((0, 3)))).reshape(-1, 3)),
       flex_node=jx(np.asarray(getattr(mjm, 'flex_node',
                                       np.zeros((0, 3)))).reshape(-1, 3)),
+      flex_rgba=jx(np.asarray(getattr(
+          mjm, 'flex_rgba',
+          np.tile([0.5, 0.5, 0.5, 1.0],
+                  (flx.nflex, 1)))).reshape(-1, 4)),
       flex_radius=jx(getattr(mjm, 'flex_radius', np.zeros(0))),
       flexedge_length0=jx(getattr(mjm, 'flexedge_length0', np.zeros(0))),
       flexedge_invweight0=jx(getattr(mjm, 'flexedge_invweight0',

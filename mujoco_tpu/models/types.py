@@ -839,6 +839,7 @@ class Model:
   flx: FlexMeta = static_field()
   flex_vert: jax.Array = field()             # (nvert, 3) local offsets
   flex_node: jax.Array = field()             # (nnode, 3) local offsets
+  flex_rgba: jax.Array = field()             # (nflex, 4) render color
   flex_radius: jax.Array = field()           # (nflex,)
   flexedge_length0: jax.Array = field()      # (nedge,)
   flexedge_invweight0: jax.Array = field()   # (nedge,)

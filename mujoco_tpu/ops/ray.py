@@ -406,3 +406,40 @@ def ray_flex(m: Model, d: Data, flexid: int, pnt, vec, flex_layer: int = 0,
 
 def mjm_norm(x):
   return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 1e-30))
+
+
+def ray_skin(m: Model, d: Data, skinid: int, pnt, vec, skinvert=None):
+  """Ray vs one posed skin (mju_raySkin, engine_ray.c:1191): nearest
+  distance and nearest local vertex id, (-1.0, -1) on miss. Vertices come
+  from ops/skin.skin_update (pass `skinvert` to reuse a computed table)."""
+  if skinvert is None:
+    from mujoco_tpu.ops.skin import skin_update
+    skinvert, _ = skin_update(m, d)
+  va, vn = int(m.skin_vertadr[skinid]), int(m.skin_vertnum[skinid])
+  fa, fn = int(m.skin_faceadr[skinid]), int(m.skin_facenum[skinid])
+  verts = skinvert[va:va + vn]
+  faces = np.asarray(m.skin_face[fa:fa + fn], dtype=np.int32)
+  pnt = jnp.asarray(pnt, dtype=verts.dtype)
+  vec = jnp.asarray(vec, dtype=verts.dtype)
+  v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+  e1, e2 = v1 - v0, v2 - v0
+  h = jnp.cross(vec[None, :], e2)
+  a = jnp.sum(e1 * h, axis=-1)
+  f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
+  s = pnt[None, :] - v0
+  u = f * jnp.sum(s * h, axis=-1)
+  q = jnp.cross(s, e1)
+  vv = f * jnp.sum(vec[None, :] * q, axis=-1)
+  tt = f * jnp.sum(e2 * q, axis=-1)
+  ok = ((jnp.abs(a) > 1e-12) & (u >= 0) & (vv >= 0)
+        & (u + vv <= 1) & (tt >= 0))
+  dist = jnp.where(ok, tt, jnp.inf)
+  best = jnp.argmin(dist)
+  facesj = jnp.asarray(faces)
+  hitp = pnt + dist[best] * vec
+  dv = jnp.stack([mjm_norm(hitp - verts[facesj[best, k]])
+                  for k in range(3)])
+  vid = facesj[best][jnp.argmin(dv)]
+  hit = jnp.isfinite(dist[best])
+  return (jnp.where(hit, dist[best], -1.0),
+          jnp.where(hit, vid, -1).astype(jnp.int32))

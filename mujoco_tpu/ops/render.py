@@ -263,13 +263,15 @@ def _skybox_texid(m: Model) -> int:
 
 
 def render(m: Model, d: Data, camid: int = 0, width: int = 64,
-           height: int = 64, geomgroup=None, shadows: bool = False):
+           height: int = 64, geomgroup=None, shadows: bool = False,
+           flexes: bool = True, skins: bool = True):
   """Render (rgb, depth, seg) from camera `camid` at the current state.
 
   Pure jax function of (m, d): jit it, vmap it over batched Data for
   batched rendering (the MJX render.py contract), or differentiate depth
   w.r.t. qpos. With shadows=True each casting light also traces an
-  occlusion ray per pixel.
+  occlusion ray per pixel. Deformables and skins composite as extra ray
+  passes (flat-shaded; seg ids ngeom+flexid / ngeom+nflex+skinid).
   """
   dtype = d.qpos.dtype
   pnt = d.cam_xpos[camid]
@@ -382,6 +384,38 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
                  m.light_specular[li].astype(dtype), atten, spot, occl)
 
   rgb = jnp.clip(rgb, 0.0, 1.0)
+
+  # composite deformables and skins (the reference rasterizes them from
+  # mjvScene; here each is one more ray pass — flat headlight shading,
+  # seg ids continue past the geom table: flex f → ngeom+f, skin s →
+  # ngeom+nflex+s)
+  if flexes and getattr(m.flx, "nflex", 0):
+    for f in range(m.flx.nflex):
+      df, _ = jax.vmap(lambda v: ray_mod.ray_flex(m, d, f, pnt, v))(dirs)
+      df = jnp.where(df >= 0, df, jnp.inf)
+      closer = df < dist
+      col = m.flex_rgba[f, :3].astype(dtype) * 0.85
+      rgb = jnp.where(closer[:, None], col[None, :], rgb)
+      seg_extra = jnp.full(npix, m.ngeom + f, dtype=jnp.int32)
+      gid = jnp.where(closer, seg_extra, gid)
+      hit = hit | closer
+      dist = jnp.minimum(dist, df)
+  if skins and getattr(m, "nskin", 0):
+    from mujoco_tpu.ops.skin import skin_update
+    skinvert, _ = skin_update(m, d)
+    for s in range(m.nskin):
+      ds_, _ = jax.vmap(lambda v: ray_mod.ray_skin(
+          m, d, s, pnt, v, skinvert=skinvert))(dirs)
+      ds_ = jnp.where(ds_ >= 0, ds_, jnp.inf)
+      closer = ds_ < dist
+      col = m.skin_rgba[s, :3].astype(dtype) * 0.85
+      rgb = jnp.where(closer[:, None], col[None, :], rgb)
+      seg_extra = jnp.full(npix, m.ngeom + m.flx.nflex + s,
+                           dtype=jnp.int32)
+      gid = jnp.where(closer, seg_extra, gid)
+      hit = hit | closer
+      dist = jnp.minimum(dist, ds_)
+
   # background: skybox sample by view direction (rotated 90 deg around X,
   # render_gl3.c:193-200), else black
   sky = _skybox_texid(m)
