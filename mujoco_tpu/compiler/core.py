@@ -1085,13 +1085,42 @@ class _Compiler:
                                 principal=vals))
       elif el.kind == "hfield":
         name = _s(el.attrs, "name", f"hfield{len(self.hfields)}")
-        nrow = int(el.attrs["nrow"])
-        ncol = int(el.attrs["ncol"])
+        if "file" in el.attrs:
+          # grayscale PNG, image rows reversed so data row 0 is the south
+          # edge (mjCHField::LoadPNG, user_objects.cc)
+          from PIL import Image
+          from mujoco_tpu.compiler.parser import vfs_find
+          import io as _io
+          blob = vfs_find(getattr(self.spec, "vfs", None),
+                          el.attrs["file"])
+          meshdir = _s(self.spec.compiler, "meshdir", "")
+          img = Image.open(_io.BytesIO(blob) if blob is not None
+                           else os.path.join(meshdir, el.attrs["file"]))
+          arr = np.asarray(img.convert("L"), dtype=np.float64)
+          data = arr[::-1].reshape(-1)
+          nrow, ncol = arr.shape
+        else:
+          nrow = int(el.attrs["nrow"])
+          ncol = int(el.attrs["ncol"])
+          if "elevation" in el.attrs:
+            data = _f(el.attrs, "elevation")
+            if data.size != nrow * ncol:
+              raise ValueError("elevation data length must match nrow*ncol")
+            # rows are given top-first in the XML, stored south-first
+            # (xml_native_reader.cc hfield elevation reversal)
+            data = data.reshape(nrow, ncol)[::-1].reshape(-1)
+          else:
+            data = np.zeros(nrow * ncol, dtype=np.float64)
+        # normalize elevation to [0, 1] (mjCHField::Compile)
+        emin, emax = data.min(), data.max()
+        data = data - emin
+        if emax - emin > 1e-10:
+          data = data / (emax - emin)
         self.names["hfield"][name] = len(self.hfields)
         self.hfields.append(dict(
             name=name, nrow=nrow, ncol=ncol,
             size=_f(el.attrs, "size", n=4),
-            data=np.zeros(nrow * ncol, dtype=np.float64)))
+            data=data.astype(np.float64)))
       elif el.kind == "texture":
         self._compile_texture(el)
       elif el.kind == "material":

@@ -947,3 +947,38 @@ def test_geom_fitting(fitaabb):
   np.testing.assert_allclose(cm.body_mass, mjm.body_mass, rtol=1e-6)
   np.testing.assert_allclose(cm.body_inertia, mjm.body_inertia, rtol=2e-6,
                              atol=1e-9)
+
+
+def test_hfield_png_and_elevation(tmp_path):
+  """Hfield assets from PNG files (rows reversed, normalized to [0,1],
+  mjCHField::LoadPNG/Compile) and from inline elevation data."""
+  from PIL import Image
+  rng = np.random.RandomState(5)
+  img = rng.randint(0, 255, (5, 7), dtype=np.uint8)
+  p = tmp_path / "terrain.png"
+  Image.fromarray(img, mode="L").save(p)
+  xml = f"""
+<mujoco>
+  <asset><hfield name="hf" file="{p}" size="2 2 0.3 0.1"/></asset>
+  <worldbody>
+    <geom type="hfield" hfield="hf"/>
+    <body pos="0 0 1"><freejoint/><geom type="sphere" size=".1"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert cm.hfield_nrow[0] == mjm.hfield_nrow[0] == 5
+  assert cm.hfield_ncol[0] == mjm.hfield_ncol[0] == 7
+  np.testing.assert_allclose(cm.hfield_data, mjm.hfield_data, atol=1e-6)
+  _traj_match(xml, 150, 1e-9)
+
+  ele = " ".join(str(v) for v in rng.randn(12))
+  xml2 = f"""
+<mujoco>
+  <asset><hfield name="hf" nrow="3" ncol="4" size="1 1 0.2 0.1"
+                 elevation="{ele}"/></asset>
+  <worldbody><geom type="hfield" hfield="hf"/></worldbody>
+</mujoco>"""
+  cm2 = load_xml(xml2)
+  mjm2 = mujoco.MjModel.from_xml_string(xml2)
+  np.testing.assert_allclose(cm2.hfield_data, mjm2.hfield_data, atol=1e-7)
