@@ -760,6 +760,8 @@ class _Compiler:
         pos=fpos + _rotvec(_f(a, "pos", [0, 0, 0], 3), fquat),
         quat=_mulquat(fquat, _quat_from_attrs(a, self.deg, self.eulerseq)),
         fovy=float(_s(a, "fovy", "45")),
+        projection={"perspective": 0, "orthographic": 1}[
+            _s(a, "projection", "perspective")],
         resolution=_f(a, "resolution", [1, 1], 2),
         intrinsic=_f(a, "intrinsic", [0, 0, 0, 0], 4),
         sensorsize=_f(a, "sensorsize", [0, 0], 2)))

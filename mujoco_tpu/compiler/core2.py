@@ -629,6 +629,8 @@ def _emit(self) -> CompiledModel:
   m.cam_pos0 = np.zeros((nc, 3))
   m.cam_poscom0 = np.zeros((nc, 3))
   m.cam_mat0 = np.zeros((nc, 9))
+  m.cam_projection = np.array([c.get("projection", 0) for c in self.cams],
+                              dtype=np.int32)
 
   nl = len(self.lights)
   m.light_bodyid = np.array([l["body"] for l in self.lights], dtype=np.int32)

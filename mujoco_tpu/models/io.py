@@ -1423,6 +1423,8 @@ def put_model(mjm: Any, dtype=None) -> Model:
       cam_mat0=jx(np.asarray(mjm.cam_mat0).reshape(-1, 3, 3)),
       cam_fovy=jx(mjm.cam_fovy),
       cam_resolution=si(mjm.cam_resolution),
+      cam_projection=si(getattr(mjm, "cam_projection",
+                                np.zeros(mjm.ncam, dtype=np.int32))),
       cam_intrinsic=jx(mjm.cam_intrinsic),
       cam_sensorsize=jx(mjm.cam_sensorsize),
       light_bodyid=si(mjm.light_bodyid),

@@ -733,6 +733,7 @@ class Model:
   cam_mat0: jax.Array = field()
   cam_fovy: jax.Array = field()
   cam_resolution: np.ndarray = static_field()
+  cam_projection: np.ndarray = static_field()  # (ncam,) mjtProjection
   cam_intrinsic: jax.Array = field()
   cam_sensorsize: jax.Array = field()
   light_bodyid: np.ndarray = static_field()

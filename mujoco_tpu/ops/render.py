@@ -154,6 +154,36 @@ def _camera_rays(m: Model, d: Data, camid: int, width: int, height: int,
   return dirs.reshape(-1, 3)
 
 
+def _camera_origins_dirs(m: Model, d: Data, camid: int, width: int,
+                         height: int, dtype):
+  """Per-pixel (origins, dirs), each (H*W, 3). Perspective cameras share
+  the camera origin; orthographic cameras (cam_projection == 1) emit
+  parallel -z rays with image-plane offsets scaled by the extent carried
+  in fovy (mju_camPixelRay, engine_util_misc.c:502-531)."""
+  dirs = _camera_rays(m, d, camid, width, height, dtype)
+  npix = dirs.shape[0]
+  ortho = (int(np.asarray(m.cam_projection)[camid])
+           if getattr(m, "ncam", 0) else 0) == 1
+  if not ortho:
+    org = jnp.broadcast_to(d.cam_xpos[camid], (npix, 3))
+    return org, dirs
+  half = 0.5 * m.cam_fovy[camid]                 # fovy carries the extent
+  cols = (jnp.arange(width, dtype=dtype) + 0.5 - width / 2.0) / (height / 2)
+  rows = (jnp.arange(height, dtype=dtype) + 0.5 - height / 2.0) \
+      / (height / 2)
+  # same image conventions as the perspective path: +x_cam appears
+  # image-left, rows count from the top
+  ox = -jnp.broadcast_to(cols[None, :], (height, width)) * half
+  oy = -jnp.broadcast_to(rows[:, None], (height, width)) * half
+  off_cam = jnp.stack([ox, oy, jnp.zeros((height, width), dtype=dtype)],
+                      axis=-1)
+  off = jnp.einsum("ij,hwj->hwi", d.cam_xmat[camid], off_cam)
+  org = d.cam_xpos[camid][None, :] + off.reshape(-1, 3)
+  zdir = -d.cam_xmat[camid][:, 2]
+  dirs = jnp.broadcast_to(zdir, (npix, 3))
+  return org, dirs
+
+
 def _tex_sample(m: Model, texid: int, u, v):
   """Nearest-texel lookup of 2D texture `texid` at repeat-wrapped (u, v);
   u, v are (npix,) in texture coordinates (integer part wraps, GL_REPEAT).
@@ -274,20 +304,19 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
   passes (flat-shaded; seg ids ngeom+flexid / ngeom+nflex+skinid).
   """
   dtype = d.qpos.dtype
-  pnt = d.cam_xpos[camid]
-  dirs = _camera_rays(m, d, camid, width, height, dtype)
+  orgs, dirs = _camera_origins_dirs(m, d, camid, width, height, dtype)
   npix = dirs.shape[0]
 
-  def cast(v):
-    return ray_mod.ray(m, d, pnt, v, geomgroup=geomgroup)
+  def cast(o, v):
+    return ray_mod.ray(m, d, o, v, geomgroup=geomgroup)
 
-  dist, gid = jax.vmap(cast)(dirs)               # (npix,), (npix,)
+  dist, gid = jax.vmap(cast)(orgs, dirs)         # (npix,), (npix,)
   hit = jnp.isfinite(dist) & (dist < _INF) & (gid >= 0)
   dist = jnp.where(hit, dist, jnp.inf)
 
   # hit points, normals, and resolved surface properties (static loop,
   # traced select)
-  p = pnt[None, :] + dist[:, None] * dirs
+  p = orgs + dist[:, None] * dirs
   p = jnp.where(hit[:, None], p, 0.0)
   cache = _mesh_cache(m)
   normal = jnp.zeros((npix, 3), dtype=dtype)
@@ -391,7 +420,8 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
   # ngeom+nflex+s)
   if flexes and getattr(m.flx, "nflex", 0):
     for f in range(m.flx.nflex):
-      df, _ = jax.vmap(lambda v: ray_mod.ray_flex(m, d, f, pnt, v))(dirs)
+      df = jax.vmap(
+          lambda o, v: ray_mod.ray_flex(m, d, f, o, v)[0])(orgs, dirs)
       df = jnp.where(df >= 0, df, jnp.inf)
       closer = df < dist
       col = m.flex_rgba[f, :3].astype(dtype) * 0.85
@@ -404,8 +434,8 @@ def render(m: Model, d: Data, camid: int = 0, width: int = 64,
     from mujoco_tpu.ops.skin import skin_update
     skinvert, _ = skin_update(m, d)
     for s in range(m.nskin):
-      ds_, _ = jax.vmap(lambda v: ray_mod.ray_skin(
-          m, d, s, pnt, v, skinvert=skinvert))(dirs)
+      ds_ = jax.vmap(lambda o, v: ray_mod.ray_skin(
+          m, d, s, o, v, skinvert=skinvert)[0])(orgs, dirs)
       ds_ = jnp.where(ds_ >= 0, ds_, jnp.inf)
       closer = ds_ < dist
       col = m.skin_rgba[s, :3].astype(dtype) * 0.85
@@ -444,8 +474,7 @@ def render_scene(m: Model, d: Data, scene, camid: int = 0, width: int = 64,
   from mujoco_tpu import vis as vis_mod
   rgb, depth, seg = render(m, d, camid, width, height, geomgroup)
   dtype = d.qpos.dtype
-  pnt = d.cam_xpos[camid]
-  dirs = _camera_rays(m, d, camid, width, height, dtype)
+  orgs, dirs = _camera_origins_dirs(m, d, camid, width, height, dtype)
   depth_f = depth.reshape(-1)
   rgb_f = rgb.reshape(-1, 3)
 
@@ -453,8 +482,8 @@ def render_scene(m: Model, d: Data, scene, camid: int = 0, width: int = 64,
     if int(scene.category[i]) == vis_mod.CAT_GEOM:
       continue
     t = int(scene.geom_type[i])
-    dd = jax.vmap(lambda v: ray_mod.ray_geom(
-        scene.pos[i], scene.mat[i], scene.size[i], pnt, v, t))(dirs)
+    dd = jax.vmap(lambda o, v: ray_mod.ray_geom(
+        scene.pos[i], scene.mat[i], scene.size[i], o, v, t))(orgs, dirs)
     dd = jnp.where(scene.active[i] & jnp.isfinite(dd), dd, _INF)
     closer = dd < depth_f
     rgb_f = jnp.where(closer[:, None], scene.rgba[i, :3], rgb_f)

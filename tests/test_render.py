@@ -307,3 +307,38 @@ def test_render_native_compiled_textures():
   ro, _, so = render.render(mo, do, 0, 24, 24)
   np.testing.assert_array_equal(np.asarray(sn), np.asarray(so))
   np.testing.assert_allclose(np.asarray(rn), np.asarray(ro), atol=1e-6)
+
+
+def test_orthographic_camera():
+  """Orthographic cameras (cam_projection == 1, fovy = extent): parallel
+  rays — object size in pixels is distance-invariant, unlike perspective."""
+  def scene(proj, h):
+    return f"""
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="6 6 .1"/>
+    <body pos="0 0 {h}"><freejoint/><geom type="sphere" size=".3"/></body>
+    <camera name="c" projection="{proj}" fovy="{2 if proj == 'orthographic'
+                                                else 45}" pos="0 0 4"
+            xyaxes="1 0 0 0 1 0"/>
+  </worldbody>
+</mujoco>"""
+
+  def ball_pixels(proj, h):
+    mjm = mujoco.MjModel.from_xml_string(scene(proj, h))
+    m = io.put_model(mjm)
+    d = forward.forward(m, io.make_data(m))
+    _, _, seg = render.render(m, d, 0, 48, 48)
+    return (np.asarray(seg) == 1).sum()
+
+  near_o = ball_pixels("orthographic", 3.0)
+  far_o = ball_pixels("orthographic", 0.5)
+  assert near_o > 10 and far_o > 10
+  np.testing.assert_allclose(near_o, far_o, rtol=0.2)   # size invariant
+  near_p = ball_pixels("perspective", 3.0)
+  far_p = ball_pixels("perspective", 0.5)
+  assert near_p > 2.5 * far_p                           # perspective shrinks
+  # native compiler carries the projection flag
+  from mujoco_tpu.compiler import load_xml
+  cm = load_xml(scene("orthographic", 1.0))
+  np.testing.assert_array_equal(cm.cam_projection, [1])
