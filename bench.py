@@ -97,10 +97,35 @@ def _measure_mjx_engine(nbatch, nstep, jax, jnp):
   return sps, jit_time, run_time, finite
 
 
+def _probe_devices(timeout_s: float = 180.0) -> bool:
+  """Device availability watchdog: the axon tunnel can hang indefinitely
+  (observed during round 3), which would wedge the whole bench run. Probe
+  jax.devices() in a subprocess with a timeout; on failure the bench still
+  prints its one JSON line (value 0, error field) instead of hanging."""
+  import subprocess
+  import sys
+  try:
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.devices(); print('ok')"],
+        capture_output=True, timeout=timeout_s, text=True)
+    return "ok" in r.stdout
+  except Exception:
+    return False
+
+
 def main():
   nbatch = int(os.environ.get("BENCH_BATCH", "3072"))
   nstep = int(os.environ.get("BENCH_NSTEP", "200"))
   extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
+
+  if not _probe_devices():
+    print(json.dumps({
+        "metric": "env-steps/s/chip (batched humanoid, %d envs)" % nbatch,
+        "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0,
+        "finite": False,
+        "error": "device backend unavailable (axon tunnel hang)"}))
+    return
 
   import jax
   import jax.numpy as jnp
