@@ -751,7 +751,9 @@ def _flex_meta(mjm: Any):
         nodenum=zi(0), nodebodyid=zi(0), node_iszero=zi(0).astype(bool),
         cellnum=zi(0).reshape(0, 3), vert0=np.zeros((0, 3)),
         vert_node=zi(0).reshape(0, 8),
-        vert_nodew=np.zeros((0, 8)))
+        vert_nodew=np.zeros((0, 8)),
+        interp_stiffadr=np.full(0, -1, dtype=np.int64),
+        interp_cell_active=())
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if ((interp < 0) | (interp > 2)).any():
@@ -759,12 +761,12 @@ def _flex_meta(mjm: Any):
         "shell interpolated flexes (flex_interp < 0: TFI interior "
         "reconstruction)")
   if (interp >= 1).any():
-    stiffadr_i = np.asarray(getattr(mjm, "flex_stiffnessadr",
-                                    np.full(nflex, -1)), dtype=np.int64)
-    if (stiffadr_i[interp >= 1] >= 0).any():
+    eqt = np.asarray(getattr(mjm, "eq_type", np.zeros(0)), dtype=np.int64)
+    if (eqt == 6).any():                 # mjEQ_FLEXSTRAIN (3.11-only)
       raise NotImplementedError(
-          "FLEXSTRAIN elasticity for interpolated flexes (per-element FEM "
-          "stiffness, engine_core_constraint.c:810)")
+          "mjEQ_FLEXSTRAIN constraints (eigenmode strain rows; the pip "
+          "oracle predates them) — use <elasticity young=...> passive "
+          "FEM forces instead")
   if (np.asarray(mjm.flex_edgeequality) > 1).any():
     raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
 
@@ -807,9 +809,11 @@ def _flex_meta(mjm: Any):
                      dtype=np.float64)
   has_stretch = np.zeros(nflex, dtype=bool)
   has_bending = np.zeros(nflex, dtype=bool)
+  interp_all = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)),
+                          dtype=int)
   for f in range(nflex):
     dm = int(dim[f])
-    has_stretch[f] = (dm >= 2 and stiffadr[f] >= 0
+    has_stretch[f] = (dm >= 2 and stiffadr[f] >= 0 and interp_all[f] == 0
                       and stiff[stiffadr[f]] != 0
                       and not bool(mjm.flex_rigid[f]))
     has_bending[f] = (dm == 2 and bendadr[f] >= 0
@@ -936,12 +940,34 @@ def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
             vert_node[v, k] = nodeadr[f] + idx
             vert_nodew[v, k] = p[0, i0] * p[1, i1] * p[2, i2]
             k += 1
+  # raw FEM stiffness metadata (mj_flexPassiveInterp, engine_passive.c:61):
+  # stored matrices are -K_physical, one ndof_elem^2 block per cell; cells
+  # with k_elem[0] == 0 are empty and skipped
+  stiffadr = np.asarray(getattr(mjm, "flex_stiffnessadr",
+                                np.full(nflex, -1)), dtype=np.int64)
+  stiff = np.asarray(getattr(mjm, "flex_stiffness", np.zeros(0)),
+                     dtype=np.float64)
+  interp_stiffadr = np.where(interp >= 1, stiffadr, -1)
+  cell_active = []
+  for f in range(nflex):
+    if interp[f] < 1 or interp_stiffadr[f] < 0 or not stiff.size:
+      cell_active.append(np.zeros(0, dtype=bool))
+      continue
+    order = int(interp[f])
+    npe = (order + 1) ** 3
+    ndof = 3 * npe
+    ncell = int(np.prod(cellnum[f]))
+    blocks = stiff[interp_stiffadr[f]:
+                   interp_stiffadr[f] + ncell * ndof * ndof]
+    cell_active.append(blocks.reshape(ncell, ndof * ndof)[:, 0] != 0)
   return dict(interp=interp.astype(np.int32), nnode=nnode,
               nodeadr=nodeadr, nodenum=nodenum, nodebodyid=nodebodyid,
               node_iszero=(node == 0).all(axis=1) if nnode
               else np.zeros(0, dtype=bool),
               cellnum=cellnum, vert0=vert0,
-              vert_node=vert_node, vert_nodew=vert_nodew)
+              vert_node=vert_node, vert_nodew=vert_nodew,
+              interp_stiffadr=interp_stiffadr,
+              interp_cell_active=tuple(cell_active))
 
 
 def _flex_stiffness_dense(mjm: Any, flx) -> np.ndarray:
@@ -954,8 +980,8 @@ def _flex_stiffness_dense(mjm: Any, flx) -> np.ndarray:
   adr = np.asarray(getattr(mjm, "flex_stiffnessadr",
                            np.full(flx.nflex, -1)), dtype=np.int64)
   for f in range(flx.nflex):
-    if adr[f] < 0 or not stiff.size:
-      continue
+    if adr[f] < 0 or not stiff.size or int(np.asarray(flx.interp)[f]) >= 1:
+      continue                     # interp flexes store raw FEM matrices
     ca, cn = int(flx.elemadr[f]), int(flx.elemnum[f])
     out[ca:ca + cn] = stiff[adr[f]:adr[f] + cn * 21].reshape(cn, 21)
   return out
@@ -1276,6 +1302,12 @@ def put_model(mjm: Any, dtype=None) -> Model:
           mjm, 'flex_rgba',
           np.tile([0.5, 0.5, 0.5, 1.0],
                   (flx.nflex, 1)))).reshape(-1, 4)),
+      flex_node0=jx(np.asarray(getattr(mjm, 'flex_node0',
+                                       np.zeros((0, 3)))).reshape(-1, 3)),
+      flex_stiffness_interp=jx(
+          np.asarray(getattr(mjm, 'flex_stiffness', np.zeros(0)))
+          if (np.asarray(flx.interp) >= 1).any()
+          else np.zeros(0)),
       flex_radius=jx(getattr(mjm, 'flex_radius', np.zeros(0))),
       flexedge_length0=jx(getattr(mjm, 'flexedge_length0', np.zeros(0))),
       flexedge_invweight0=jx(getattr(mjm, 'flexedge_invweight0',

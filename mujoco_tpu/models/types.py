@@ -427,6 +427,8 @@ class FlexMeta:
   vert0: np.ndarray = static_field()        # (nvert, 3) rest grid coords
   vert_node: np.ndarray = static_field()    # (nvert, 8) global node ids
   vert_nodew: np.ndarray = static_field()   # (nvert, 8) trilinear weights
+  interp_stiffadr: np.ndarray = static_field()  # (nflex,) -1 when none
+  interp_cell_active: Tuple = static_field()    # per-flex bool arrays
 
 
 @pytree_dataclass
@@ -841,6 +843,11 @@ class Model:
   flex_vert: jax.Array = field()             # (nvert, 3) local offsets
   flex_node: jax.Array = field()             # (nnode, 3) local offsets
   flex_rgba: jax.Array = field()             # (nflex, 4) render color
+  flex_node0: jax.Array = field()            # (nnode, 3) rest node pos
+  # raw per-cell FEM stiffness for interpolated flexes (the reference's
+  # flex_stiffness stores -K_physical, ndof_elem^2 per cell); empty when
+  # no interp flex has elasticity
+  flex_stiffness_interp: jax.Array = field() # (flat,)
   flex_radius: jax.Array = field()           # (nflex,)
   flexedge_length0: jax.Array = field()      # (nedge,)
   flexedge_invweight0: jax.Array = field()   # (nedge,)

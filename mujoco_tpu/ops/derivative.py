@@ -111,7 +111,10 @@ def actuator_vel(m: Model, d: Data):
 
 def passive_vel(m: Model, d: Data):
   """∂qfrc_passive/∂qvel (mjd_passive_vel, engine_derivative.c:3035):
-  joint damping diagonal + tendon damping JᵀbJ."""
+  joint damping diagonal + tendon damping JᵀbJ + flex edge damping
+  Jᵀdiag(c)J + the interpolated-flex FEM damper (mjd_flexInterp_kernel,
+  engine_derivative.c:1055 — obtained here by forward-mode AD of the same
+  interp_passive primal)."""
   dtype = d.qpos.dtype
   out = jnp.zeros((m.nv, m.nv), dtype=dtype)
   if m.disabled(DisableBit.DAMPER):
@@ -119,6 +122,21 @@ def passive_vel(m: Model, d: Data):
   out = out - jnp.diag(m.dof_damping)
   if m.ntendon:
     out = out - d.ten_J.T @ (m.tendon_damping[:, None] * d.ten_J)
+  if m.has_flex and m.flx.nedge:
+    c = m.flex_edgedamping[m.flx.edge_flexid]
+    live = jnp.asarray(~(m.flx.rigid[m.flx.edge_flexid]
+                         | m.flx.edge_rigid), dtype=dtype)
+    out = out - d.flexedge_J.T @ ((c * live)[:, None] * d.flexedge_J)
+  if m.has_flex and (np.asarray(m.flx.interp_stiffadr) >= 0).any():
+    from mujoco_tpu.ops import flex as flex_mod
+
+    def damper_of(qvel):
+      dd = d.replace(qvel=qvel)
+      dd = smooth.com_vel(m, dd)
+      _, fd = flex_mod.interp_passive(m, dd, False, True)
+      return fd
+
+    out = out + jax.jacfwd(damper_of)(d.qvel)
   return out
 
 

@@ -12,6 +12,7 @@ reference's sparse mj_jacDifPair chain rule.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -377,3 +378,149 @@ def contact_body_weights(m: Model, d: Data, vids, conflex, pos):
   bodies = jnp.where(mask[:, None], ibod, bodies)
   weights = jnp.where(mask[:, None], iwgt, weights)
   return bodies, weights
+
+
+def _center_grad(order: int) -> np.ndarray:
+  """(npe, 3) basis gradients at the cell center (mju_defGradient weights
+  at p = (.5,.5,.5); node order x-slowest/z-fastest)."""
+  if order == 1:
+    phi = [0.5, 0.5]
+    dphi = [-1.0, 1.0]
+  else:
+    phi = [0.0, 1.0, 0.0]                # mju_flexPhi(.5, i, 2)
+    dphi = [-1.0, 0.0, 1.0]              # mju_flexDphi(.5, i, 2)
+  g = []
+  for i in range(order + 1):
+    for j in range(order + 1):
+      for k in range(order + 1):
+        g.append([dphi[i] * phi[j] * phi[k],
+                  phi[i] * dphi[j] * phi[k],
+                  phi[i] * phi[j] * dphi[k]])
+  return np.asarray(g)
+
+
+def interp_passive(m: Model, d: Data, enbl_spring: bool, enbl_damper: bool):
+  """Corotational FEM passive forces for interpolated flexes →
+  (qfrc_spring_add, qfrc_damper_add).
+
+  mj_flexPassiveInterp (engine_passive.c:61-215): per active cell, extract
+  the corotational rotation from the deformation gradient at the cell
+  center (mju_defGradient + mju_mat2Rot), rotate node positions and
+  velocities into that frame, apply the precompiled raw stiffness
+  (flex_stiffness stores -K_physical) to the displacement from flex_node0,
+  rotate back and scatter to node dofs; dampers scale by flex_damping.
+  Vectorized over cells per flex; all topology static."""
+  flx = m.flx
+  dtype = d.qpos.dtype
+  zero = jnp.zeros((m.nv,), dtype=dtype)
+  if not flx.nnode or (np.asarray(flx.interp_stiffadr) < 0).all():
+    return zero, zero
+
+  # world node positions and velocities (mju_flexGatherState,
+  # engine_core_util.c:1022)
+  nb = flx.nodebodyid
+  node_flexid = np.repeat(np.arange(flx.nflex), flx.nodenum)
+  nbase = d.xpos[nb]
+  noff = jnp.einsum('nij,nj->ni', d.xmat[nb], m.flex_node)
+  ncent = flx.centered[node_flexid] | flx.node_iszero
+  node_xpos = jnp.where(jnp.asarray(ncent)[:, None], nbase, nbase + noff)
+  ang = d.cvel[nb, :3]
+  node_vel = (d.cvel[nb, 3:]
+              + jnp.cross(ang, node_xpos
+                          - d.subtree_com[m.body_rootid[nb]]))
+
+  frc_g = jnp.zeros((flx.nnode, 3), dtype=dtype)
+  dmp_g = jnp.zeros((flx.nnode, 3), dtype=dtype)
+  for f in range(flx.nflex):
+    order = int(flx.interp[f])
+    sadr = int(flx.interp_stiffadr[f])
+    if order < 1 or sadr < 0:
+      continue
+    npe = (order + 1) ** 3
+    ndof = 3 * npe
+    cx, cy, cz = (int(x) for x in flx.cellnum[f])
+    ny_g, nz_g = cy * order + 1, cz * order + 1
+    nadr = int(flx.nodeadr[f])
+    active = np.asarray(flx.interp_cell_active[f])
+    gind = []
+    kadr = []
+    for fe in range(cx * cy * cz):
+      if not active[fe]:
+        continue
+      ci, cj, ck = fe // (cy * cz), (fe // cz) % cy, fe % cz
+      idx = [((ci * order + li) * ny_g + (cj * order + lj)) * nz_g
+             + (ck * order + lk)
+             for li in range(order + 1)
+             for lj in range(order + 1)
+             for lk in range(order + 1)]
+      gind.append(idx)
+      kadr.append(sadr + fe * ndof * ndof)
+    if not gind:
+      continue
+    gmat = nadr + np.asarray(gind, dtype=np.int32)     # (C, npe) global
+    kidx = (np.asarray(kadr)[:, None]
+            + np.arange(ndof * ndof)[None, :])
+    stiff = m.flex_stiffness_interp[kidx].reshape(-1, ndof, ndof)
+
+    xp = node_xpos[gmat]                               # (C, npe, 3)
+    vl = node_vel[gmat]
+    x0 = m.flex_node0[gmat].astype(dtype)
+    g = jnp.asarray(_center_grad(order), dtype=dtype)  # (npe, 3)
+    fmat = jnp.einsum('cna,nb->cab', xp, g)            # deformation grad
+    quat = jax.vmap(mjm.mat_to_rot_quat)(fmat)
+    qrot = mjm.conj_quat(quat)                         # flexInterpRotation
+    xr = mjm.rot_vec_quat(xp, qrot[:, None, :])
+    vr = mjm.rot_vec_quat(vl, qrot[:, None, :])
+    displ = (xr - x0).reshape(-1, ndof)
+    back = quat[:, None, :]                            # negQuat(qrot)
+    if enbl_spring:
+      fe_ = jnp.einsum('cij,cj->ci', stiff, displ).reshape(-1, npe, 3)
+      frc_g = frc_g.at[gmat].add(mjm.rot_vec_quat(fe_, back))
+    if enbl_damper:
+      de_ = jnp.einsum('cij,cj->ci', stiff,
+                       vr.reshape(-1, ndof)).reshape(-1, npe, 3)
+      dmp_g = dmp_g.at[gmat].add(mjm.rot_vec_quat(de_, back))
+
+  dmp_g = dmp_g * m.flex_damping[node_flexid][:, None]
+
+  # map node forces into qfrc: nodes at their body origin with 3 dofs take
+  # the body-frame fast path; everything else goes through the point
+  # Jacobian (engine_passive.c:185-212)
+  bdof = np.asarray(m.body_dofnum)[np.asarray(nb)]
+  simple = (bdof == 3) & np.asarray(ncent)
+  spring_add = zero
+  damper_add = zero
+
+  def scatter(force):
+    qfrc = jnp.zeros((m.nv,), dtype=dtype)
+    if simple.any():
+      ns = np.where(simple)[0]
+      bid = np.asarray(nb)[ns]
+      loc = jnp.einsum('vij,vi->vj', d.xmat[bid], force[ns])
+      cols = (np.asarray(m.body_dofadr)[bid][:, None]
+              + np.arange(3)[None, :]).reshape(-1)
+      qfrc = qfrc.at[cols].add(loc.reshape(-1))
+    # everything else (offset nodes, pinned nodes with dof-bearing
+    # ancestors); ancestor masks zero out truly static chains
+    other = (~simple) & (np.asarray(nb) > 0)
+    if other.any():
+      ns = np.where(other)[0]
+      bid = np.asarray(nb)[ns]
+      anc = m.tree.ancestor_mask
+      o = d.subtree_com[m.body_rootid[m.dof_bodyid]]
+      angd = d.cdof[:, :3]
+      lind = d.cdof[:, 3:]
+      mask = jnp.asarray(anc[bid], dtype=dtype)
+      pts = node_xpos[ns]
+      jac = lind[None] + jnp.cross(
+          jnp.broadcast_to(angd[None], (len(ns),) + angd.shape),
+          pts[:, None, :] - o[None])
+      qfrc = qfrc + jnp.einsum('knc,kc->n', jac * mask[..., None],
+                               force[ns])
+    return qfrc
+
+  if enbl_spring:
+    spring_add = scatter(frc_g)
+  if enbl_damper:
+    damper_add = scatter(dmp_g)
+  return spring_add, damper_add

@@ -96,6 +96,15 @@ def passive(m: Model, d: Data) -> Data:
     qfrc_spring = qfrc_spring + fs
     qfrc_damper = qfrc_damper + fd
 
+  # corotational FEM forces for interpolated flexes
+  # (mj_flexPassiveInterp, engine_passive.c:61)
+  if m.has_flex and (np.asarray(m.flx.interp_stiffadr) >= 0).any() \
+      and (enbl_spring or enbl_damper):
+    from mujoco_tpu.ops import flex as flex_mod
+    fs, fd = flex_mod.interp_passive(m, d, enbl_spring, enbl_damper)
+    qfrc_spring = qfrc_spring + fs
+    qfrc_damper = qfrc_damper + fd
+
   # tendon spring (deadband interval) + damper
   if m.ntendon:
     lo = m.tendon_lengthspring[:, 0]

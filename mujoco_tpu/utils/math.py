@@ -361,3 +361,37 @@ def band_mul_vec(mat, vec, ntotal, nband, ndense, flg_sym=True):
   """Band-dense matrix × vector (mju_bandMulMatVec, symmetric fill)."""
   a = band_to_dense(mat, ntotal, nband, ndense, symmetric=flg_sym)
   return a @ vec
+
+
+def mat_to_rot_quat(mat, iters: int = 128):
+  """Extract the rotational part of a (possibly non-orthogonal) 3x3
+  deformation matrix as a quaternion (mju_mat2Rot,
+  engine_util_spatial.c:286; Müller et al. 2016): fixed-point iteration
+  from the identity, fixed `iters` with a freeze-on-convergence mask
+  replacing the reference's rotEPS break."""
+  import jax
+  import jax.numpy as jnp
+  dtype = mat.dtype
+  cols_m = mat.T                                    # (3, 3) rows = columns
+
+  def body(_, carry):
+    quat, done = carry
+    rot = quat_to_mat(quat)
+    cols_r = rot.T
+    omega = (jnp.cross(cols_r[0], cols_m[0])
+             + jnp.cross(cols_r[1], cols_m[1])
+             + jnp.cross(cols_r[2], cols_m[2]))
+    denom = jnp.abs(jnp.sum(cols_r * cols_m)) + MINVAL
+    omega = omega / denom
+    w = norm_safe(omega)
+    axis = omega / w
+    stop = w < 1e-9
+    qrot = axis_angle_to_quat(axis, w)
+    quat_new = normalize(mul_quat(qrot, quat))
+    quat_out = jnp.where(done | stop, quat, quat_new)
+    return quat_out, done | stop
+
+  q0 = jnp.array([1.0, 0, 0, 0], dtype=dtype)
+  quat, _ = jax.lax.fori_loop(0, iters, body,
+                              (q0, jnp.zeros((), dtype=bool)))
+  return quat

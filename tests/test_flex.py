@@ -582,3 +582,73 @@ def test_quadratic_interp_flex_vs_oracle(monkeypatch):
     mujoco.mj_step(mjm, mjd2)
     d2 = step(d2)
   np.testing.assert_allclose(np.asarray(d2.qpos), mjd2.qpos, atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "dof,count,young,dt,integ,damping",
+    [("trilinear", 3, 2e4, 0.002, "Euler", 0.01),
+     # pip 3.10's quadratic FEM is only conditionally stable: soft modulus
+     # + implicitfast keeps BOTH engines finite (the oracle auto-resets on
+     # blowup otherwise)
+     ("quadratic", 5, 100.0, 0.0002, "implicitfast", 0.05)])
+def test_interp_flex_fem_elasticity(monkeypatch, dof, count, young, dt,
+                                    integ, damping):
+  """Corotational FEM passive forces for interpolated flexes
+  (mj_flexPassiveInterp, engine_passive.c:61): per-cell rotation from the
+  deformation gradient, raw -K_physical stiffness on corotated
+  displacements, damping via K·v scaled by flex_damping. Force parity at a
+  perturbed pose and a full bounce trajectory."""
+  monkeypatch.setenv("MJTPU_FLEX_BUDGET", "96")
+  xml = f"""
+<mujoco>
+  <option timestep="{dt}" integrator="{integ}"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <flexcomp name="gel" type="grid" dim="3" count="{count} {count} {count}"
+              spacing="{0.3 / (count - 1)} {0.3 / (count - 1)}
+                       {0.3 / (count - 1)}"
+              pos="0 0 0.25" mass="1" dof="{dof}">
+      <elasticity young="{young}" poisson="0.2" damping="{damping}"/>
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(0)
+  q = mjd.qpos.copy() + 0.02 * rng.randn(mjm.nq)
+  v = 0.1 * rng.randn(mjm.nv)
+  mjd.qpos[:] = q
+  mjd.qvel[:] = v
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.make_data(m).replace(qpos=jnp.asarray(q), qvel=jnp.asarray(v))
+  d = jax.jit(lambda dd: forward.forward(m, dd))(d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_spring), mjd.qfrc_spring,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qfrc_damper), mjd.qfrc_damper,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8,
+                             rtol=1e-8)
+
+  # gel dropped on the plane: bounces, holds shape, trajectories track.
+  # The quadratic variant runs undamped: our implicitfast includes the
+  # 3.11 FEM-damper derivative (mjd_flexInterp_kernel) that the pip 3.10
+  # oracle predates, so damped implicit trajectories diverge by design.
+  if integ == "implicitfast":
+    xml2 = xml.replace(f'damping="{damping}"', 'damping="0"')
+    mjm = mujoco.MjModel.from_xml_string(xml2)
+    m = io.put_model(mjm)
+    step = None
+  mjd2 = mujoco.MjData(mjm)
+  d2 = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for t in range(400):
+    mujoco.mj_step(mjm, mjd2)
+    d2 = step(d2)
+  assert mjd2.time >= 400 * dt - 1e-9     # the oracle did not auto-reset
+  np.testing.assert_allclose(np.asarray(d2.qpos), mjd2.qpos, atol=2e-6)
+  # elasticity held the shape: node z-displacements (slide dofs) are nearly
+  # uniform — a collapsed block would drop its top layer much further
+  zs = np.asarray(d2.qpos).reshape(-1, 3)[:, 2]
+  assert np.ptp(zs) < 0.06, zs
