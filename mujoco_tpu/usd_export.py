@@ -165,6 +165,64 @@ def export_usd(m: Model, data: Union[Data, Sequence[Data]], path: str,
       out.append("    " + line)
     out.append("  }")
 
+  # deformables and skins: Mesh prims with time-sampled points (the
+  # USD-native way to ship soft-body animation; the reference exporter
+  # re-tessellates through mjvScene)
+  def _animated_mesh(name, faces, pts_per_frame, rgba_):
+    counts = ", ".join(["3"] * len(faces))
+    idx = ", ".join(str(int(i)) for i in np.asarray(faces).ravel())
+    out.append(f'  def Mesh "{name}"')
+    out.append("  {")
+    if nfr == 1:
+      pts = ", ".join("({!r}, {!r}, {!r})".format(*map(float, v))
+                      for v in pts_per_frame[0])
+      out.append(f"    point3f[] points = [{pts}]")
+    else:
+      out.append("    point3f[] points.timeSamples = {")
+      for t, pv in enumerate(pts_per_frame):
+        pts = ", ".join("({!r}, {!r}, {!r})".format(*map(float, v))
+                        for v in pv)
+        out.append(f"      {t}: [{pts}],")
+      out.append("    }")
+    out.append(f"    int[] faceVertexCounts = [{counts}]")
+    out.append(f"    int[] faceVertexIndices = [{idx}]")
+    rgba_ = [float(x) for x in rgba_]
+    out.append("    color3f[] primvars:displayColor = "
+               f"[({rgba_[0]!r}, {rgba_[1]!r}, {rgba_[2]!r})]")
+    out.append(f"    float[] primvars:displayOpacity = [{rgba_[3]!r}]")
+    out.append("  }")
+
+  flx = getattr(m, "flx", None)
+  if flx is not None and getattr(flx, "nflex", 0):
+    for f in range(flx.nflex):
+      dim = int(flx.dim[f])
+      if dim < 2:
+        continue
+      va = int(flx.vertadr[f])
+      ea, en = int(flx.elemadr[f]), int(flx.elemnum[f])
+      tris = []
+      for e in range(ea, ea + en):
+        ev = np.asarray(flx.elem[e]) - va
+        combos = ([(0, 1, 2)] if dim == 2
+                  else [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)])
+        for c in combos:
+          tris.append([ev[c[0]], ev[c[1]], ev[c[2]]])
+      pts = [np.asarray(fr.flexvert_xpos[va:va + int(flx.vertnum[f])])
+             for fr in frames]
+      rgba_f = (np.asarray(m.flex_rgba[f]) if hasattr(m, "flex_rgba")
+                else np.array([0.5, 0.5, 0.5, 1.0]))
+      _animated_mesh(f"flex_{f}", np.asarray(tris), pts, rgba_f)
+
+  if getattr(m, "nskin", 0):
+    from mujoco_tpu.ops.skin import skin_update
+    allverts = [np.asarray(skin_update(m, fr)[0]) for fr in frames]
+    for s in range(m.nskin):
+      va, vn = int(m.skin_vertadr[s]), int(m.skin_vertnum[s])
+      fa, fn = int(m.skin_faceadr[s]), int(m.skin_facenum[s])
+      pts = [v[va:va + vn] for v in allverts]
+      _animated_mesh(f"skin_{s}", np.asarray(m.skin_face[fa:fa + fn]),
+                     pts, np.asarray(m.skin_rgba[s]))
+
   # lights (lights.py: directional → DistantLight, else SphereLight)
   d0 = frames[0]
   for li in range(m.nlight):

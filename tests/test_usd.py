@@ -98,3 +98,42 @@ def test_record_tool(tmp_path):
   img = np.asarray(Image.open(out / pngs[0]))
   assert img.shape == (18, 24, 3) and img.max() > 0
   assert (out / "trajectory.usda").exists()
+
+
+def test_usd_flex_and_skin_meshes():
+  """Deformables and skins export as Mesh prims with time-sampled points."""
+  xml = """
+<mujoco>
+  <asset>
+    <skin name="flag" rgba=".9 .2 .2 1"
+      vertex="0 0 0  .2 0 0  .2 .2 0  0 .2 0"
+      face="0 1 2  0 2 3">
+      <bone body="pole" bindpos="0 0 0" bindquat="1 0 0 0"
+            vertid="0 1 2 3" vertweight="1 1 1 1"/>
+    </skin>
+  </asset>
+  <worldbody>
+    <geom type="plane" size="2 2 .1"/>
+    <body name="pole" pos="0 0 1"><joint type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size=".02" fromto="0 0 0 .3 0 0"/></body>
+    <flexcomp name="pad" type="grid" dim="2" count="3 3 1"
+              spacing="0.1 0.1 0.1" pos="0.5 0 0.5" mass="0.2"
+              rgba="0 0 1 1">
+      <contact selfcollide="none"/></flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  frames = []
+  for _ in range(3):
+    d = step(d)
+    frames.append(d)
+  text = usd_export.export_usd(m, frames, "/tmp/flexskin.usda")
+  assert 'def Mesh "flex_0"' in text
+  assert 'def Mesh "skin_0"' in text
+  assert text.count("points.timeSamples") == 2     # one per soft mesh
+  # the falling pad's points move across samples
+  blk = text.split('def Mesh "flex_0"')[1].split("faceVertexCounts")[0]
+  assert "0: [" in blk and "2: [" in blk
