@@ -556,8 +556,9 @@ def _contact_rows(m: Model, d: Data):
     else:
       jfr = jt[cid, np.clip(axis_idx, 0, 2)]
     mu_row = con.friction[cid, np.clip(fdim - 1, 0, 4)]
-    # single FMA: frictionless rows get coefficient 0
-    coeff = jnp.asarray(sign * ~frictionless) * mu_row
+    # single FMA: frictionless rows get coefficient 0 (cast: the np.where
+    # sign array is float64 and would promote J under x64)
+    coeff = jnp.asarray(sign * ~frictionless, dtype=dtype) * mu_row
     J = jn + coeff[:, None] * jfr
     pos = con.dist[cid]
     margin = con.includemargin[cid]

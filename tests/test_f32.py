@@ -97,3 +97,49 @@ def test_f32_humanoid_stays_physical():
   assert np.isfinite(q).all()
   # root height within 10 cm of the oracle after 1.5 s of settling
   assert abs(q[2] - mjd.qpos[2]) < 0.1
+
+
+def test_f32_interp_flex_and_render():
+  """Round-3 features at f32 (the bench precision): an interpolated FEM gel
+  steps finite and close to the f64 result; a textured/lit/shadowed render
+  stays in range and matches f64 within display precision."""
+  from mujoco_tpu.ops import render
+  xml = """
+<mujoco>
+  <option timestep="0.002"/>
+  <asset>
+    <texture name="grid" type="2d" builtin="checker" rgb1="1 0 0"
+             rgb2="0 0 1" width="8" height="8"/>
+    <material name="floor" texture="grid" texrepeat="4 4"/>
+  </asset>
+  <worldbody>
+    <light pos="1 1 3" dir="-.3 -.3 -1" diffuse=".8 .8 .8"/>
+    <geom type="plane" size="3 3 .1" material="floor"/>
+    <flexcomp name="gel" type="grid" dim="3" count="3 3 3"
+              spacing="0.1 0.1 0.1" pos="0 0 0.3" mass="1" dof="trilinear">
+      <elasticity young="2e4" poisson="0.2" damping="0.01"/>
+      <contact selfcollide="none" internal="false"/>
+    </flexcomp>
+    <camera name="c" pos="0 -1.5 1" xyaxes="1 0 0 0 .5 .87"/>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+
+  def run(dtype):
+    m = io.put_model(mjm, dtype=dtype)
+    d = io.make_data(m, dtype=dtype)
+    step = jax.jit(lambda dd: forward.step(m, dd))
+    for _ in range(150):
+      d = step(d)
+    rgb, depth, seg = jax.jit(
+        lambda dd: render.render(m, dd, 0, 32, 24, shadows=True))(d)
+    return np.asarray(d.qpos), np.asarray(rgb), np.asarray(seg)
+
+  q32, rgb32, seg32 = run(jnp.float32)
+  q64, rgb64, seg64 = run(jnp.float64)
+  assert np.isfinite(q32).all()
+  np.testing.assert_allclose(q32, q64, atol=2e-3)   # soft contact, 150 steps
+  assert rgb32.min() >= 0 and rgb32.max() <= 1
+  # images agree except at silhouette pixels where rays graze edges
+  close = np.abs(rgb32 - rgb64) < 0.12
+  assert close.mean() > 0.97
