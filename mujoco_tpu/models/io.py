@@ -916,30 +916,30 @@ def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
     if order == 0:
       continue
     va, vn = int(vertadr[f]), int(np.asarray(mjm.flex_vertnum)[f])
-    cx, cy, cz = (int(x) for x in cellnum[f])
-    ny_g, nz_g = cy * order + 1, cz * order + 1
-    for v in range(va, va + vn):
-      coord = vert0[v]
-      ci = np.clip(np.floor(coord * [cx, cy, cz]).astype(int),
-                   0, [cx - 1, cy - 1, cz - 1])
-      local = np.clip(coord * [cx, cy, cz] - ci, 0.0, 1.0)
-      # 1D Lagrange shape functions (mju_flexPhi, engine_util_misc.h:130)
-      if order == 1:
-        p = np.stack([1.0 - local, local], axis=-1)    # (3, 2)
-      else:
-        s = local
-        p = np.stack([2 * s * s - 3 * s + 1, 4 * (s - s * s),
-                      2 * s * s - s], axis=-1)          # (3, 3)
-      k = 0
-      for i0 in range(order + 1):
-        for i1 in range(order + 1):
-          for i2 in range(order + 1):
-            idx = (((ci[0] * order + i0) * ny_g
-                    + (ci[1] * order + i1)) * nz_g
-                   + (ci[2] * order + i2))
-            vert_node[v, k] = nodeadr[f] + idx
-            vert_nodew[v, k] = p[0, i0] * p[1, i1] * p[2, i2]
-            k += 1
+    cn = cellnum[f].astype(np.float64)
+    ny_g, nz_g = int(cn[1]) * order + 1, int(cn[2]) * order + 1
+    coord = vert0[va:va + vn]                          # (vn, 3)
+    ci = np.clip(np.floor(coord * cn).astype(int), 0,
+                 np.maximum(cn.astype(int) - 1, 0))    # (vn, 3)
+    local = np.clip(coord * cn - ci, 0.0, 1.0)
+    # 1D Lagrange shape functions (mju_flexPhi, engine_util_misc.h:130)
+    if order == 1:
+      p = np.stack([1.0 - local, local], axis=-1)      # (vn, 3, 2)
+    else:
+      s = local
+      p = np.stack([2 * s * s - 3 * s + 1, 4 * (s - s * s),
+                    2 * s * s - s], axis=-1)            # (vn, 3, 3)
+    k = 0
+    for i0 in range(order + 1):
+      for i1 in range(order + 1):
+        for i2 in range(order + 1):
+          idx = (((ci[:, 0] * order + i0) * ny_g
+                  + (ci[:, 1] * order + i1)) * nz_g
+                 + (ci[:, 2] * order + i2))
+          vert_node[va:va + vn, k] = nodeadr[f] + idx
+          vert_nodew[va:va + vn, k] = (p[:, 0, i0] * p[:, 1, i1]
+                                       * p[:, 2, i2])
+          k += 1
   # raw FEM stiffness metadata (mj_flexPassiveInterp, engine_passive.c:61):
   # stored matrices are -K_physical, one ndof_elem^2 block per cell; cells
   # with k_elem[0] == 0 are empty and skipped
