@@ -227,6 +227,45 @@ def set_const(cm) -> None:
   # stat.meaninertia (engine_setconst.c:1324-1331)
   cm.stat.meaninertia = float(np.trace(qM) / nv)
 
+  # remaining mjStatistic fields (setStat, engine_setconst.c:1190-1340):
+  # bounding box over bodies/joints/sites/geoms at qpos0 → center/extent;
+  # meansize = mean body characteristic length; meanmass = mean body mass
+  xpos_n = np.asarray(d.xpos)
+  pts = [xpos_n[1:nb], xipos_n[1:nb]]
+  if cm.njnt:
+    pts.append(xanchor)
+  if getattr(cm, "nsite", 0):
+    pts.append(np.asarray(d.site_xpos))
+  rb = np.zeros(cm.ngeom)
+  for g in range(cm.ngeom):
+    if cm.geom_rbound[g] > 0:
+      rb[g] = cm.geom_rbound[g]
+    elif int(cm.geom_type[g]) == 0:                 # plane
+      sx, sy = cm.geom_size[g, 0], cm.geom_size[g, 1]
+      rb[g] = max(sx, sy) * 0.1 if (sx or sy) else 0.01
+    elif int(cm.geom_type[g]) == 1:                 # hfield
+      rb[g] = float(np.max(cm.hfield_size[int(cm.geom_dataid[g])])) * 0.1
+  if cm.ngeom:
+    pts.append(gx - rb[:, None])
+    pts.append(gx + rb[:, None])
+  allp = np.concatenate([p.reshape(-1, 3) for p in pts]) \
+      if pts else np.zeros((0, 3))
+  if len(allp):
+    xmin, xmax = allp.min(axis=0), allp.max(axis=0)
+    cm.stat.center = 0.5 * (xmin + xmax)
+    extent = max(1e-5, float((xmax - xmin).max())) \
+        if (xmax[0] > xmin[0]) else 1.0
+  else:
+    cm.stat.center = np.zeros(3)
+    extent = 1.0
+  if nb > 1:
+    cm.stat.meansize = float(np.mean(blen[1:]))
+    cm.stat.meanmass = float(np.mean(cm.body_mass[1:]))
+  else:
+    cm.stat.meansize = 0.1
+    cm.stat.meanmass = 1.0
+  cm.stat.extent = max(extent, 2 * cm.stat.meansize)
+
 
 def _length_range_sim(cm, index: int):
   """mj_setLengthRange's optimization (engine_setconst.c, evalAct): per

@@ -982,3 +982,42 @@ def test_hfield_png_and_elevation(tmp_path):
   cm2 = load_xml(xml2)
   mjm2 = mujoco.MjModel.from_xml_string(xml2)
   np.testing.assert_allclose(cm2.hfield_data, mjm2.hfield_data, atol=1e-7)
+
+
+def test_model_statistics():
+  """mjStatistic (setStat, engine_setconst.c:1190-1340): meansize,
+  meanmass, extent, center from the qpos0 bounding box and body
+  characteristic lengths — drives mjv-lite glyph scaling identically for
+  both load paths."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="3 2 .1"/>
+    <body pos="0.4 0 0.6">
+      <joint type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size=".05" fromto="0 0 0 .4 0 0" mass="1.2"/>
+      <site name="tip" pos=".4 0 0"/>
+    </body>
+    <body pos="-0.5 0.3 0.3"><freejoint/>
+      <geom type="box" size=".1 .15 .2" mass="0.4"/></body>
+  </worldbody>
+</mujoco>"""
+  cm = load_xml(xml)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  np.testing.assert_allclose(cm.stat.meansize, mjm.stat.meansize,
+                             rtol=1e-10)
+  np.testing.assert_allclose(cm.stat.meanmass, mjm.stat.meanmass,
+                             rtol=1e-10)
+  np.testing.assert_allclose(cm.stat.extent, mjm.stat.extent, rtol=1e-10)
+  np.testing.assert_allclose(cm.stat.center, mjm.stat.center, atol=1e-12)
+  # vis_meta consumes it through put_model
+  m = io.put_model(cm)
+  assert m.vis_meta["meansize"] == pytest.approx(mjm.stat.meansize)
+
+  # humanoid: the flagship's glyph scaling matches too
+  xmlh = open("/root/repo/mujoco_tpu/models/assets/humanoid.xml").read()
+  cmh = load_xml(xmlh)
+  mjh = mujoco.MjModel.from_xml_string(xmlh)
+  np.testing.assert_allclose(cmh.stat.meansize, mjh.stat.meansize,
+                             rtol=1e-9)
+  np.testing.assert_allclose(cmh.stat.extent, mjh.stat.extent, rtol=1e-9)
