@@ -21,6 +21,8 @@ for i in range(3):
                rgba=[1 - 0.3 * i, 0.2, 0.3 * i, 1])
 spec.worldbody.add_camera(name="cam", pos=[0, -1.5, 0.8],
                           xyaxes=[1, 0, 0, 0, 0.45, 0.9])
+spec.worldbody.add_light(name="sun", type="directional", dir=[-0.3, 0.4, -1],
+                         diffuse=[0.8, 0.8, 0.8])
 
 m = mt.put_model(spec.compile())
 d = mt.make_data(m)
@@ -31,6 +33,8 @@ for _ in range(400):
 rgb, depth, seg = mt.render(m, d, camid=0, width=48, height=32)
 chars = " .:-=+*#%@"
 img = np.asarray(rgb).sum(-1) / 3
+img = np.where(np.asarray(seg) >= 0,
+               (img - img.min()) / max(float(np.ptp(img)), 1e-6), 0.0)
 print("\n".join("".join(chars[min(9, int(v * 9.99))] for v in row)
                 for row in img))
 print("stack heights:", [round(float(d.qpos[7 * i + 2]), 3)

@@ -21,6 +21,6 @@ def test_example_runs(name):
              EX_NBATCH="8", EX_NSTEP="10")
   path = os.path.join(os.path.dirname(__file__), "..", "examples", name)
   r = subprocess.run([sys.executable, path], env=env, capture_output=True,
-                     text=True, timeout=900)
+                     text=True, timeout=1800)
   assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
   assert r.stdout.strip(), f"{name} produced no output"
