@@ -1,0 +1,385 @@
+"""Whole-Newton-solve Pallas megakernel, batch on the 128-lane axis.
+
+tools/profile_ablate.py measured the constraint solve at 59% of the
+flagship step; the XLA implementation spends that time in many small ops
+over (B, nefc, nv) arrays whose minor dims (nv≈27) waste 4/5 of the
+128-lane tiles and round-trip HBM between every op. This kernel runs the
+ENTIRE pyramidal Newton solve of mj_solNewton
+(/root/reference/src/engine/engine_solver.c:1975, PrimalUpdate /
+PrimalSearch / mj_constraintUpdate_impl, engine_core_constraint.c:3275)
+for 128 environments at a time with everything resident in VMEM:
+
+  warmstart-vs-smooth cost pick → [jar → row update → gradient →
+  H = M + JᵀWJ → in-place LDL → direction → bracketed Newton linesearch →
+  x ← x + αp] × iterations → final row update
+
+HBM traffic is one read of (J, aref, D, R, fl, M, a_s, warm) and one write
+of (x, force) per solve — the XLA path re-reads J from HBM ~6 times.
+
+Semantics match ops/solver._core's static-unroll regime (iterations ≤ 4,
+pyramidal cone, monolithic): no convergence test, niter = iterations.
+AD: a custom_jvp falls back to the mathematically identical XLA body, so
+jacfwd/grad through step() produce the unrolled-Newton derivatives the
+differential tests pin down. Under vmap the custom_vmap rule dispatches to
+the kernel on TPU and to vmapped XLA elsewhere (the ops/linalg_tpu.spd_solve
+pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+from jax import custom_batching
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.utils import math as mjm
+
+_LANES = 128
+
+
+def enabled() -> bool:
+  return os.environ.get("MJTPU_NEWTON_KERNEL", "1") == "1"
+
+
+# ---------------------------------------------------------------------------
+# shared row machinery (pyramidal): works on any trailing batch shape
+# ---------------------------------------------------------------------------
+
+
+def _row_update(jar, D, R, fl, fric, ones):
+  """mj_constraintUpdate_impl for the pyramidal cone on raw row tensors.
+
+  fric/ones are {0,1} float masks of friction(loss) and one-sided rows.
+  Returns (force, cost_rows, quad_w); identical math to ops/solver._update.
+  """
+  force = -D * jar
+  cost = 0.5 * D * jar * jar
+  w = D
+  rfl = R * fl
+  lin_neg = (fric > 0) & (jar <= -rfl)
+  lin_pos = (fric > 0) & (jar >= rfl)
+  lin = lin_neg | lin_pos
+  fric_cost = -0.5 * rfl * fl + fl * jnp.abs(jar)
+  force = jnp.where(lin_neg, fl, jnp.where(lin_pos, -fl, force))
+  cost = jnp.where(lin, fric_cost, cost)
+  w = jnp.where(lin, 0.0, w)
+  satisfied = (ones > 0) & (jar >= 0)
+  force = jnp.where(satisfied, 0.0, force)
+  cost = jnp.where(satisfied, 0.0, cost)
+  w = jnp.where(satisfied, 0.0, w)
+  return force, cost, w
+
+
+# ---------------------------------------------------------------------------
+# single-environment XLA body (fallback + AD semantics)
+# ---------------------------------------------------------------------------
+
+
+def _xla_newton(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
+                iterations: int, ls_iter: int):
+  """Reference implementation on raw tensors, one environment."""
+  dtype = a_s.dtype
+
+  def cost_of(x):
+    _, cost, _ = _row_update(J @ x - aref, D, R, fl, fric, ones)
+    dx = x - a_s
+    return jnp.sum(cost) + 0.5 * jnp.dot(dx, M @ dx)
+
+  x = jnp.where(cost_of(warm) < cost_of(a_s), warm, a_s)
+
+  for _ in range(iterations):
+    jar = J @ x - aref
+    force, _, w = _row_update(jar, D, R, fl, fric, ones)
+    mdx = M @ (x - a_s)
+    grad = mdx - J.T @ force
+    h = M + (J * w[:, None]).T @ J
+    h = h + jnp.eye(h.shape[0], dtype=dtype) * reg
+    chol = jnp.linalg.cholesky(h)
+    p = -jax.scipy.linalg.cho_solve((chol, True), grad[:, None])[:, 0]
+    jp = J @ p
+    gx0 = jnp.dot(p, mdx)
+    pmp = jnp.dot(p, M @ p)
+    alpha = _xla_linesearch(jar, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter)
+    x = x + alpha * p
+
+  jar = J @ x - aref
+  force, _, _ = _row_update(jar, D, R, fl, fric, ones)
+  return x, force
+
+
+def _xla_linesearch(jar0, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter: int):
+  """Bracketed safeguarded Newton on φ'(α)=0 (ops/solver._linesearch)."""
+  dtype = jar0.dtype
+  big = jnp.asarray(jnp.inf, dtype=dtype)
+  lo = jnp.zeros((), dtype=dtype)
+  hi = big
+  has_hi = jnp.zeros((), dtype=bool)
+  alpha = jnp.zeros((), dtype=dtype)
+  for _ in range(ls_iter):
+    jar = jar0 + alpha * jp
+    force, _, w = _row_update(jar, D, R, fl, fric, ones)
+    dphi = gx0 + alpha * pmp - jnp.dot(jp, force)
+    ddphi = pmp + jnp.sum(w * jp * jp)
+    neg = dphi < 0
+    lo = jnp.where(neg, jnp.maximum(lo, alpha), lo)
+    hi = jnp.where(neg, hi, jnp.minimum(hi, alpha))
+    has_hi = has_hi | ~neg
+    prop = alpha - dphi / jnp.maximum(ddphi, mjm.MINVAL)
+    mid = 0.5 * (lo + jnp.where(has_hi, hi, lo))
+    ok = (prop >= lo) & (prop <= hi)
+    alpha = jnp.where(ok, prop, jnp.where(has_hi, mid, prop))
+  return jnp.maximum(alpha, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the Pallas kernel: one grid step = 128 environments
+# ---------------------------------------------------------------------------
+
+
+def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
+                   M_ref, as_ref, warm_ref, reg_ref, x_ref, f_ref,
+                   h_scr, nefc: int, nv: int, iterations: int, ls_iter: int):
+  D = D_ref[:]
+  R = R_ref[:]
+  fl = fl_ref[:]
+  fric = fric_ref[:]
+  ones = ones_ref[:]
+  aref = aref_ref[:]
+  a_s = as_ref[:]
+
+  def jmul(x):                         # (nv,128) -> (nefc,128)
+    acc = J_ref[:, 0, :] * x[0, :][None, :]
+    for j in range(1, nv):
+      acc = acc + J_ref[:, j, :] * x[j, :][None, :]
+    return acc
+
+  def jtmul(f):                        # (nefc,128) -> (nv,128)
+    cols = [jnp.sum(J_ref[:, i, :] * f, axis=0) for i in range(nv)]
+    return jnp.stack(cols, axis=0)
+
+  def mmul(x):                         # M @ x: (nv,128)
+    acc = M_ref[:, 0, :] * x[0, :][None, :]
+    for j in range(1, nv):
+      acc = acc + M_ref[:, j, :] * x[j, :][None, :]
+    return acc
+
+  def update(jar):
+    return _row_update(jar, D, R, fl, fric, ones)
+
+  def cost_of(x, jar):
+    _, cost, _ = update(jar)
+    dx = x - a_s
+    return jnp.sum(cost, axis=0) + 0.5 * jnp.sum(dx * mmul(dx), axis=0)
+
+  # ---- warmstart-vs-smooth pick (engine_forward.c:1167-1177)
+  warm = warm_ref[:]
+  jar_w = jmul(warm) - aref
+  jar_s = jmul(a_s) - aref
+  pick = cost_of(warm, jar_w) < cost_of(a_s, jar_s)   # (128,)
+  x = jnp.where(pick[None, :], warm, a_s)
+
+  ii = jax.lax.broadcasted_iota(jnp.int32, (nv, 1, 1), 0)
+  jj = jax.lax.broadcasted_iota(jnp.int32, (1, nv, 1), 1)
+  iv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+
+  for _ in range(iterations):
+    jar = jmul(x) - aref
+    force, _, w = update(jar)
+    mdx = mmul(x - a_s)
+    grad = mdx - jtmul(force)
+
+    # ---- H = M + JᵀWJ + reg·I, assembled row-by-row in VMEM
+    h_scr[:] = M_ref[:]
+    for r in range(nefc):
+      col = J_ref[r, :, :]                           # (nv, 128)
+      wr = (w[r, :] * col)[:, None, :]               # (nv, 1, 128)
+      h_scr[:] = h_scr[:] + wr * col[None, :, :]
+    reg = reg_ref[0, :]
+    h_scr[:] = h_scr[:] + jnp.where(ii == jj, reg[None, None, :], 0.0)
+
+    # ---- in-place LDL factor (ops/linalg_tpu._ldl_solve_kernel)
+    for k in range(nv):
+      dk = h_scr[k, k, :]
+      inv = 1.0 / dk
+      colk = h_scr[:, k, :]
+      rowk = h_scr[k, :, :]
+      mask = jnp.logical_and(ii > k, jj > k)
+      upd = colk[:, None, :] * rowk[None, :, :] * inv[None, None, :]
+      h_scr[:] = h_scr[:] - jnp.where(mask, upd, 0.0)
+
+    # ---- p = -H⁻¹ grad: forward solve, diagonal, back substitution
+    y = -grad
+    for k in range(nv):
+      inv = 1.0 / h_scr[k, k, :]
+      lcol = h_scr[:, k, :] * inv[None, :]
+      y = y - jnp.where(iv > k, lcol * y[k, :][None, :], 0.0)
+    dinv = jnp.stack([1.0 / h_scr[k, k, :] for k in range(nv)], axis=0)
+    y = y * dinv
+    for k in range(nv - 1, -1, -1):
+      inv = 1.0 / h_scr[k, k, :]
+      contrib = jnp.where(iv > k, h_scr[k, :, :] * y, 0.0)
+      y = y.at[k, :].set(y[k, :] - jnp.sum(contrib, axis=0) * inv)
+    p = y
+
+    # ---- linesearch on φ'(α)=0
+    jp = jmul(p)
+    gx0 = jnp.sum(p * mdx, axis=0)
+    pmp = jnp.sum(p * mmul(p), axis=0)
+    lo = jnp.zeros_like(gx0)
+    hi = jnp.full_like(gx0, jnp.inf)
+    has_hi = jnp.zeros(gx0.shape, dtype=bool)
+    alpha = jnp.zeros_like(gx0)
+    for _ in range(ls_iter):
+      jar_a = jar + alpha[None, :] * jp
+      force_a, _, w_a = update(jar_a)
+      dphi = gx0 + alpha * pmp - jnp.sum(jp * force_a, axis=0)
+      ddphi = pmp + jnp.sum(w_a * jp * jp, axis=0)
+      neg = dphi < 0
+      lo = jnp.where(neg, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(neg, hi, jnp.minimum(hi, alpha))
+      has_hi = has_hi | ~neg
+      prop = alpha - dphi / jnp.maximum(ddphi, mjm.MINVAL)
+      mid = 0.5 * (lo + jnp.where(has_hi, hi, lo))
+      ok = (prop >= lo) & (prop <= hi)
+      alpha = jnp.where(ok, prop, jnp.where(has_hi, mid, prop))
+    alpha = jnp.maximum(alpha, 0.0)
+    x = x + alpha[None, :] * p
+
+  jar = jmul(x) - aref
+  force, _, _ = update(jar)
+  x_ref[:] = x
+  f_ref[:] = force
+
+
+def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
+                  iterations: int, ls_iter: int):
+  """Batched solve with batch on the last axis (multiple of 128).
+
+  J: (nefc, nv, B); aref/D/R/fl/fric/ones: (nefc, B); M: (nv, nv, B);
+  a_s/warm: (nv, B); reg: (1, B). Returns x (nv, B), force (nefc, B).
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  nefc, nv, b = J.shape
+  assert b % _LANES == 0, b
+  grid = (b // _LANES,)
+  kernel = functools.partial(_newton_kernel, nefc=nefc, nv=nv,
+                             iterations=iterations, ls_iter=ls_iter)
+
+  def rows(i):
+    return (0, i)
+
+  return pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((nefc, nv, _LANES), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, nv, _LANES), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, _LANES), rows, memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((nv, b), J.dtype),
+          jax.ShapeDtypeStruct((nefc, b), J.dtype),
+      ],
+      scratch_shapes=[pltpu.VMEM((nv, nv, _LANES), J.dtype)],
+  )(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg)
+
+
+# ---------------------------------------------------------------------------
+# dispatch: custom_jvp (AD = XLA semantics) over custom_vmap (TPU = kernel)
+# ---------------------------------------------------------------------------
+
+
+def _tpu_backend() -> bool:
+  plat = jax.devices()[0].platform
+  return plat in ("tpu", "axon")
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solver(iterations: int, ls_iter: int):
+  body = functools.partial(_xla_newton, iterations=iterations,
+                           ls_iter=ls_iter)
+
+  @custom_batching.custom_vmap
+  def raw(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg):
+    return body(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg)
+
+  @raw.def_vmap
+  def _raw_vmap(axis_size, in_batched, *args):
+    args = [a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)]
+    J, aref, D, R, fl, fric, ones, M, a_s, warm, reg = args
+    if (not _tpu_backend()) or J.dtype != jnp.float32:
+      x, force = jax.vmap(body)(*args)
+      return (x, force), (True, True)
+    b = a_s.shape[0]
+    pad = (-b) % _LANES
+    if pad:
+      def padb(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)], axis=0)
+      J, aref, D, R, fl, fric, ones, a_s, warm, reg = map(
+          padb, (J, aref, D, R, fl, fric, ones, a_s, warm, reg))
+      # identity M on padding lanes keeps the LDL pivots finite
+      eyes = jnp.broadcast_to(jnp.eye(M.shape[1], dtype=M.dtype),
+                              (pad,) + M.shape[1:])
+      M = jnp.concatenate([M, eyes], axis=0)
+    xt, ft = _newton_lanes(
+        jnp.transpose(J, (1, 2, 0)), jnp.transpose(aref, (1, 0)),
+        jnp.transpose(D, (1, 0)), jnp.transpose(R, (1, 0)),
+        jnp.transpose(fl, (1, 0)), jnp.transpose(fric, (1, 0)),
+        jnp.transpose(ones, (1, 0)), jnp.transpose(M, (1, 2, 0)),
+        jnp.transpose(a_s, (1, 0)), jnp.transpose(warm, (1, 0)),
+        jnp.transpose(reg, (1, 0)), iterations, ls_iter)
+    x = jnp.transpose(xt, (1, 0))
+    force = jnp.transpose(ft, (1, 0))
+    if pad:
+      x, force = x[:b], force[:b]
+    return (x, force), (True, True)
+
+  @jax.custom_jvp
+  def solver(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg):
+    return raw(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg)
+
+  @solver.defjvp
+  def _solver_jvp(primals, tangents):
+    out = raw(*primals)
+    tangents = [jnp.zeros_like(p) if isinstance(t, jax.custom_derivatives
+                .SymbolicZero) else t for p, t in zip(primals, tangents)]
+    _, tan = jax.jvp(body, primals, tuple(tangents))
+    return out, tan
+
+  return solver
+
+
+def newton_pyramidal(J, aref, D, R, fl, fric_mask, oneside_mask, M, a_s,
+                     warm, reg, iterations: int, ls_iter: int):
+  """Public entry: full pyramidal Newton solve → (qacc, efc_force).
+
+  fric_mask/oneside_mask: static numpy {0,1} row masks. reg: traced scalar
+  diagonal regularizer. Dispatches to the Pallas megakernel under vmap on
+  TPU; XLA everywhere else; AD falls back to the XLA body.
+  """
+  solver = _make_solver(int(iterations), int(ls_iter))
+  dtype = a_s.dtype
+  fric = jnp.asarray(fric_mask, dtype=dtype)
+  ones = jnp.asarray(oneside_mask, dtype=dtype)
+  return solver(J, aref, D, R, fl, fric, ones, M, a_s, warm,
+                jnp.reshape(jnp.asarray(reg, dtype=dtype), (1,)))
