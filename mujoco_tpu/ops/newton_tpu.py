@@ -107,7 +107,7 @@ def _xla_newton(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
 
   jar = J @ x - aref
   force, _, _ = _row_update(jar, D, R, fl, fric, ones)
-  return x, force
+  return x, force, J.T @ force
 
 
 def _xla_linesearch(jar0, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter: int):
@@ -140,8 +140,9 @@ def _xla_linesearch(jar0, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter: int):
 
 
 def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
-                   M_ref, as_ref, warm_ref, reg_ref, x_ref, f_ref,
-                   h_scr, nefc: int, nv: int, iterations: int, ls_iter: int):
+                   M_ref, as_ref, warm_ref, reg_ref, x_ref, f_ref, qf_ref,
+                   h_scr, wj_scr, nefc: int, nv: int, iterations: int,
+                   ls_iter: int):
   D = D_ref[:]
   R = R_ref[:]
   fl = fl_ref[:]
@@ -149,22 +150,20 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
   ones = ones_ref[:]
   aref = aref_ref[:]
   a_s = as_ref[:]
+  J = J_ref[:]                         # (nefc, nv, 128) resident value
+  M = M_ref[:]                         # (nv, nv, 128)
 
+  # contractions as whole-array multiply + 3D reduce: sliced operands carry
+  # nonzero sublane offsets that Mosaic's reduce lowering rejects; the full
+  # arrays have canonical zero-offset layouts on every dim
   def jmul(x):                         # (nv,128) -> (nefc,128)
-    acc = J_ref[:, 0, :] * x[0, :][None, :]
-    for j in range(1, nv):
-      acc = acc + J_ref[:, j, :] * x[j, :][None, :]
-    return acc
+    return jnp.sum(J * x[None, :, :], axis=1)
 
   def jtmul(f):                        # (nefc,128) -> (nv,128)
-    cols = [jnp.sum(J_ref[:, i, :] * f, axis=0) for i in range(nv)]
-    return jnp.stack(cols, axis=0)
+    return jnp.sum(J * f[:, None, :], axis=0)
 
   def mmul(x):                         # M @ x: (nv,128)
-    acc = M_ref[:, 0, :] * x[0, :][None, :]
-    for j in range(1, nv):
-      acc = acc + M_ref[:, j, :] * x[j, :][None, :]
-    return acc
+    return jnp.sum(M * x[None, :, :], axis=1)
 
   def update(jar):
     return _row_update(jar, D, R, fl, fric, ones)
@@ -191,14 +190,19 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
     mdx = mmul(x - a_s)
     grad = mdx - jtmul(force)
 
-    # ---- H = M + JᵀWJ + reg·I, assembled row-by-row in VMEM
-    h_scr[:] = M_ref[:]
-    for r in range(nefc):
-      col = J_ref[r, :, :]                           # (nv, 128)
-      wr = (w[r, :] * col)[:, None, :]               # (nv, 1, 128)
-      h_scr[:] = h_scr[:] + wr * col[None, :, :]
+    # ---- H = M + JᵀWJ + reg·I: fori_loop over rows with dynamic REF loads
+    # (Mosaic lowers dynamic indexing on the leading untiled dim; value
+    # dynamic_slice is unsupported) — code size independent of nefc
+    wj_scr[:] = w[:, None, :] * J                      # (nefc, nv, 128)
+
+    def h_body(r, acc):
+      col = wj_scr[r, :, :]                            # (nv, 128)
+      row = J_ref[r, :, :]                             # (nv, 128)
+      return acc + col[:, None, :] * row[None, :, :]
+
     reg = reg_ref[0, :]
-    h_scr[:] = h_scr[:] + jnp.where(ii == jj, reg[None, None, :], 0.0)
+    h0 = M_ref[:] + jnp.where(ii == jj, reg[None, None, :], 0.0)
+    h_scr[:] = jax.lax.fori_loop(0, nefc, h_body, h0)
 
     # ---- in-place LDL factor (ops/linalg_tpu._ldl_solve_kernel)
     for k in range(nv):
@@ -221,7 +225,8 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
     for k in range(nv - 1, -1, -1):
       inv = 1.0 / h_scr[k, k, :]
       contrib = jnp.where(iv > k, h_scr[k, :, :] * y, 0.0)
-      y = y.at[k, :].set(y[k, :] - jnp.sum(contrib, axis=0) * inv)
+      s = jnp.sum(contrib, axis=0) * inv
+      y = jnp.where(iv == k, y - s[None, :], y)
     p = y
 
     # ---- linesearch on φ'(α)=0
@@ -252,14 +257,16 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
   force, _, _ = update(jar)
   x_ref[:] = x
   f_ref[:] = force
+  qf_ref[:] = jtmul(force)
 
 
 def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
-                  iterations: int, ls_iter: int):
+                  iterations: int, ls_iter: int, interpret: bool = False):
   """Batched solve with batch on the last axis (multiple of 128).
 
   J: (nefc, nv, B); aref/D/R/fl/fric/ones: (nefc, B); M: (nv, nv, B);
-  a_s/warm: (nv, B); reg: (1, B). Returns x (nv, B), force (nefc, B).
+  a_s/warm: (nv, B); reg: (1, B). Returns x (nv, B), force (nefc, B),
+  qfrc (nv, B).
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -284,6 +291,7 @@ def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
           pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nv, nv, _LANES), lambda i: (0, 0, i),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
@@ -293,12 +301,19 @@ def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
       out_specs=[
           pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
       ],
       out_shape=[
           jax.ShapeDtypeStruct((nv, b), J.dtype),
           jax.ShapeDtypeStruct((nefc, b), J.dtype),
+          jax.ShapeDtypeStruct((nv, b), J.dtype),
       ],
-      scratch_shapes=[pltpu.VMEM((nv, nv, _LANES), J.dtype)],
+      scratch_shapes=[pltpu.VMEM((nv, nv, _LANES), J.dtype),
+                      pltpu.VMEM((nefc, nv, _LANES), J.dtype)],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
   )(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg)
 
 
@@ -327,8 +342,8 @@ def _make_solver(iterations: int, ls_iter: int):
             for a, b in zip(args, in_batched)]
     J, aref, D, R, fl, fric, ones, M, a_s, warm, reg = args
     if (not _tpu_backend()) or J.dtype != jnp.float32:
-      x, force = jax.vmap(body)(*args)
-      return (x, force), (True, True)
+      x, force, qfrc = jax.vmap(body)(*args)
+      return (x, force, qfrc), (True, True, True)
     b = a_s.shape[0]
     pad = (-b) % _LANES
     if pad:
@@ -341,7 +356,7 @@ def _make_solver(iterations: int, ls_iter: int):
       eyes = jnp.broadcast_to(jnp.eye(M.shape[1], dtype=M.dtype),
                               (pad,) + M.shape[1:])
       M = jnp.concatenate([M, eyes], axis=0)
-    xt, ft = _newton_lanes(
+    xt, ft, qt = _newton_lanes(
         jnp.transpose(J, (1, 2, 0)), jnp.transpose(aref, (1, 0)),
         jnp.transpose(D, (1, 0)), jnp.transpose(R, (1, 0)),
         jnp.transpose(fl, (1, 0)), jnp.transpose(fric, (1, 0)),
@@ -350,9 +365,10 @@ def _make_solver(iterations: int, ls_iter: int):
         jnp.transpose(reg, (1, 0)), iterations, ls_iter)
     x = jnp.transpose(xt, (1, 0))
     force = jnp.transpose(ft, (1, 0))
+    qfrc = jnp.transpose(qt, (1, 0))
     if pad:
-      x, force = x[:b], force[:b]
-    return (x, force), (True, True)
+      x, force, qfrc = x[:b], force[:b], qfrc[:b]
+    return (x, force, qfrc), (True, True, True)
 
   @jax.custom_jvp
   def solver(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg):
@@ -371,7 +387,8 @@ def _make_solver(iterations: int, ls_iter: int):
 
 def newton_pyramidal(J, aref, D, R, fl, fric_mask, oneside_mask, M, a_s,
                      warm, reg, iterations: int, ls_iter: int):
-  """Public entry: full pyramidal Newton solve → (qacc, efc_force).
+  """Public entry: full pyramidal Newton solve → (qacc, efc_force,
+  qfrc_constraint).
 
   fric_mask/oneside_mask: static numpy {0,1} row masks. reg: traced scalar
   diagonal regularizer. Dispatches to the Pallas megakernel under vmap on

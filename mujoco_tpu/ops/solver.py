@@ -298,15 +298,53 @@ def monolithic_core(m: Model, d: Data):
   return _core(m, d)
 
 
+def _use_newton_kernel(m: Model) -> bool:
+  """The whole-solve Pallas megakernel (ops/newton_tpu) covers the
+  static-unroll Newton regime: pyramidal cone (or frictionless contacts),
+  iterations ≤ 4, monolithic. Elsewhere the general XLA path runs."""
+  from mujoco_tpu.ops import newton_tpu
+  return (newton_tpu.enabled()
+          and int(m.opt.solver) == int(SolverType.NEWTON)
+          and int(m.opt.iterations) <= 4
+          and not (int(m.opt.cone) == int(ConeType.ELLIPTIC)
+                   and m.con.ncon > 0)
+          and m.efc.nefc > 0)
+
+
+def _kernel_solve(m: Model, d: Data):
+  """Dispatch the full Newton solve to the lane-mapped megakernel."""
+  from mujoco_tpu.ops import newton_tpu
+  meta = m.efc
+  dtype = d.qpos.dtype
+  fric = np.zeros(meta.nefc, dtype=np.float64)
+  fric[meta.ne:meta.ne + meta.nf] = 1.0
+  ones = np.zeros(meta.nefc, dtype=np.float64)
+  ones[meta.ne + meta.nf:] = 1.0
+  warm = (d.qacc_smooth if m.disabled(DisableBit.WARMSTART)
+          else d.qacc_warmstart)
+  meaninertia = jnp.maximum(m.stat_meaninertia, mjm.MINVAL)
+  reg = (1e-12 if dtype == jnp.float64 else 1e-6) * meaninertia
+  return newton_tpu.newton_pyramidal(
+      d.efc_J, d.efc_aref, d.efc_D, d.efc_R, d.efc_frictionloss,
+      fric, ones, d.qM, d.qacc_smooth, warm, reg,
+      int(m.opt.iterations), int(m.opt.ls_iterations))
+
+
 def _monolithic_solve(m: Model, d: Data) -> Data:
-  x, force, niter, solver_stat = _core(m, d)
+  if _use_newton_kernel(m):
+    x, force, qfrc = _kernel_solve(m, d)
+    niter = jnp.asarray(int(m.opt.iterations), dtype=jnp.int32)
+    solver_stat = jnp.zeros((32, 2), dtype=d.qpos.dtype)
+  else:
+    x, force, niter, solver_stat = _core(m, d)
+    qfrc = None
   if int(m.opt.noslip_iterations) > 0:
     # noslip post-pass applies to all solvers (mj_fwdConstraint tail)
     from mujoco_tpu.ops import linalg_tpu
     force = _noslip(m, d, force)
     qfrc = d.efc_J.T @ force
     x = d.qacc_smooth + linalg_tpu.spd_solve(d.qM, qfrc)
-  else:
+  elif qfrc is None:
     qfrc = d.efc_J.T @ force
   return d.replace(qacc=x, efc_force=force, qfrc_constraint=qfrc,
                    solver_niter=niter, solver_stat=solver_stat)

@@ -1,0 +1,118 @@
+"""Whole-step megakernel (ops/megastep_tpu) correctness on CPU.
+
+The physics body (_lane_step) is pure jnp on lane-layout values, so it is
+differentially tested directly against forward.step; the Pallas wrapper is
+exercised in interpret mode (slow — kept to 2 steps). Reference semantics:
+mj_step (engine_forward.c:1849) for the supported model class.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_tpu.models import io, zoo
+from mujoco_tpu.ops import forward, megastep_tpu as mega
+from mujoco_tpu.parallel import rollout as par
+
+
+def _perturbed_batch(m, B, qscale=0.05, vscale=0.5, cscale=0.3):
+  d = par.make_batch(m, B)
+  d = d.replace(
+      qpos=d.qpos + qscale * jax.random.normal(
+          jax.random.PRNGKey(0), d.qpos.shape, dtype=d.qpos.dtype),
+      qvel=d.qvel + vscale * jax.random.normal(
+          jax.random.PRNGKey(1), d.qvel.shape, dtype=d.qvel.dtype),
+      ctrl=cscale * jax.random.normal(
+          jax.random.PRNGKey(2), d.ctrl.shape, dtype=d.ctrl.dtype))
+  return d
+
+
+def test_supported_gate():
+  m = zoo.humanoid()
+  assert mega.supported(m)
+  # outside the class: RK4 integrator
+  from mujoco_tpu.models.types import Integrator
+  m2 = m.replace(opt=m.opt.replace(integrator=int(Integrator.RK4)))
+  assert not mega.supported(m2)
+
+
+def test_lane_step_matches_forward_step():
+  m = zoo.humanoid()
+  B = 8
+  d = _perturbed_batch(m, B)
+  d1 = jax.vmap(lambda dd: forward.step(m, dd))(d)
+  mt = mega._meta(m)
+  consts = mega.make_consts(mt, jnp.float64)
+  t = lambda x: jnp.transpose(x, (1, 0))
+  qp, qv, warm, qacc = mega._lane_step(
+      mt, consts, t(d.qpos), t(d.qvel), t(d.ctrl), t(d.qacc_warmstart),
+      t(d.qfrc_applied), t(d.xfrc_applied.reshape(B, -1)), jnp.float64)
+  np.testing.assert_allclose(np.asarray(t(qp)), np.asarray(d1.qpos),
+                             rtol=1e-9, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(t(qv)), np.asarray(d1.qvel),
+                             rtol=1e-8, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(t(qacc)), np.asarray(d1.qacc),
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_lane_step_with_xfrc_and_applied():
+  m = zoo.humanoid()
+  B = 4
+  d = _perturbed_batch(m, B, vscale=0.1)
+  d = d.replace(
+      qfrc_applied=0.5 * jax.random.normal(
+          jax.random.PRNGKey(5), d.qfrc_applied.shape, d.qfrc_applied.dtype),
+      xfrc_applied=2.0 * jax.random.normal(
+          jax.random.PRNGKey(6), d.xfrc_applied.shape, d.xfrc_applied.dtype))
+  d1 = jax.vmap(lambda dd: forward.step(m, dd))(d)
+  mt = mega._meta(m)
+  consts = mega.make_consts(mt, jnp.float64)
+  t = lambda x: jnp.transpose(x, (1, 0))
+  qp, qv, _, _ = mega._lane_step(
+      mt, consts, t(d.qpos), t(d.qvel), t(d.ctrl), t(d.qacc_warmstart),
+      t(d.qfrc_applied), t(d.xfrc_applied.reshape(B, -1)), jnp.float64)
+  np.testing.assert_allclose(np.asarray(t(qp)), np.asarray(d1.qpos),
+                             rtol=1e-9, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(t(qv)), np.asarray(d1.qvel),
+                             rtol=1e-8, atol=1e-8)
+
+
+def test_scan_batch_interpret_matches_scan_steps():
+  m = zoo.humanoid()
+  B, nstep = 4, 2
+  d = par.make_batch(m, B)
+  d = d.replace(qpos=d.qpos + 0.03 * jax.random.normal(
+      jax.random.PRNGKey(0), d.qpos.shape, dtype=d.qpos.dtype),
+                ctrl=0.2 * jax.random.normal(
+      jax.random.PRNGKey(2), d.ctrl.shape, dtype=d.ctrl.dtype))
+  d_fresh = io.make_data(m)
+  ref = par.scan_steps(m, d, nstep, d_fresh=d_fresh, check=True)
+  out = mega.scan_batch(m, d, nstep, d_fresh=d_fresh, check=True,
+                        interpret=True)
+  np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                             rtol=1e-12, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel),
+                             rtol=1e-10, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(out.time), np.asarray(ref.time),
+                             rtol=0, atol=1e-12)
+
+
+def test_check_reset_lane():
+  m = zoo.humanoid()
+  mt = mega._meta(m)
+  consts = mega.make_consts(mt, jnp.float64)
+  L = 4
+  qpos = jnp.zeros((mt.nq, L), jnp.float64).at[2, 1].set(jnp.nan)
+  qvel = jnp.zeros((mt.nv, L), jnp.float64).at[0, 2].set(1e12)
+  ctrl = jnp.ones((mt.nu, L), jnp.float64)
+  warm = jnp.ones((mt.nv, L), jnp.float64)
+  qacc = jnp.ones((mt.nv, L), jnp.float64)
+  time = jnp.full((1, L), 3.0)
+  qp, qv, ct, wa, qa, tm = mega._check_reset_lane(
+      mt, consts, qpos, qvel, ctrl, warm, qacc, time)
+  # envs 1 and 2 reset to fresh state; envs 0, 3 untouched
+  assert np.allclose(np.asarray(qp[:, 1]), mt.fresh_qpos)
+  assert np.allclose(np.asarray(qv[:, 2]), 0.0)
+  assert float(tm[0, 1]) == 0.0 and float(tm[0, 0]) == 3.0
+  assert np.allclose(np.asarray(qp[:, 0]), np.asarray(qpos[:, 0]))
+  assert np.allclose(np.asarray(wa[:, 3]), 1.0)
