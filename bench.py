@@ -18,6 +18,19 @@ import json
 import os
 import time
 
+# persistent compilation cache: the Pallas megastep kernel costs minutes of
+# Mosaic compile cold but is a cache hit on every subsequent identical run
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+_T0 = time.time()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1800"))
+
+
+def _remaining() -> float:
+  return _DEADLINE_S - (time.time() - _T0)
+
+
 BASELINE_PER_CHIP = 340_000.0
 MJX_HUMANOID = ("/root/reference/mjx/mujoco/mjx/test_data/humanoid/"
                 "humanoid.xml")
@@ -147,7 +160,23 @@ def main():
       "device": str(jax.devices()[0]),
   }
 
-  if extras:
+  # extras are wall-clock budgeted: each is skipped if the deadline is near
+  # so the primary metric's JSON line always prints (the axon tunnel made
+  # round-4's bench time out with no output at all)
+  if extras and _remaining() > 240:
+    # megastep-off ablation: the XLA scan pipeline on the same model/batch
+    try:
+      os.environ["MJTPU_MEGASTEP"] = "0"
+      sps5, jit5, _, fin5 = _measure(m, nbatch, nstep, jax, jnp)
+      out["xla_path_sps"] = round(sps5, 1)
+      out["xla_path_jit_s"] = round(jit5, 2)
+      out["megastep_speedup"] = round(sps / max(sps5, 1.0), 3)
+      out["xla_path_finite"] = fin5
+    except Exception as e:
+      out["xla_path_error"] = str(e)[:120]
+    finally:
+      os.environ["MJTPU_MEGASTEP"] = "1"
+  if extras and _remaining() > 240:
     # the reference's own benchmark humanoid through put_model
     try:
       import mujoco
@@ -160,6 +189,7 @@ def main():
       out["mjx_humanoid_finite"] = fin2
     except Exception as e:  # missing asset: report, don't fail the bench
       out["mjx_humanoid_error"] = str(e)[:120]
+  if extras and _remaining() > 300:
     # the reference MJX ENGINE itself, measured on this chip (VERDICT r2 §3)
     try:
       sps4, jit4, _, fin4 = _measure_mjx_engine(nbatch, nstep, jax, jnp)
@@ -170,6 +200,7 @@ def main():
         out["ours_vs_mjx_engine"] = round(out["mjx_humanoid_sps"] / sps4, 3)
     except Exception as e:
       out["mjx_engine_error"] = str(e)[:120]
+  if extras and _remaining() > 180:
     # the BASELINE.json batch size
     try:
       sps3, _, _, fin3 = _measure(m, 4096, nstep, jax, jnp)

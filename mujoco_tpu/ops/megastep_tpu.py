@@ -56,6 +56,10 @@ def enabled() -> bool:
   return os.environ.get("MJTPU_MEGASTEP", "1") == "1"
 
 
+# id(m) alone is unsafe as a cache key (a GC'd Model's id can be recycled by
+# a different Model -> silently wrong physics), so the cache value carries a
+# strong reference to the keying Model and lookups verify identity. The
+# strong ref also pins the id, making reuse impossible while the entry lives.
 _HOST_CACHE: dict = {}
 
 
@@ -65,13 +69,13 @@ def _host_model(m: Model) -> Model:
   the D2H copies asynchronously first brings the whole fetch to ~0.5s."""
   key = id(m)
   cached = _HOST_CACHE.get(key)
-  if cached is not None:
-    return cached
+  if cached is not None and cached[0] is m:
+    return cached[1]
   for x in jax.tree.leaves(m):
     if hasattr(x, "copy_to_host_async"):
       x.copy_to_host_async()
   host = jax.tree.map(np.asarray, m)
-  _HOST_CACHE[key] = (host)
+  _HOST_CACHE[key] = (m, host)
   return host
 
 
@@ -330,15 +334,17 @@ class _Meta:
                           for v in range(self.nv)]
 
 
+# same identity-verified scheme as _HOST_CACHE (see note there)
 _META_CACHE: dict = {}
 
 
 def _meta(m: Model) -> _Meta:
   key = id(m)
-  mt = _META_CACHE.get(key)
-  if mt is None:
-    mt = _Meta(m)
-    _META_CACHE[key] = mt
+  cached = _META_CACHE.get(key)
+  if cached is not None and cached[0] is m:
+    return cached[1]
+  mt = _Meta(m)
+  _META_CACHE[key] = (m, mt)
   return mt
 
 
@@ -1170,8 +1176,13 @@ def _scan_kernel(*refs, mt: _Meta, nstep: int, check: bool, dtype):
 
 def scan_lanes(m: Model, qpos, qvel, ctrl, warm, qacc, time, qfrc_applied,
                xfrc, nstep: int, check: bool = True,
-               interpret: bool = False):
-  """Run nstep steps with state in (k, B) lane layout. B % 128 == 0."""
+               interpret: bool = False, fresh=None):
+  """Run nstep steps with state in (k, B) lane layout. B % 128 == 0.
+
+  fresh: optional (qpos, qvel, ctrl) 1-D arrays overriding the divergence
+  guard's reset target (defaults to make_data state). Matches
+  rollout.check_reset resetting to the caller's d_fresh.
+  """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
@@ -1192,6 +1203,12 @@ def scan_lanes(m: Model, qpos, qvel, ctrl, warm, qacc, time, qfrc_applied,
 
   nq, nv, nu, nb = mt.nq, mt.nv, max(mt.nu, 1), mt.nbody
   consts = make_consts(mt, dtype)
+  if fresh is not None:
+    fq, fv, fc = fresh
+    consts["fresh_qpos"] = jnp.asarray(fq, dtype).reshape(nq, 1)
+    consts["fresh_qvel"] = jnp.asarray(fv, dtype).reshape(nv, 1)
+    if fc is not None and mt.nu:
+      consts["fresh_ctrl"] = jnp.asarray(fc, dtype).reshape(nu, 1)
   const_args = [consts[n] for n in _CONST_NAMES]
   kernel = functools.partial(_scan_kernel, mt=mt, nstep=nstep, check=check,
                              dtype=dtype)
@@ -1244,8 +1261,16 @@ def scan_batch(m: Model, d, nstep: int, d_fresh=None, check: bool = True,
           t_in(d.qacc_warmstart, mt.nv), t_in(d.qacc, mt.nv),
           t_in(d.time[:, None] if d.time.ndim == 1 else d.time, 1),
           t_in(d.qfrc_applied, mt.nv), t_in(xfrc, mt.nbody * 6)]
+  # the in-kernel divergence guard resets to the CALLER's fresh state
+  # (rollout.check_reset contract), not make_data defaults
+  fresh = None
+  if d_fresh is not None:
+    if d_fresh.qpos.ndim != 1:
+      raise ValueError("megastep scan_batch needs an unbatched d_fresh; "
+                       "use the XLA scan path for per-env fresh states")
+    fresh = (d_fresh.qpos, d_fresh.qvel, d_fresh.ctrl if mt.nu else None)
   qpos, qvel, ctrl_o, warm, qacc, time = scan_lanes(
-      m, *args, nstep=nstep, check=check, interpret=interpret)
+      m, *args, nstep=nstep, check=check, interpret=interpret, fresh=fresh)
 
   def t_out(x):
     x2 = x[:, :b] if pad else x

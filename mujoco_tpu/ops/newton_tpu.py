@@ -80,7 +80,12 @@ def _row_update(jar, D, R, fl, fric, ones):
 
 def _xla_newton(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
                 iterations: int, ls_iter: int):
-  """Reference implementation on raw tensors, one environment."""
+  """Reference implementation on raw tensors, one environment.
+
+  Returns (x, force, qfrc, stat): stat is the (32, 2) mjSolverStat analog
+  with [improvement, cost] per iteration (the quantities mj_solNewton's
+  saveStats records, engine_solver.c) — real diagnostics, matching what the
+  Pallas kernel emits."""
   dtype = a_s.dtype
 
   def cost_of(x):
@@ -90,10 +95,12 @@ def _xla_newton(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
 
   x = jnp.where(cost_of(warm) < cost_of(a_s), warm, a_s)
 
+  costs = []
   for _ in range(iterations):
     jar = J @ x - aref
-    force, _, w = _row_update(jar, D, R, fl, fric, ones)
+    force, cost_rows, w = _row_update(jar, D, R, fl, fric, ones)
     mdx = M @ (x - a_s)
+    costs.append(jnp.sum(cost_rows) + 0.5 * jnp.dot(x - a_s, mdx))
     grad = mdx - J.T @ force
     h = M + (J * w[:, None]).T @ J
     h = h + jnp.eye(h.shape[0], dtype=dtype) * reg
@@ -106,8 +113,14 @@ def _xla_newton(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
     x = x + alpha * p
 
   jar = J @ x - aref
-  force, _, _ = _row_update(jar, D, R, fl, fric, ones)
-  return x, force, J.T @ force
+  force, cost_rows, _ = _row_update(jar, D, R, fl, fric, ones)
+  costs.append(jnp.sum(cost_rows)
+               + 0.5 * jnp.dot(x - a_s, M @ (x - a_s)))
+  stat = jnp.zeros((32, 2), dtype=dtype)
+  stat = stat.at[:iterations].set(jnp.stack(
+      [jnp.stack([costs[i] - costs[i + 1], costs[i + 1]])
+       for i in range(iterations)]))
+  return x, force, J.T @ force, stat
 
 
 def _xla_linesearch(jar0, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter: int):
@@ -141,8 +154,8 @@ def _xla_linesearch(jar0, jp, gx0, pmp, D, R, fl, fric, ones, ls_iter: int):
 
 def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
                    M_ref, as_ref, warm_ref, reg_ref, x_ref, f_ref, qf_ref,
-                   h_scr, wj_scr, nefc: int, nv: int, iterations: int,
-                   ls_iter: int):
+                   stat_ref, h_scr, wj_scr, nefc: int, nv: int,
+                   iterations: int, ls_iter: int):
   D = D_ref[:]
   R = R_ref[:]
   fl = fl_ref[:]
@@ -184,10 +197,13 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
   jj = jax.lax.broadcasted_iota(jnp.int32, (1, nv, 1), 1)
   iv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
 
+  costs = []  # per-iteration objective: real mjSolverStat diagnostics
   for _ in range(iterations):
     jar = jmul(x) - aref
-    force, _, w = update(jar)
+    force, cost_rows, w = update(jar)
     mdx = mmul(x - a_s)
+    costs.append(jnp.sum(cost_rows, axis=0)
+                 + 0.5 * jnp.sum((x - a_s) * mdx, axis=0))
     grad = mdx - jtmul(force)
 
     # ---- H = M + JᵀWJ + reg·I: fori_loop over rows with dynamic REF loads
@@ -254,10 +270,20 @@ def _newton_kernel(J_ref, aref_ref, D_ref, R_ref, fl_ref, fric_ref, ones_ref,
     x = x + alpha[None, :] * p
 
   jar = jmul(x) - aref
-  force, _, _ = update(jar)
+  force, cost_rows, _ = update(jar)
+  dx = x - a_s
+  costs.append(jnp.sum(cost_rows, axis=0)
+               + 0.5 * jnp.sum(dx * mmul(dx), axis=0))
   x_ref[:] = x
   f_ref[:] = force
   qf_ref[:] = jtmul(force)
+  # rows [imp_0, cost_1, imp_1, cost_2, ...]: (B, iterations, 2) after the
+  # host-side transpose+reshape
+  rows = []
+  for i in range(iterations):
+    rows.append(costs[i] - costs[i + 1])
+    rows.append(costs[i + 1])
+  stat_ref[:] = jnp.stack(rows, axis=0)
 
 
 def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
@@ -266,7 +292,8 @@ def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
 
   J: (nefc, nv, B); aref/D/R/fl/fric/ones: (nefc, B); M: (nv, nv, B);
   a_s/warm: (nv, B); reg: (1, B). Returns x (nv, B), force (nefc, B),
-  qfrc (nv, B).
+  qfrc (nv, B), stat (2*iterations, B) with interleaved
+  [improvement_i, cost_{i+1}] rows.
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -302,11 +329,14 @@ def _newton_lanes(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg,
           pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nefc, _LANES), rows, memory_space=pltpu.VMEM),
           pl.BlockSpec((nv, _LANES), rows, memory_space=pltpu.VMEM),
+          pl.BlockSpec((2 * iterations, _LANES), rows,
+                       memory_space=pltpu.VMEM),
       ],
       out_shape=[
           jax.ShapeDtypeStruct((nv, b), J.dtype),
           jax.ShapeDtypeStruct((nefc, b), J.dtype),
           jax.ShapeDtypeStruct((nv, b), J.dtype),
+          jax.ShapeDtypeStruct((2 * iterations, b), J.dtype),
       ],
       scratch_shapes=[pltpu.VMEM((nv, nv, _LANES), J.dtype),
                       pltpu.VMEM((nefc, nv, _LANES), J.dtype)],
@@ -342,8 +372,8 @@ def _make_solver(iterations: int, ls_iter: int):
             for a, b in zip(args, in_batched)]
     J, aref, D, R, fl, fric, ones, M, a_s, warm, reg = args
     if (not _tpu_backend()) or J.dtype != jnp.float32:
-      x, force, qfrc = jax.vmap(body)(*args)
-      return (x, force, qfrc), (True, True, True)
+      x, force, qfrc, stat = jax.vmap(body)(*args)
+      return (x, force, qfrc, stat), (True, True, True, True)
     b = a_s.shape[0]
     pad = (-b) % _LANES
     if pad:
@@ -356,7 +386,7 @@ def _make_solver(iterations: int, ls_iter: int):
       eyes = jnp.broadcast_to(jnp.eye(M.shape[1], dtype=M.dtype),
                               (pad,) + M.shape[1:])
       M = jnp.concatenate([M, eyes], axis=0)
-    xt, ft, qt = _newton_lanes(
+    xt, ft, qt, st = _newton_lanes(
         jnp.transpose(J, (1, 2, 0)), jnp.transpose(aref, (1, 0)),
         jnp.transpose(D, (1, 0)), jnp.transpose(R, (1, 0)),
         jnp.transpose(fl, (1, 0)), jnp.transpose(fric, (1, 0)),
@@ -366,9 +396,13 @@ def _make_solver(iterations: int, ls_iter: int):
     x = jnp.transpose(xt, (1, 0))
     force = jnp.transpose(ft, (1, 0))
     qfrc = jnp.transpose(qt, (1, 0))
+    # (2it, B) -> (B, it, 2) -> embedded in the (B, 32, 2) mjSolverStat slab
+    stat_it = jnp.transpose(st, (1, 0)).reshape(-1, iterations, 2)
+    stat = jnp.zeros((stat_it.shape[0], 32, 2), dtype=st.dtype)
+    stat = stat.at[:, :iterations].set(stat_it)
     if pad:
-      x, force, qfrc = x[:b], force[:b], qfrc[:b]
-    return (x, force, qfrc), (True, True, True)
+      x, force, qfrc, stat = x[:b], force[:b], qfrc[:b], stat[:b]
+    return (x, force, qfrc, stat), (True, True, True, True)
 
   @jax.custom_jvp
   def solver(J, aref, D, R, fl, fric, ones, M, a_s, warm, reg):
@@ -388,7 +422,8 @@ def _make_solver(iterations: int, ls_iter: int):
 def newton_pyramidal(J, aref, D, R, fl, fric_mask, oneside_mask, M, a_s,
                      warm, reg, iterations: int, ls_iter: int):
   """Public entry: full pyramidal Newton solve → (qacc, efc_force,
-  qfrc_constraint).
+  qfrc_constraint, solver_stat) with solver_stat the (32, 2)
+  [improvement, cost] per-iteration diagnostics (mjSolverStat analog).
 
   fric_mask/oneside_mask: static numpy {0,1} row masks. reg: traced scalar
   diagonal regularizer. Dispatches to the Pallas megakernel under vmap on

@@ -332,9 +332,10 @@ def _kernel_solve(m: Model, d: Data):
 
 def _monolithic_solve(m: Model, d: Data) -> Data:
   if _use_newton_kernel(m):
-    x, force, qfrc = _kernel_solve(m, d)
+    # the kernel emits real per-iteration [improvement, cost] diagnostics
+    # (computed in-kernel from quantities the solve already holds)
+    x, force, qfrc, solver_stat = _kernel_solve(m, d)
     niter = jnp.asarray(int(m.opt.iterations), dtype=jnp.int32)
-    solver_stat = jnp.zeros((32, 2), dtype=d.qpos.dtype)
   else:
     x, force, niter, solver_stat = _core(m, d)
     qfrc = None

@@ -62,7 +62,7 @@ STATE_FIELDS = ("time", "qpos", "qvel", "act", "ctrl", "qacc_warmstart",
 
 
 def scan_steps(m: Model, d: Data, nstep: int, d_fresh: Optional[Data] = None,
-               check: bool = True) -> Data:
+               check: bool = True, mesh: Optional[Mesh] = None) -> Data:
   """Scan nstep physics steps carrying ONLY the integration state.
 
   Carrying the full Data through lax.scan makes every workspace array
@@ -78,10 +78,63 @@ def scan_steps(m: Model, d: Data, nstep: int, d_fresh: Optional[Data] = None,
   Returns the final full Data (workspace reconstructed by one more
   forward pass would be needed for derived fields; here the last step's
   state is merged into a fresh template).
+
+  mesh: if given (or if d is already committed to a multi-device
+  NamedSharding), the whole scan runs under shard_map with the env axis
+  sharded — each device scans its local envs with no collectives, and the
+  Pallas megakernel (below) sees only per-device shards, which is the only
+  layout it supports.
+
+  Megakernel caveats: the in-kernel fori_loop is NOT differentiable (use
+  MJTPU_MEGASTEP=0 or f64 to force the XLA path under AD — reverse-mode
+  through the XLA path works); results are numerically equivalent but not
+  bit-identical to the XLA scan; and d_fresh must be unbatched on the
+  kernel path.
   """
   from mujoco_tpu.models import io
   if d_fresh is None:
     d_fresh = io.make_data(m, dtype=d.qpos.dtype)
+  batched = d.qpos.ndim == 2
+
+  # multi-device batches run under shard_map: env-parallel, no collectives,
+  # and the megakernel pallas_call only ever sees a single device's shard
+  if batched and mesh is None:
+    try:
+      sh = d.qpos.sharding
+    except Exception:
+      sh = None  # tracer: caller must pass mesh explicitly to shard
+    if (isinstance(sh, NamedSharding) and len(sh.device_set) > 1
+        and len(sh.spec) and sh.spec[0] is not None):
+      mesh = sh.mesh
+  if batched and mesh is not None and mesh.size > 1:
+    from jax.experimental.shard_map import shard_map
+    spec = P(mesh.axis_names[0])
+    # XLA commits zero-size leaves (empty act/mocap/history slots) as
+    # replicated no matter what device_put asked for, and shard_map's
+    # input/output checks reject the mismatch — so they ride replicated on
+    # both sides, are rebuilt at the local batch size inside the shard, and
+    # restored to the global batch size after.
+    io_specs = jax.tree.map(lambda x: spec if x.size else P(), d)
+    nb_global = d.qpos.shape[0]
+
+    def local(dd):
+      nb_local = dd.qpos.shape[0]
+      dd = jax.tree.map(
+          lambda x: x if x.size else jnp.zeros((nb_local,) + x.shape[1:],
+                                               x.dtype), dd)
+      return _scan_steps_local(m, dd, nstep, d_fresh, check)
+
+    out = shard_map(local, mesh=mesh, in_specs=(io_specs,),
+                    out_specs=io_specs, check_rep=False)(d)
+    return jax.tree.map(
+        lambda x: x if x.size else jnp.zeros((nb_global,) + x.shape[1:],
+                                             x.dtype), out)
+  return _scan_steps_local(m, d, nstep, d_fresh, check)
+
+
+def _scan_steps_local(m: Model, d: Data, nstep: int, d_fresh: Data,
+                      check: bool) -> Data:
+  """Single-device scan_steps body (see scan_steps)."""
   batched = d.qpos.ndim == 2
   nb = d.qpos.shape[0] if batched else None
 
@@ -91,7 +144,9 @@ def scan_steps(m: Model, d: Data, nstep: int, d_fresh: Optional[Data] = None,
   if batched and d.qpos.dtype == jnp.float32:
     from mujoco_tpu.ops import megastep_tpu as mega
     plat = jax.devices()[0].platform
-    if (plat in ("tpu", "axon") and mega.enabled() and mega.supported(m)):
+    under_ad = isinstance(d.qpos, jax.interpreters.ad.JVPTracer)
+    if (plat in ("tpu", "axon") and mega.enabled() and not under_ad
+        and d_fresh.qpos.ndim == 1 and mega.supported(m)):
       return mega.scan_batch(m, d, nstep, d_fresh=d_fresh, check=check)
 
   def expand(template):

@@ -65,13 +65,13 @@ def test_kernel_interpret_matches_xla(iterations, ls_iter):
   def t(x):
     return jnp.moveaxis(x, 0, -1)
 
-  xt, ft, qt = newton_tpu._newton_lanes(
+  xt, ft, qt, st = newton_tpu._newton_lanes(
       t(J), t(aref), t(D), t(R), t(fl), t(fric_j), t(ones_j), t(M),
       t(a_s), t(warm), t(reg), iterations, ls_iter, interpret=True)
 
   body = lambda *a: newton_tpu._xla_newton(*a, iterations=iterations,
                                            ls_iter=ls_iter)
-  x_ref, f_ref, q_ref = jax.vmap(body)(
+  x_ref, f_ref, q_ref, s_ref = jax.vmap(body)(
       J, aref, D, R, fl, fric_j, ones_j, M, a_s, warm, reg[:, 0])
 
   x_k = np.moveaxis(np.asarray(xt), -1, 0)
@@ -105,6 +105,27 @@ def test_kernel_interpret_matches_xla(iterations, ls_iter):
   rel = (c_k - c_r) / np.maximum(np.abs(c_r), 1.0)
   assert abs(rel.mean()) < 2e-3, rel.mean()
   assert np.median(np.abs(rel)) < 1e-5
+  # per-env guards for the kink-diverged tail: fixed-budget linesearch on a
+  # kinky landscape legitimately lands on different-quality alphas under
+  # different FP orderings, so individual envs CAN be materially worse — but
+  # the divergence must be (a) symmetric (a lane-local kernel bug would make
+  # the worse-count dominate; measured here: worse/better = 0/0, 6/8, 9/13
+  # across the parametrizations) and (b) bounded.
+  worse = int((rel > 1e-3).sum())
+  better = int((rel < -1e-3).sum())
+  assert worse <= better + 3, (worse, better)
+  assert rel.max() < 0.2, rel.max()
+
+  # per-iteration [improvement, cost] diagnostics agree on matching envs;
+  # an env whose FINAL x matches can still have visited different
+  # intermediate kink-parked iterates, so allow a tiny mismatched tail but
+  # pin the final-iteration cost (tracks the agreed final x) tightly
+  s_k = np.moveaxis(np.asarray(st), -1, 0).reshape(-1, iterations, 2)
+  s_r = np.asarray(s_ref)[:, :iterations]
+  stat_close = np.isclose(s_k[close], s_r[close], rtol=2e-3, atol=2e-3)
+  assert stat_close.mean() > 0.99, stat_close.mean()
+  np.testing.assert_allclose(s_k[close][:, -1, 1], s_r[close][:, -1, 1],
+                             rtol=2e-3, atol=2e-3)
 
 
 def _batched_traj(m, steps=25, nbatch=3, kernel=True, monkeypatch=None):
@@ -124,6 +145,37 @@ def test_dispatch_matches_legacy_core(monkeypatch):
   qp0, qv0 = _batched_traj(m, kernel=False, monkeypatch=monkeypatch)
   np.testing.assert_allclose(qp1, qp0, rtol=1e-9, atol=1e-9)
   np.testing.assert_allclose(qv1, qv0, rtol=1e-8, atol=1e-8)
+
+
+def test_dispatch_matches_legacy_core_iter2(monkeypatch):
+  """Trajectory pin at iterations=2 on the real model: the synthetic-system
+  kink tolerance above does not apply on physical contact landscapes."""
+  m0 = zoo.humanoid()
+  m = m0.replace(opt=m0.opt.replace(iterations=2, ls_iterations=6))
+  assert solver._use_newton_kernel(m)
+  qp1, qv1 = _batched_traj(m, kernel=True, monkeypatch=monkeypatch)
+  qp0, qv0 = _batched_traj(m, kernel=False, monkeypatch=monkeypatch)
+  np.testing.assert_allclose(qp1, qp0, rtol=1e-7, atol=1e-7)
+  np.testing.assert_allclose(qv1, qv0, rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_solver_stat_populated(monkeypatch):
+  """The kernel path reports real per-iteration [improvement, cost]
+  diagnostics (VERDICT r4: stats must not vanish on the kernel path)."""
+  from mujoco_tpu.ops import forward
+  monkeypatch.setenv("MJTPU_NEWTON_KERNEL", "1")
+  m = zoo.humanoid()
+  d = io.make_data(m)
+  d = d.replace(qpos=d.qpos.at[2].add(-0.12))  # feet in contact
+  d = forward.forward(m, d)
+  stat = np.asarray(d.solver_stat)
+  it = int(m.opt.iterations)
+  assert stat.shape == (32, 2)
+  # cost column populated and finite for the executed iterations
+  assert np.all(np.isfinite(stat[:it]))
+  assert np.any(stat[:it, 1] != 0.0)
+  # rows beyond the executed budget stay zero
+  assert np.all(stat[it:] == 0.0)
 
 
 def test_jacfwd_through_step_matches(monkeypatch):
