@@ -18,8 +18,10 @@ from mujoco_tpu.compiler.core import (_AutoLimited, _ENABLE_BITS,
 
 _DYN = {"none": 0, "integrator": 1, "filter": 2, "filterexact": 3,
         "muscle": 4, "dcmotor": 5, "user": 7}
-_GAIN = {"fixed": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "user": 6}
-_BIAS = {"none": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "user": 5}
+_GAIN = {"fixed": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "so3": 4,
+         "pid": 5, "user": 6}
+_BIAS = {"none": 0, "affine": 1, "muscle": 2, "dcmotor": 3, "so3": 4,
+         "user": 5}
 
 
 def _address(self):
@@ -172,16 +174,45 @@ def _compile_actuators(self):
     gainprm = np.zeros(10)
     biasprm = np.zeros(10)
     dyn, gain, bias = 0, 0, 0
+    ctrlspec = 0
     dynprm[0] = 1.0
     gainprm[0] = 1.0
+
+    def _kv_or_dampratio(default_kv="0"):
+      # kv stored as -kv; dampratio stored POSITIVE in biasprm[2], resolved
+      # to -damping by setconst (engine_setconst.c:1135; mjs_setToOrientation)
+      if "kv" in a and "dampratio" in a:
+        raise ValueError(f"actuator {name}: kv and dampratio cannot both "
+                         "be defined")
+      if "dampratio" in a:
+        dr = float(a["dampratio"])
+        if dr < 0:
+          raise ValueError(f"actuator {name}: dampratio cannot be negative")
+        return dr
+      kv = float(_s(a, "kv", default_kv))
+      if kv < 0:
+        raise ValueError(f"actuator {name}: kv cannot be negative")
+      return -kv
+
     if kind == "motor":
       pass
     elif kind == "position":
       kp = float(_s(a, "kp", "1"))
-      kv = float(_s(a, "kv", "0"))
       gainprm[0] = kp
       bias = 1
-      biasprm[:3] = [0, -kp, -kv]
+      biasprm[:3] = [0, -kp, _kv_or_dampratio()]
+    elif kind == "orientation":
+      # SO3 geodesic servo shortcut (xml_native_reader.cc:1285,
+      # mjs_setToOrientation, user_api.cc:1328)
+      kp = float(_s(a, "kp", "1"))
+      gain, bias = 4, 4
+      gainprm[0] = kp
+      biasprm[:3] = [0, -kp, _kv_or_dampratio()]
+      inp = _s(a, "input", "expmap")
+      if inp not in ("expmap", "quat"):
+        raise ValueError(f"actuator {name}: so3 input must be expmap or "
+                         "quat")
+      ctrlspec = 1 if inp == "expmap" else 2
     elif kind == "velocity":
       kv = float(_s(a, "kv", "1"))
       gainprm[0] = kv
@@ -211,8 +242,26 @@ def _compile_actuators(self):
       dynprm = _f(a, "dynprm", [1] + [0] * 9, 10)
       gainprm = _f(a, "gainprm", [1] + [0] * 9, 10)
       biasprm = _f(a, "biasprm", [0] * 10, 10)
+      if "input" in a:
+        # input signature (ReadInputSpec): so3 chart selection only; the
+        # PID token-list form is not modeled (single-input PID)
+        if gain != 4:
+          raise NotImplementedError(
+              f"actuator {name}: input= is only supported for so3")
+        if a["input"] not in ("expmap", "quat"):
+          raise ValueError(f"actuator {name}: so3 input must be expmap or "
+                           "quat")
+        ctrlspec = 1 if a["input"] == "expmap" else 2
     else:
       raise NotImplementedError(f"actuator <{kind}>")
+
+    # SO3 servo: resolve transmission to mjTRN_SO3 downstream (put_model),
+    # validate here what needs compile-time info (user_objects.cc:7118-7182)
+    if (gain == 4) != (bias == 4):
+      raise ValueError(f"actuator {name}: gaintype and biastype must both "
+                       "be 'so3'")
+    if gain == 4 and ctrlspec == 0:
+      ctrlspec = 1  # expmap is the default chart
 
     # transmission
     if "joint" in a:
@@ -238,7 +287,12 @@ def _compile_actuators(self):
 
     actdim = int(_s(a, "actdim", "-1"))
     if actdim < 0:
-      actdim = 0 if dyn == 0 else 1
+      if gain == 4 and dyn == 1:
+        actdim = 3  # so3 integrator: 3-wide expmap setpoint
+      else:
+        actdim = 0 if dyn == 0 else 1
+    if gain == 4 and dyn == 1 and actdim != 3:
+      raise ValueError(f"actuator {name}: so3 integrator requires actdim 3")
     actadr = na if actdim else -1
     na += actdim
 
@@ -258,6 +312,7 @@ def _compile_actuators(self):
                                       self.autolimits),
         actrange=_f(a, "actrange", [0, 0], 2),
         actearly=_b(a, "actearly", False),
+        ctrlspec=ctrlspec,
         group=int(_s(a, "group", "0")),
         gear=_f(a, "gear", [1, 0, 0, 0, 0, 0], 6),
         cranklength=float(_s(a, "cranklength", "0")),
@@ -397,6 +452,12 @@ def _compile_sensors(self):
       objid = self.names[
           {"site": "site", "joint": "joint", "tendon": "tendon",
            "actuator": "actuator", "body": "body"}[objkind]][a[objkind]]
+    # actuator sensors report one value per force output: dim 3 on an SO3
+    # actuator's 3-wide output block (engine_sensor.c:653)
+    if objkind == "actuator" and el.kind in ("actuatorpos", "actuatorvel",
+                                             "actuatorfrc"):
+      if self.act_list[objid]["gain"] == 4:
+        dim = 3
     self.names["sensor"][name] = len(self.sensor_list)
     self.sensor_list.append(dict(
         name=name, type=stype, datatype=0, needstage=needstage,
@@ -418,9 +479,20 @@ def _compile_keyframes(self):
         qpos=_f(a, "qpos", self.qpos0, self.nq),
         qvel=_f(a, "qvel", [0] * self.nv, self.nv),
         act=_f(a, "act", [0] * self.na, self.na),
-        ctrl=_f(a, "ctrl", [0] * len(self.act_list), len(self.act_list)),
+        # ctrl block size = total controls (SO3 blocks are 3-4 wide)
+        ctrl=_f(a, "ctrl", [0] * _nctrl(self.act_list),
+                _nctrl(self.act_list)),
         mpos=_f(a, "mpos", [0] * (3 * self.nmocap), 3 * self.nmocap),
         mquat=_f(a, "mquat", [1, 0, 0, 0] * self.nmocap, 4 * self.nmocap)))
+
+
+def _nctrl(act_list) -> int:
+  """Total control dimension: 1 per actuator, 3 (expmap) / 4 (quat) for
+  SO3 blocks (mjmodel.h nu vs nactuator)."""
+  n = 0
+  for x in act_list:
+    n += (4 if x.get("ctrlspec", 0) == 2 else 3) if x["gain"] == 4 else 1
+  return n
 
 
 def _emit(self) -> CompiledModel:
@@ -846,6 +918,8 @@ def _emit(self) -> CompiledModel:
   m.actuator_cranklength = np.array([x["cranklength"] for x in al])
   m.actuator_lengthrange = (np.stack([x["lengthrange"] for x in al])
                             if nu else np.zeros((0, 2)))
+  m.actuator_ctrlspec = np.array([x.get("ctrlspec", 0) for x in al],
+                                 dtype=np.int32)
   m.actuator_acc0 = np.zeros(nu)
 
   # ----- sensors

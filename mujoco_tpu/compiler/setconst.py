@@ -101,11 +101,31 @@ def set_const(cm) -> None:
     cm.tendon_invweight0 = np.array(
         [tj[t] @ minv(tj[t]) for t in range(cm.ntendon)])
 
-  # actuator_acc0 (engine_setconst.c:1037-1044)
+  # actuator_acc0 (engine_setconst.c:1037-1044); multi-output (SO3) blocks
+  # use the first output row (outadr), matching the reference's oadr indexing
   if cm.nu:
     mom = np.asarray(d.actuator_moment)
+    oadr = np.asarray(m.actuator_outadr)
     cm.actuator_acc0 = np.array(
-        [np.linalg.norm(minv(mom[i])) for i in range(cm.nu)])
+        [np.linalg.norm(minv(mom[oadr[i]])) for i in range(cm.nu)])
+    # dampratio resolution (engine_setconst.c:1135-1178): for position-like
+    # actuators (gainprm[0] == -biasprm[1], incl. SO3 servos; PID
+    # single-sources kp), biasprm[2] > 0 is a damping RATIO — convert to
+    # -damping via the reflected inertia of the transmission
+    dof_m0 = np.diag(qM)
+    for i in range(cm.nu):
+      gp, bp = cm.actuator_gainprm[i], cm.actuator_biasprm[i]
+      is_pid = cm.actuator_gaintype[i] == 5
+      if not is_pid and gp[0] != -bp[1]:
+        continue
+      if bp[2] <= 0:
+        continue
+      row = mom[oadr[i]]
+      trn2 = row * row
+      mass = float(np.sum(np.where(trn2 > 1e-15, dof_m0 / np.maximum(
+          trn2, 1e-15), 0.0)))
+      kp = -bp[1] if is_pid else gp[0]
+      bp[2] = -bp[2] * 2 * np.sqrt(max(kp * mass, 0.0))
     # muscle lengthrange via the reference's mini-simulation
     # (mj_setLengthRange + evalAct, engine_setconst.c: default mjLROpt —
     # accel 20, timeconst 1, timestep 0.01, inttotal 10, interval 2):
@@ -294,14 +314,15 @@ def _length_range_sim(cm, index: int):
                                   disableflags=disable))
   decay = float(np.exp(-dt / max(0.01, timeconst)))
   nstep = int(round(inttotal / dt))
+  out = int(m.actuator_outadr[index])  # output row (evalAct uses oadr)
 
   def body(carry, _):
     d, lmin, lmax, sign = carry
     d = d.replace(qvel=d.qvel * decay)
     d = forward.fwd_position(m, d)
     d = forward.fwd_velocity(m, d)
-    length = d.actuator_length[index]
-    moment = d.actuator_moment[index]
+    length = d.actuator_length[out]
+    moment = d.actuator_moment[out]
     from mujoco_tpu.ops import linalg_tpu
     acc = linalg_tpu.spd_solve(d.qM, moment)
     nrm = jnp.maximum(jnp.linalg.norm(acc), 1e-15)

@@ -574,8 +574,6 @@ def _contact_meta(mjm: Any) -> ContactMeta:
         condim = int(mjm.geom_condim[g] if p1 > p2 else mjm.flex_condim[f])
       else:
         condim = int(max(mjm.geom_condim[g], mjm.flex_condim[f]))
-      if condim > 3:
-        raise NotImplementedError("flex contacts with condim > 3")
       fp_geom.append(g)
       fp_flex.append(f)
       fp_adr.append(len(slot_g1))
@@ -1169,9 +1167,9 @@ def _actuator_meta(mjm: Any):
       raise NotImplementedError(
           f"actuator {i}: USER dyn/gain/bias requires "
           "plugin.set_actuator_callbacks before put_model")
-    if gaintype[i] == GainType.SO3 or biastype[i] == BiasType.SO3:
-      raise NotImplementedError(
-          f"actuator {i}: SO3 geodesic servo not implemented yet")
+    if (gaintype[i] == GainType.SO3) != (biastype[i] == BiasType.SO3):
+      raise ValueError(
+          f"actuator {i}: gaintype and biastype must both be 'so3'")
 
   dynprm = np.asarray(mjm.actuator_dynprm, dtype=np.float64)
   gainprm = np.asarray(mjm.actuator_gainprm, dtype=np.float64)
@@ -1226,7 +1224,57 @@ def _actuator_meta(mjm: Any):
 
   group = np.array(getattr(mjm, "actuator_group", np.zeros(nu)),
                    dtype=np.int32)
-  return dyntype, gaintype, biastype, slots, wrapprd, group
+
+  # ----- SO3 ctrl/output block layout (mjmodel.h:787-791): ctrlnum = 4 for
+  # the quat chart, 3 for expmap/integrator; outnum = 3 (mjTRN_SO3 rows).
+  # Non-SO3 actuators have 1-wide blocks, so for SO3-free models the tables
+  # are identity and nctrl == nout == nu.
+  from mujoco_tpu.models.types import CtrlChart
+  ctrlspec = np.array(getattr(mjm, "actuator_ctrlspec", np.zeros(nu)),
+                      dtype=np.int32)
+  ctrlnum = np.ones((nu,), dtype=np.int32)
+  outnum = np.ones((nu,), dtype=np.int32)
+  for i in range(nu):
+    if gaintype[i] != GainType.SO3:
+      continue
+    # validation mirrors user_objects.cc:7118-7182
+    if dyntype[i] not in (DynType.NONE, DynType.INTEGRATOR):
+      raise ValueError(f"actuator {i}: so3 requires dyntype none/integrator")
+    if gainprm[i, 0] != -biasprm[i, 1]:
+      raise ValueError(f"actuator {i}: so3 requires gainprm[0] == -biasprm[1]")
+    trn = int(trntype[i])
+    if trn == int(TrnType.SO3):
+      pass  # already resolved (native compiler emits TRN_SO3 directly)
+    elif trn == int(TrnType.SITE):
+      if int(mjm.actuator_trnid[i, 1]) < 0:
+        raise ValueError(f"actuator {i}: so3 site transmission needs refsite")
+    elif trn in (int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
+      if int(mjm.jnt_type[mjm.actuator_trnid[i, 0]]) != 1:  # mjJNT_BALL
+        raise ValueError(f"actuator {i}: so3 joint transmission needs a "
+                         "ball joint")
+    else:
+      raise ValueError(f"actuator {i}: so3 requires site or ball joint "
+                       "transmission")
+    # resolve the transmission to mjTRN_SO3 (user_model.cc:4057)
+    trntype = trntype.copy()
+    trntype[i] = int(TrnType.SO3)
+    if ctrlspec[i] == 0:
+      ctrlspec[i] = int(CtrlChart.EXPMAP)
+    if dyntype[i] == DynType.INTEGRATOR:
+      if int(mjm.actuator_actnum[i]) != 3:
+        raise ValueError(f"actuator {i}: so3 integrator requires actdim 3")
+      if ctrlspec[i] == int(CtrlChart.QUAT):
+        raise ValueError(f"actuator {i}: so3 quat input requires dyntype "
+                         "none")
+    ctrlnum[i] = 4 if ctrlspec[i] == int(CtrlChart.QUAT) else 3
+    outnum[i] = 3
+  ctrladr = (np.concatenate([[0], np.cumsum(ctrlnum)[:-1]])
+             if nu else np.zeros((0,))).astype(np.int32)
+  outadr = (np.concatenate([[0], np.cumsum(outnum)[:-1]])
+            if nu else np.zeros((0,))).astype(np.int32)
+  blocks = (ctrladr, ctrlnum, outadr, outnum, ctrlspec,
+            trntype.astype(np.int32))
+  return dyntype, gaintype, biastype, slots, wrapprd, group, blocks
 
 
 def put_model(mjm: Any, dtype=None) -> Model:
@@ -1246,7 +1294,9 @@ def put_model(mjm: Any, dtype=None) -> Model:
   con = _contact_meta(mjm)
   efc = _efc_meta(mjm, con, int(mjm.opt.cone))
   (act_dyntype, act_gaintype, act_biastype, act_slots, act_wrapprd,
-   act_group) = _actuator_meta(mjm)
+   act_group, act_blocks) = _actuator_meta(mjm)
+  (act_ctrladr, act_ctrlnum, act_outadr, act_outnum, act_ctrlspec,
+   act_trntype) = act_blocks
   flx = _flex_meta(mjm)
   if (np.asarray(flx.interp) >= 1).any() and \
       (int(mjm.opt.enableflags) & int(EnableBit.SLEEP)):
@@ -1406,7 +1456,14 @@ def put_model(mjm: Any, dtype=None) -> Model:
       wrap_type=si(mjm.wrap_type), wrap_objid=si(mjm.wrap_objid),
       wrap_sideid=np.round(np.asarray(mjm.wrap_prm)).astype(np.int32),
       wrap_prm=jx(mjm.wrap_prm),
-      actuator_trntype=si(mjm.actuator_trntype),
+      actuator_trntype=act_trntype,
+      nctrl=int(act_ctrlnum.sum()),
+      nout=int(act_outnum.sum()),
+      actuator_ctrladr=act_ctrladr,
+      actuator_ctrlnum=act_ctrlnum,
+      actuator_outadr=act_outadr,
+      actuator_outnum=act_outnum,
+      actuator_ctrlspec=act_ctrlspec,
       actuator_dyntype=act_dyntype,
       actuator_gaintype=act_gaintype,
       actuator_biastype=act_biastype,
@@ -1538,6 +1595,18 @@ def _opt_f(mjm, name, shape):
   return np.asarray(v, dtype=np.float64).reshape(shape)
 
 
+def _neutral_ctrl(m: Model, dtype):
+  """Neutral controls: zeros, except SO3 quat-chart blocks whose leading
+  component is 1 = identity orientation (mj_resetData, engine_io.c:1646)."""
+  from mujoco_tpu.models.types import CtrlChart, GainType
+  ctrl = np.zeros((m.nctrl,))
+  for i in range(m.nu):
+    if (int(m.actuator_gaintype[i]) == int(GainType.SO3)
+        and int(m.actuator_ctrlspec[i]) == int(CtrlChart.QUAT)):
+      ctrl[int(m.actuator_ctrladr[i])] = 1.0
+  return jnp.asarray(ctrl, dtype=dtype)
+
+
 def _mocap_init(m: Model, dtype):
   """(mocap_pos, mocap_quat) at the mocap bodies' model poses, ordered by
   mocapid (mj_resetData's mocap initialization). Static index table +
@@ -1587,7 +1656,7 @@ def make_data(m: Model, dtype=None) -> Data:
 
   return Data(
       time=z(), qpos=jnp.array(m.qpos0, dtype=dtype), qvel=z(nv),
-      act=z(m.na), ctrl=z(m.nu), qfrc_applied=z(nv),
+      act=z(m.na), ctrl=_neutral_ctrl(m, dtype), qfrc_applied=z(nv),
       xfrc_applied=z(nb, 6),
       eq_active=jnp.asarray(m.eq_active0),
       # mocap bodies start at their model pose (mj_resetData,
@@ -1610,13 +1679,13 @@ def make_data(m: Model, dtype=None) -> Data:
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
       flexvert_xpos=z(m.flx.nvert, 3), flexedge_length=z(m.flx.nedge),
       flexedge_velocity=z(m.flx.nedge), flexedge_J=z(m.flx.nedge, nv),
-      actuator_length=z(m.nu), actuator_moment=z(m.nu, nv),
+      actuator_length=z(m.nout), actuator_moment=z(m.nout, nv),
       contact=contact,
       cvel=z(nb, 6), cdof_dot=z(nv, 6), qfrc_bias=z(nv),
-      ten_velocity=z(m.ntendon), actuator_velocity=z(m.nu),
+      ten_velocity=z(m.ntendon), actuator_velocity=z(m.nout),
       qfrc_spring=z(nv), qfrc_damper=z(nv), qfrc_gravcomp=z(nv),
       qfrc_fluid=z(nv), qfrc_passive=z(nv),
-      act_dot=z(m.na), actuator_force=z(m.nu), qfrc_actuator=z(nv),
+      act_dot=z(m.na), actuator_force=z(m.nout), qfrc_actuator=z(nv),
       qfrc_smooth=z(nv), qacc_smooth=z(nv),
       efc_J=z(nefc, nv), efc_pos=z(nefc), efc_margin=z(nefc),
       efc_D=z(nefc), efc_R=z(nefc), efc_aref=z(nefc),

@@ -85,6 +85,13 @@ class TrnType(enum.IntEnum):
   TENDON = 3
   SITE = 4
   BODY = 5
+  SO3 = 6
+
+
+class CtrlChart(enum.IntEnum):
+  """mjtCtrlChart (mjtype.h:276-279): SO3 input signature."""
+  EXPMAP = 1
+  QUAT = 2
 
 
 class DynType(enum.IntEnum):
@@ -649,6 +656,21 @@ class Model:
   wrap_prm: jax.Array = field()
 
   # ----- actuators
+  # Multi-input/output block layout (reference v3.11 nactuator/nu/nout split,
+  # mjmodel.h:787-791): here `nu` stays the NUMBER OF ACTUATORS (the
+  # reference's nactuator); nctrl/nout are the total ctrl / force-output dims
+  # (== nu when the model has no SO3 actuators, so all legacy per-actuator
+  # indexing stays valid). SO3 geodesic servos own 3-4 ctrl inputs and 3
+  # force outputs (mjTRN_SO3, engine_core_smooth.c:1482).
+  nctrl: int = static_field()
+  nout: int = static_field()
+  actuator_ctrladr: np.ndarray = static_field()
+  actuator_ctrlnum: np.ndarray = static_field()
+  actuator_outadr: np.ndarray = static_field()
+  actuator_outnum: np.ndarray = static_field()
+  # input signature (mjtCtrlChart, mjtype.h:276): 0 default, 1 expmap (3
+  # controls), 2 quat (4 controls) — scoped by gaintype
+  actuator_ctrlspec: np.ndarray = static_field()
   actuator_trntype: np.ndarray = static_field()
   actuator_dyntype: np.ndarray = static_field()
   actuator_gaintype: np.ndarray = static_field()

@@ -2,8 +2,15 @@
 
 Counterpart of mj_fwdActuation (/root/reference/src/engine/engine_forward.c:351).
 Dynamics types NONE/INTEGRATOR/FILTER/FILTEREXACT/MUSCLE/DCMOTOR/PID and
-gain/bias FIXED/AFFINE/MUSCLE/DCMOTOR/PID are implemented; USER callbacks and
-the SO3 geodesic servo are rejected at put_model (models/io.py:_actuator_meta).
+gain/bias FIXED/AFFINE/MUSCLE/DCMOTOR/PID/SO3 are implemented; USER callbacks
+route to registered pure-JAX plugins (models/io.py:_actuator_meta).
+
+SO3 geodesic servo (engine_forward.c:636-679): 3-4 control inputs (expmap or
+quat chart, actuator_ctrlspec) and 3 force outputs on an mjTRN_SO3
+transmission; force = kp·log(q_cur⁻¹ q_tgt) + const + kv·ω in the child
+frame, with the torque NORM clamped by forcerange (engine_forward.c:926-931).
+Output/ctrl block addressing uses the static actuator_ctrladr/outadr tables
+(mjmodel.h:787-791; Model keeps nu = the reference's nactuator).
 
 DC motor (engine_forward.c:487-583, :715-747, :844-854, :943-977): electrical
 current ODE, PI(D) voltage controller with anti-windup, thermal resistance
@@ -87,12 +94,19 @@ def _ctrl_and_actdot(m: Model, d: Data):
     from mujoco_tpu.ops import history as hist
     for i in range(m.nu):
       if float(m.actuator_delay[i]) and int(m.actuator_history[i, 0]) > 0:
-        ctrl = ctrl.at[i].set(hist.read_ctrl(m, d, i, d.time))
+        if int(m.actuator_ctrlnum[i]) != 1:
+          raise NotImplementedError(
+              f"actuator {i}: ctrl delay on a multi-input (SO3) block")
+        ctrl = ctrl.at[int(m.actuator_ctrladr[i])].set(
+            hist.read_ctrl(m, d, i, d.time))
   if not m.disabled(DisableBit.CLAMPCTRL):
-    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
-    clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
-                       m.actuator_ctrlrange[:, 1])
-    ctrl = jnp.where(limited, clamped, ctrl)
+    # per-CONTROL clamp: each actuator's range applies to every control in
+    # its block (clampVec, engine_forward.c:390; quat/expmap blocks
+    # replicate the range, XMLreference actuator-orientation-ctrlrange)
+    ctrl_actid = np.repeat(np.arange(m.nu), np.asarray(m.actuator_ctrlnum))
+    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool)[ctrl_actid])
+    rng = m.actuator_ctrlrange[ctrl_actid]
+    ctrl = jnp.where(limited, jnp.clip(ctrl, rng[:, 0], rng[:, 1]), ctrl)
   # bad-ctrl guard: any NaN/huge control zeroes all controls
   # (mjWARN_BADCTRL, engine_forward.c:393-400)
   if m.nu:
@@ -106,13 +120,21 @@ def _ctrl_and_actdot(m: Model, d: Data):
     dyn = int(m.actuator_dyntype[i])
     if num == 0 and dyn != DynType.PID:
       continue
-    ci = ctrl[i]
-    length = d.actuator_length[i]
-    velocity = d.actuator_velocity[i]
+    uadr = int(m.actuator_ctrladr[i])
+    oadr = int(m.actuator_outadr[i])
+    ci = ctrl[uadr]
+    length = d.actuator_length[oadr]
+    velocity = d.actuator_velocity[oadr]
     dynprm = m.actuator_dynprm[i]
     gainprm = m.actuator_gainprm[i]
 
     if dyn == DynType.INTEGRATOR:
+      if int(m.actuator_gaintype[i]) == GainType.SO3:
+        # SO3 integrator: the whole 3-wide expmap rate block
+        out = out.at[adr0:adr0 + 3].set(ctrl[uadr:uadr + 3])
+        if disabled[i]:
+          out = out.at[adr0:adr0 + 3].set(0.0)
+        continue
       out = out.at[adr0 + num - 1].set(ci)
     elif dyn in (DynType.FILTER, DynType.FILTEREXACT):
       tau = jnp.maximum(dynprm[0], mjm.MINVAL)
@@ -198,7 +220,7 @@ def _ctrl_and_actdot(m: Model, d: Data):
 
     if disabled[i] and num:
       out = out.at[adr0:adr0 + num].set(0.0)
-    ctrl = ctrl.at[i].set(ci)
+    ctrl = ctrl.at[uadr].set(ci)
   return ctrl, out
 
 
@@ -217,7 +239,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
   zero_v = jnp.zeros((m.nv,), dtype=dtype)
   if m.nu == 0 or m.disabled(DisableBit.ACTUATION):
     return d.replace(act_dot=jnp.zeros((m.na,), dtype=dtype),
-                     actuator_force=jnp.zeros((m.nu,), dtype=dtype),
+                     actuator_force=jnp.zeros((m.nout,), dtype=dtype),
                      qfrc_actuator=zero_v)
 
   h = m.opt.timestep
@@ -237,16 +259,42 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     gt = int(m.actuator_gaintype[i])
     bt = int(m.actuator_biastype[i])
     adr0, num = int(m.actuator_actadr[i]), int(m.actuator_actnum[i])
+    uadr = int(m.actuator_ctrladr[i])
+    oadr = int(m.actuator_outadr[i])
+    onum = int(m.actuator_outnum[i])
     gainprm = m.actuator_gainprm[i]
     biasprm = m.actuator_biasprm[i]
     dynprm = m.actuator_dynprm[i]
     slots = m.actuator_slots[i]
-    ci = ctrl[i]
-    li, vi = length[i], velocity[i]
+    ci = ctrl[uadr]
+    li, vi = length[oadr], velocity[oadr]
     period = float(m.actuator_wrapprd[i])
 
     if disabled[i]:
-      forces.append(jnp.zeros((), dtype=dtype))
+      forces.extend([jnp.zeros((), dtype=dtype)] * onum)
+      continue
+
+    # ----- SO(3) geodesic servo: 3-4 inputs, 3 outputs
+    # (engine_forward.c:636-679): force = kp·log(q_cur⁻¹ q_tgt) + const
+    # + kv·velocity, all in the child (joint/site) frame
+    if gt == GainType.SO3:
+      from mujoco_tpu.models.types import CtrlChart
+      if int(m.actuator_ctrlspec[i]) == int(CtrlChart.QUAT):
+        q_tgt = mjm.normalize(ctrl[uadr:uadr + 4])
+      else:
+        if dyn == DynType.NONE:
+          u = ctrl[uadr:uadr + 3]
+        elif m.actuator_actearly[i]:
+          from mujoco_tpu.ops import forward as fwd_mod
+          u = fwd_mod.next_activation(m, d, adot)[adr0:adr0 + 3]
+        else:
+          u = d.act[adr0:adr0 + 3]
+        q_tgt = mjm.expmap_to_quat(u)
+      q_cur = mjm.expmap_to_quat(d.actuator_length[oadr:oadr + 3])
+      e = mjm.quat_sub(q_tgt, q_cur)
+      f3 = (gainprm[0] * e + biasprm[0]
+            + biasprm[2] * d.actuator_velocity[oadr:oadr + 3])
+      forces.extend([f3[k] for k in range(3)])
       continue
 
     # ----- gain (engine_forward.c:693-759)
@@ -327,26 +375,40 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 
   force = jnp.stack(forces) if forces else jnp.zeros((0,), dtype=dtype)
 
-  # clamp force (engine_forward.c:918-941)
-  flimited = jnp.asarray(m.actuator_forcelimited.astype(bool))
+  # clamp force (engine_forward.c:918-941): elementwise per output, except
+  # SO3 blocks whose torque NORM is clamped preserving direction
+  out_actid = np.repeat(np.arange(m.nu), np.asarray(m.actuator_outnum))
+  so3_out = np.asarray(m.actuator_gaintype)[out_actid] == int(GainType.SO3)
+  flimited = m.actuator_forcelimited.astype(bool)[out_actid]
   force = jnp.where(
-      flimited,
-      jnp.clip(force, m.actuator_forcerange[:, 0],
-               m.actuator_forcerange[:, 1]), force)
+      jnp.asarray(flimited & ~so3_out),
+      jnp.clip(force, m.actuator_forcerange[out_actid, 0],
+               m.actuator_forcerange[out_actid, 1]), force)
+  for i in range(m.nu):
+    if int(m.actuator_gaintype[i]) != GainType.SO3 or \
+       not m.actuator_forcelimited[i]:
+      continue
+    oadr = int(m.actuator_outadr[i])
+    f3 = force[oadr:oadr + 3]
+    norm = mjm.norm_safe(f3)
+    hi = m.actuator_forcerange[i, 1]
+    scale = jnp.where(norm > hi, hi / jnp.maximum(norm, mjm.MINVAL), 1.0)
+    force = force.at[oadr:oadr + 3].set(f3 * scale)
 
   # DC motor mechanical forces, not subject to force limits
   # (engine_forward.c:943-977): cogging torque + LuGre friction
   for i in range(m.nu):
     if int(m.actuator_biastype[i]) != BiasType.DCMOTOR or disabled[i]:
       continue
+    oadr = int(m.actuator_outadr[i])
     biasprm = m.actuator_biasprm[i]
     dynprm = m.actuator_dynprm[i]
-    add = biasprm[0] * jnp.sin(biasprm[1] * length[i] + biasprm[2])
+    add = biasprm[0] * jnp.sin(biasprm[1] * length[oadr] + biasprm[2])
     brist_s = int(m.actuator_slots[i, 3])
     if brist_s >= 0:
       adr = int(m.actuator_actadr[i]) + brist_s
       add = add - (dynprm[5] * d.act[adr] + dynprm[6] * adot[adr])
-    force = force.at[i].add(add)
+    force = force.at[oadr].add(add)
 
   qfrc = d.actuator_moment.T @ force
 

@@ -34,9 +34,13 @@ def actuator_vel(m: Model, d: Data):
 
   coefs = []
   for i in range(m.nu):
+    oadr = int(m.actuator_outadr[i])
+    onum = int(m.actuator_outnum[i])
     gain_vel = jnp.zeros((), dtype=dtype)
     bias_vel = jnp.zeros((), dtype=dtype)
-    if int(m.actuator_biastype[i]) == int(BiasType.AFFINE):
+    if int(m.actuator_biastype[i]) in (int(BiasType.AFFINE),
+                                       int(BiasType.SO3)):
+      # SO3 kv term applies to each output row (engine_derivative.c:2399)
       bias_vel = m.actuator_biasprm[i, 2]
     elif int(m.actuator_biastype[i]) == int(BiasType.DCMOTOR):
       # back-EMF of a stateless DC motor (engine_derivative.c:2405)
@@ -70,9 +74,9 @@ def actuator_vel(m: Model, d: Data):
       lr = m.actuator_lengthrange[i]
       lmin, lmax, vmax, fvmax = prm[4], prm[5], prm[6], prm[8]
       force = muscle_mod._force(prm, m.actuator_acc0[i])
-      l, l0 = muscle_mod._norm_length(d.actuator_length[i], lr, prm)
+      l, l0 = muscle_mod._norm_length(d.actuator_length[oadr], lr, prm)
       denom = jnp.maximum(mjm.MINVAL, l0 * vmax)
-      v = d.actuator_velocity[i] / denom
+      v = d.actuator_velocity[oadr] / denom
       fl = muscle_mod.gain_length(l, lmin, lmax)
       y = fvmax - 1
       dfv = jnp.where(
@@ -84,7 +88,7 @@ def actuator_vel(m: Model, d: Data):
       gain_vel = -force * fl * dfv / denom
     # input: ctrl for stateless, last activation otherwise
     if int(m.actuator_actnum[i]) == 0:
-      inp = d.ctrl[i]
+      inp = d.ctrl[int(m.actuator_ctrladr[i])]
       if m.actuator_ctrllimited[i] and not m.disabled(DisableBit.CLAMPCTRL):
         inp = jnp.clip(inp, m.actuator_ctrlrange[i, 0],
                        m.actuator_ctrlrange[i, 1])
@@ -99,11 +103,16 @@ def actuator_vel(m: Model, d: Data):
     coef = bias_vel + gain_vel * inp
     # force clamped at the boundary: derivative is zero
     if m.actuator_forcelimited[i]:
-      f = d.actuator_force[i]
-      clamped = (f <= m.actuator_forcerange[i, 0]) | (
-          f >= m.actuator_forcerange[i, 1])
+      if int(m.actuator_gaintype[i]) == int(GainType.SO3):
+        # SO3: norm-clamp saturation (engine_derivative.c:2378)
+        clamped = (mjm.norm_safe(d.actuator_force[oadr:oadr + 3])
+                   >= m.actuator_forcerange[i, 1])
+      else:
+        f = d.actuator_force[oadr]
+        clamped = (f <= m.actuator_forcerange[i, 0]) | (
+            f >= m.actuator_forcerange[i, 1])
       coef = jnp.where(clamped, 0.0, coef)
-    coefs.append(coef)
+    coefs.extend([coef] * onum)
 
   coef = jnp.stack(coefs)
   return d.actuator_moment.T @ (coef[:, None] * d.actuator_moment)

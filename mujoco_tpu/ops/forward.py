@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_tpu.models.types import (Data, DisableBit, DynType, EnableBit,
-                                     Integrator, JointType, Model)
+                                     GainType, Integrator, JointType, Model)
 from mujoco_tpu.ops import actuation, passive as passive_mod, smooth, support
 from mujoco_tpu.utils import math as mjm
 
@@ -296,7 +296,7 @@ def next_activation(m: Model, d: Data, act_dot):
         # LuGre bristle: exact ZOH (engine_support.c:732)
         from mujoco_tpu.ops import actuation as act_mod
         biasprm = m.actuator_biasprm[i]
-        vel = d.actuator_velocity[i]
+        vel = d.actuator_velocity[int(m.actuator_outadr[i])]
         g = act_mod._lugre_stribeck(vel, biasprm[3], biasprm[4], biasprm[5])
         a_rate = -dynprm[5] * jnp.abs(vel) / jnp.maximum(mjm.MINVAL, g)
         exp_ah = jnp.exp(a_rate * h)
@@ -331,7 +331,7 @@ def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
     from mujoco_tpu.ops import sleep as sleep_mod
     d, qacc = sleep_mod.sleep_step(m, d, qacc)
   # rotational INTEGRATOR servo setpoints: re-anchor to the representative
-  # nearest the transmission length (engine_forward.c:1330-1340)
+  # nearest the transmission length (engine_forward.c:1330-1353)
   for i in range(m.nu):
     if int(m.actuator_dyntype[i]) != DynType.INTEGRATOR:
       continue
@@ -340,7 +340,20 @@ def _advance(m: Model, d: Data, act_dot, qacc, qvel_pos=None) -> Data:
       adr = int(m.actuator_actadr[i]) + int(m.actuator_actnum[i]) - 1
       from mujoco_tpu.ops import actuation as act_mod
       act = act.at[adr].set(
-          act_mod._wrap_setpoint(act[adr], d.actuator_length[i], period))
+          act_mod._wrap_setpoint(
+              act[adr], d.actuator_length[int(m.actuator_outadr[i])],
+              period))
+    elif int(m.actuator_gaintype[i]) == int(GainType.SO3):
+      # SO3 integrator: re-anchor the expmap setpoint to the canonical
+      # (|u| <= pi) representative (engine_forward.c:1342-1352)
+      adr = int(m.actuator_actadr[i])
+      u = act[adr:adr + 3]
+      angle = mjm.norm_safe(u)
+      scale = jnp.where(
+          angle > jnp.pi,
+          (angle - 2 * jnp.pi * jnp.round(angle / (2 * jnp.pi))) / angle,
+          1.0)
+      act = act.at[adr:adr + 3].set(u * scale)
   qvel = d.qvel + m.opt.timestep * qacc
   qpos = integrate_pos(m, d.qpos, qvel_pos if qvel_pos is not None else qvel,
                        m.opt.timestep)
@@ -363,7 +376,8 @@ def _advance_history(m: Model, d: Data) -> Data:
     n = int(m.actuator_history[i, 0])
     if n > 0:
       adr = int(m.actuator_historyadr[i])
-      buf = hist.insert(buf, adr, n, 1, t, d.ctrl[i][None])
+      buf = hist.insert(buf, adr, n, 1, t,
+                        d.ctrl[int(m.actuator_ctrladr[i])][None])
 
   need_raw = any(
       int(m.sensor_history[i, 0]) > 0 and float(m.sensor_delay[i]) > 0

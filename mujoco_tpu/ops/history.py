@@ -158,7 +158,7 @@ def read_ctrl(m, d, i: int, t, interp: int = -1):
   history buffer."""
   n = int(m.actuator_history[i, 0])
   if n <= 0:
-    return d.ctrl[i]
+    return d.ctrl[int(m.actuator_ctrladr[i])]
   if interp < 0:
     interp = int(m.actuator_history[i, 1])
   adr = int(m.actuator_historyadr[i])

@@ -678,7 +678,12 @@ def sensor_pos(m: Model, d: Data, history_adjust: bool = True) -> Data:
     elif t == ST.TENDONPOS:
       val = d.ten_length[objid]
     elif t == ST.ACTUATORPOS:
-      val = d.actuator_length[objid]
+      # one value per force output (engine_sensor.c:653): scalar for SISO
+      # actuators, the 3-wide block for SO3
+      oadr = int(m.actuator_outadr[objid])
+      onum = int(m.actuator_outnum[objid])
+      val = d.actuator_length[oadr] if onum == 1 else \
+          d.actuator_length[oadr:oadr + onum]
     elif t == ST.BALLQUAT:
       val = mjm.normalize(
           jax.lax.dynamic_slice(d.qpos, (int(m.jnt_qposadr[objid]),), (4,)))
@@ -795,7 +800,10 @@ def sensor_vel(m: Model, d: Data, history_adjust: bool = True) -> Data:
     elif t == ST.TENDONVEL:
       val = d.ten_velocity[objid]
     elif t == ST.ACTUATORVEL:
-      val = d.actuator_velocity[objid]
+      oadr = int(m.actuator_outadr[objid])
+      onum = int(m.actuator_outnum[objid])
+      val = d.actuator_velocity[oadr] if onum == 1 else \
+          d.actuator_velocity[oadr:oadr + onum]
     elif t == ST.BALLANGVEL:
       val = jax.lax.dynamic_slice(d.qvel, (int(m.jnt_dofadr[objid]),), (3,))
     elif t in (ST.JOINTLIMITVEL, ST.TENDONLIMITVEL):
@@ -874,7 +882,10 @@ def sensor_acc(m: Model, d: Data, history_adjust: bool = True) -> Data:
                                 d.site_xmat[objid])
       val = w[3:] if t == ST.FORCE else w[:3]
     elif t == ST.ACTUATORFRC:
-      val = d.actuator_force[objid]
+      oadr = int(m.actuator_outadr[objid])
+      onum = int(m.actuator_outnum[objid])
+      val = d.actuator_force[oadr] if onum == 1 else \
+          d.actuator_force[oadr:oadr + onum]
     elif t == ST.JOINTACTFRC:
       val = d.qfrc_actuator[m.jnt_dofadr[objid]]
     elif t == ST.TENDONACTFRC:
@@ -883,7 +894,7 @@ def sensor_acc(m: Model, d: Data, history_adjust: bool = True) -> Data:
       for a_ in range(m.nu):
         if (int(m.actuator_trntype[a_]) == int(TrnType.TENDON)
             and int(m.actuator_trnid[a_, 0]) == objid):
-          val = val + d.actuator_force[a_]
+          val = val + d.actuator_force[int(m.actuator_outadr[a_])]
     elif t in (ST.JOINTLIMITFRC, ST.TENDONLIMITFRC):
       arr = m.efc.limit_ten if t == ST.TENDONLIMITFRC else m.efc.limit_jnt
       all_rows = np.nonzero(arr == objid)[0] + m.efc.ne + m.efc.nf

@@ -431,6 +431,31 @@ def tendon(m: Model, d: Data) -> Data:
   return d.replace(ten_length=jnp.stack(lengths), ten_J=jnp.stack(rows))
 
 
+def _ancestor_chain_mask(m: Model, bodyid: int, refbody: int) -> np.ndarray:
+  """Static dof mask clearing the common-ancestor parental chain of two
+  bodies (engine_core_smooth.c:1600-1627). 1 = keep column, 0 = clear."""
+  b0 = int(m.body_weldid[bodyid])
+  b1 = int(m.body_weldid[refbody])
+  da0 = int(m.body_dofadr[b0] + m.body_dofnum[b0] - 1)
+  da1 = int(m.body_dofadr[b1] + m.body_dofnum[b1] - 1)
+  common = -1
+  if da0 >= 0 and da1 >= 0:
+    a, b = da0, da1
+    while a != b and a >= 0 and b >= 0:
+      if a < b:
+        b = int(m.dof_parentid[b])
+      else:
+        a = int(m.dof_parentid[a])
+    if a == b and a >= 0:
+      common = a
+  chain_mask = np.ones(m.nv, dtype=bool)
+  da = common
+  while da >= 0:
+    chain_mask[da] = False
+    da = int(m.dof_parentid[da])
+  return chain_mask
+
+
 def transmission(m: Model, d: Data) -> Data:
   """Actuator lengths and moment arms (mj_transmission,
   engine_core_smooth.c): JOINT/JOINTINPARENT for all 4 joint types, TENDON,
@@ -510,6 +535,41 @@ def transmission(m: Model, d: Data) -> Data:
       jac_v = jacp_site - jacp_s
       length = leng * gear[0]
       row = (dlda @ jac_a + dldv @ jac_v) * gear[0]
+    elif trn == TrnType.SO3:
+      # relative orientation: 3 lengths + 3 moment rows
+      # (mjTRN_SO3, engine_core_smooth.c:1482-1560)
+      refid = int(m.actuator_trnid[i, 1])
+      if refid == -1:
+        # ball joint: lengths = expmap of the joint quat, rows = identity
+        # at the joint dofs
+        qadr = int(m.jnt_qposadr[tid])
+        dadr = int(m.jnt_dofadr[tid])
+        quat = mjm.normalize(d.qpos[qadr:qadr + 4])
+        axis = mjm.quat_to_vel(quat)
+        for k in range(3):
+          lengths.append(axis[k])
+          rows.append(jnp.asarray(onehot(dadr + k), dtype=dtype))
+      else:
+        # site + refsite: lengths = relative expmap in the refsite frame,
+        # rows = site axes projected on the relative rotational Jacobian
+        # with the common-ancestor dof chain cleared
+        from mujoco_tpu.ops import support
+        sid = tid
+        bodyid = int(m.site_bodyid[sid])
+        refbody = int(m.site_bodyid[refid])
+        quat = mjm.mul_quat(m.site_quat[sid], d.xquat[bodyid])
+        refquat = mjm.mul_quat(m.site_quat[refid], d.xquat[refbody])
+        vec = mjm.quat_sub(quat, refquat)
+        _, jacr = support.jac(m, d, d.site_xpos[sid], bodyid)
+        _, jacr_r = support.jac(m, d, d.site_xpos[refid], refbody)
+        chain = jnp.asarray(_ancestor_chain_mask(m, bodyid, refbody),
+                            dtype=dtype)
+        jac_rel = (jacr - jacr_r) * chain[None, :]
+        for k in range(3):
+          lengths.append(vec[k])
+          # wrench = site axis k in the global frame (column k of site_xmat)
+          rows.append(d.site_xmat[sid][:, k] @ jac_rel)
+      continue
     elif trn == TrnType.SITE:
       from mujoco_tpu.ops import support
       sid = tid
@@ -523,26 +583,8 @@ def transmission(m: Model, d: Data) -> Data:
       else:
         refbody = int(m.site_bodyid[refid])
         # static common-ancestor dof chain (engine_core_smooth.c:1600-1627)
-        b0 = int(m.body_weldid[bodyid])
-        b1 = int(m.body_weldid[refbody])
-        da0 = int(m.body_dofadr[b0] + m.body_dofnum[b0] - 1)
-        da1 = int(m.body_dofadr[b1] + m.body_dofnum[b1] - 1)
-        common = -1
-        if da0 >= 0 and da1 >= 0:
-          a, b = da0, da1
-          while a != b and a >= 0 and b >= 0:
-            if a < b:
-              b = int(m.dof_parentid[b])
-            else:
-              a = int(m.dof_parentid[a])
-          if a == b and a >= 0:
-            common = a
-        chain_mask = np.ones(m.nv, dtype=bool)
-        da = common
-        while da >= 0:
-          chain_mask[da] = False
-          da = int(m.dof_parentid[da])
-        chain = jnp.asarray(chain_mask, dtype=dtype)
+        chain = jnp.asarray(_ancestor_chain_mask(m, bodyid, refbody),
+                            dtype=dtype)
 
         jacp_r, jacr_r = support.jac(m, d, d.site_xpos[refid], refbody)
         row = jnp.zeros((m.nv,), dtype=dtype)

@@ -49,7 +49,7 @@ _COMPONENTS = (
     (StateBit.ACT, "act", lambda m: m.na),
     (StateBit.HISTORY, "history", lambda m: m.nhistory),
     (StateBit.WARMSTART, "qacc_warmstart", lambda m: m.nv),
-    (StateBit.CTRL, "ctrl", lambda m: m.nu),
+    (StateBit.CTRL, "ctrl", lambda m: m.nctrl),
     (StateBit.QFRC_APPLIED, "qfrc_applied", lambda m: m.nv),
     (StateBit.XFRC_APPLIED, "xfrc_applied", lambda m: 6 * m.nbody),
     (StateBit.EQ_ACTIVE, "eq_active", lambda m: m.neq),

@@ -114,6 +114,17 @@ def quat_integrate(q, omega, dt):
   return normalize(mul_quat(q, dq))
 
 
+def expmap_to_quat(v):
+  """Exponential-map (axis-angle) 3-vector to quaternion (expmap2Quat,
+  engine_forward.c:281): zero maps to the identity."""
+  angle = norm_safe(v)
+  axis = normalize(v)
+  q = axis_angle_to_quat(axis, angle)
+  ident = jnp.concatenate([jnp.ones_like(angle)[..., None],
+                           jnp.zeros_like(v)], axis=-1)
+  return jnp.where(angle[..., None] < MINVAL, ident, q)
+
+
 def quat_to_vel(q):
   """Quaternion → 3D rotation-vector (log map), mirroring mju_quat2Vel with
   dt=1: axis · angle, angle wrapped to (−π, π]."""

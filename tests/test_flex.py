@@ -116,6 +116,38 @@ def test_flex_plane_drop():
                              err_msg="cloth-on-plane qpos drift")
 
 
+@pytest.mark.parametrize("condim", [4, 6])
+def test_flex_plane_condim_friction(condim):
+  """Flex contacts with torsional (condim 4) and rolling (condim 6)
+  friction: the weighted-body rotational Jacobian rows
+  (engine_core_constraint.c:1611,1747-1756). 500-step trajectory parity."""
+  xml = f"""
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="2 2 .1" condim="{condim}" friction="1 .08 .02"/>
+    <flexcomp name="cloth" type="grid" count="5 5 1" spacing="0.1 0.1 0.1"
+              pos="0 0 0.3" euler="12 7 0" radius="0.01" mass="0.5">
+      <contact condim="{condim}" friction="1 .08 .02"
+               solimp="0.9 0.95 0.001" solref="0.02 1"/>
+      <edge equality="true" solref="0.004 1"/>
+    </flexcomp>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  maxcon = 0
+  for _ in range(500):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    maxcon = max(maxcon, mjd.ncon)
+  assert maxcon >= 10, maxcon
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9,
+                             err_msg=f"flex condim={condim} qpos drift")
+
+
 def test_flex_cable_edge_springs():
   """Dim-1 cable with edge stiffness/damping (no equality): flex edge
   spring-damper passive forces."""
