@@ -27,5 +27,6 @@ from mujoco_tpu.compiler.core import (CompiledModel, compile_spec, load_xml, loa
 from mujoco_tpu.compiler.spec_api import MjSpec, MjsElement
 from mujoco_tpu.compiler.urdf import load_urdf, load_urdf_path
 from mujoco_tpu.compiler.serialize import load_model, save_model
+from mujoco_tpu.compiler.mjz import load_cached, load_mjz
 
-__all__ = ["CompiledModel", "compile_spec", "load_xml", "load_xml_path", "MjSpec", "MjsElement", "load_urdf", "load_urdf_path", "save_model", "load_model"]
+__all__ = ["CompiledModel", "compile_spec", "load_xml", "load_xml_path", "MjSpec", "MjsElement", "load_urdf", "load_urdf_path", "save_model", "load_model", "load_mjz", "load_cached"]

@@ -276,8 +276,23 @@ def _sdf_geom_info(mjm: Any, g: int):
     return t, None
   instance = int(mjm.geom_plugin[g])
   if instance < 0:
-    raise NotImplementedError(
-        f"SDF geom {g} without a plugin (octree mesh SDFs unsupported)")
+    # mesh-backed SDF geom: dense signed-distance grid precomputed from
+    # the mesh — the TPU analog of the reference's per-mesh octree
+    # (user_mesh.cc:488,784; collided in engine_collision_sdf.c)
+    mid = int(mjm.geom_dataid[g])
+    if mid < 0:
+      raise NotImplementedError(f"SDF geom {g}: no plugin and no mesh")
+    va, vn = int(mjm.mesh_vertadr[mid]), int(mjm.mesh_vertnum[mid])
+    fa, fn = int(mjm.mesh_faceadr[mid]), int(mjm.mesh_facenum[mid])
+    verts = np.asarray(mjm.mesh_vert).reshape(-1, 3)[va:va + vn]
+    faces = np.asarray(mjm.mesh_face).reshape(-1, 3)[fa:fa + fn]
+    cache = _sdf_geom_info.__dict__.setdefault("_grid_cache", {})
+    key = (id(mjm), mid)
+    hit = cache.get(key)
+    if hit is None or hit[0] is not mjm:
+      hit = (mjm, sdfmod.mesh_grid_sdf(verts, faces))
+      cache[key] = hit
+    return sdfmod.MESH_GRID, hit[1]
   name = _plugin_name(mjm, instance)
   if name not in sdfmod.PLUGIN_SDF:
     raise NotImplementedError(f"SDF plugin {name!r}")
@@ -751,22 +766,17 @@ def _flex_meta(mjm: Any):
         vert_node=zi(0).reshape(0, 8),
         vert_nodew=np.zeros((0, 8)),
         interp_stiffadr=np.full(0, -1, dtype=np.int64),
-        interp_cell_active=())
+        interp_cell_active=(), strain=())
 
   interp = np.asarray(getattr(mjm, "flex_interp", np.zeros(nflex)), dtype=int)
   if ((interp < 0) | (interp > 2)).any():
     raise NotImplementedError(
         "shell interpolated flexes (flex_interp < 0: TFI interior "
         "reconstruction)")
-  if (interp >= 1).any():
-    eqt = np.asarray(getattr(mjm, "eq_type", np.zeros(0)), dtype=np.int64)
-    if (eqt == 6).any():                 # mjEQ_FLEXSTRAIN (3.11-only)
-      raise NotImplementedError(
-          "mjEQ_FLEXSTRAIN constraints (eigenmode strain rows; the pip "
-          "oracle predates them) — use <elasticity young=...> passive "
-          "FEM forces instead")
-  if (np.asarray(mjm.flex_edgeequality) > 1).any():
-    raise NotImplementedError("flex vertex-based equality (edgeequality > 1)")
+  # edgeequality: 0 none, 1 edge, 2 vert, 3 strain (flexeq_map,
+  # xml_native_reader.cc:1722); strain rows are handled via eq_type 6
+  if (np.asarray(mjm.flex_edgeequality) == 2).any():
+    raise NotImplementedError("flex vertex-based equality (mjEQ_FLEXVERT)")
 
   nvert = int(mjm.nflexvert)
   nedge = int(mjm.nflexedge)
@@ -885,6 +895,57 @@ def _flex_meta(mjm: Any):
       **_interp_meta(mjm, nflex, nvert, interp, vertadr))
 
 
+def _strain_entries(mjm: Any) -> tuple:
+  """Static per-equality tables for mjEQ_FLEXSTRAIN rows
+  (engine_core_constraint.c:806-980, volume mode): one equality = one
+  interpolated 3D cell; flex_stiffness holds the eigen format
+  [neig | sqrt(λ)·v_1 | ...] per ndof² block (EigendecomposeStiffness,
+  user_mesh.cc:4127). Returns a tuple of dicts with eq, flex, order, npe,
+  gind, neig, eigvecs, diaga."""
+  eqt = np.asarray(getattr(mjm, "eq_type", np.zeros(0)), dtype=np.int64)
+  if not (eqt == 6).any():
+    return ()
+  interp = np.asarray(mjm.flex_interp, dtype=int)
+  cellnum = np.asarray(mjm.flex_cellnum).reshape(-1, 3).astype(int)
+  stiffadr = np.asarray(mjm.flex_stiffnessadr, dtype=np.int64)
+  stiff = np.asarray(mjm.flex_stiffness, dtype=np.float64)
+  nodeadr = np.asarray(mjm.flex_nodeadr, dtype=np.int64)
+  nodebody = np.asarray(mjm.flex_nodebodyid, dtype=np.int64)
+  invw = np.asarray(mjm.body_invweight0, dtype=np.float64).reshape(-1, 2)
+  eq_data = np.asarray(mjm.eq_data, dtype=np.float64).reshape(len(eqt), -1)
+  eq_obj1 = np.asarray(mjm.eq_obj1id, dtype=np.int64)
+  out = []
+  for i in np.nonzero(eqt == 6)[0]:
+    f = int(eq_obj1[i])
+    order = int(interp[f])
+    if order < 1:
+      raise NotImplementedError(
+          "mjEQ_FLEXSTRAIN shell mode (flex_interp < 0 / non-interpolated)")
+    npe = (order + 1) ** 3
+    ndof = 3 * npe
+    cx, cy, cz = (int(x) for x in cellnum[f])
+    ci, cj, ck = (int(x) for x in eq_data[i, :3])
+    elem_idx = ci * cy * cz + cj * cz + ck
+    block = stiff[stiffadr[f] + elem_idx * ndof * ndof:
+                  stiffadr[f] + (elem_idx + 1) * ndof * ndof]
+    neig = int(block[0])
+    eigvecs = block[1:1 + neig * ndof].reshape(neig, ndof).copy()
+    # cell node indices (mju_flexGatherCellState ordering: x-slowest)
+    ny_g, nz_g = cy * order + 1, cz * order + 1
+    gind = np.array(
+        [((ci * order + li) * ny_g + (cj * order + lj)) * nz_g
+         + (ck * order + lk)
+         for li in range(order + 1)
+         for lj in range(order + 1)
+         for lk in range(order + 1)], dtype=np.int64)
+    # diagA = avg node-body invweight0 (mj_diagApprox,
+    # engine_core_constraint.c:1809)
+    diaga = float(invw[nodebody[nodeadr[f] + gind], 0].mean())
+    out.append(dict(eq=int(i), flex=f, order=order, npe=npe, gind=gind,
+                    neig=neig, eigvecs=eigvecs, diaga=diaga))
+  return tuple(out)
+
+
 def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
   """Node tables + static per-vertex trilinear weights for interpolated
   flexes (mj_flex interp branch, engine_core_smooth.c:580-625;
@@ -946,6 +1007,13 @@ def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
   stiff = np.asarray(getattr(mjm, "flex_stiffness", np.zeros(0)),
                      dtype=np.float64)
   interp_stiffadr = np.where(interp >= 1, stiffadr, -1)
+  # strain-constrained flexes (edgeequality == 3): flex_stiffness holds the
+  # EIGEN format consumed by the mjEQ_FLEXSTRAIN rows, not a raw FEM matrix
+  # — the passive path is off (has_stretch gate, engine_passive.c:92)
+  strain = _strain_entries(mjm)
+  edgeeq = np.asarray(getattr(mjm, "flex_edgeequality", np.zeros(nflex)),
+                      dtype=int)
+  interp_stiffadr = np.where(edgeeq == 3, -1, interp_stiffadr)
   cell_active = []
   for f in range(nflex):
     if interp[f] < 1 or interp_stiffadr[f] < 0 or not stiff.size:
@@ -965,7 +1033,8 @@ def _interp_meta(mjm: Any, nflex, nvert, interp, vertadr) -> dict:
               cellnum=cellnum, vert0=vert0,
               vert_node=vert_node, vert_nodew=vert_nodew,
               interp_stiffadr=interp_stiffadr,
-              interp_cell_active=tuple(cell_active))
+              interp_cell_active=tuple(cell_active),
+              strain=strain)
 
 
 def _flex_stiffness_dense(mjm: Any, flx) -> np.ndarray:
@@ -1010,6 +1079,7 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
   flexedge_rigid = np.asarray(getattr(mjm, "flexedge_rigid",
                                       np.zeros(getattr(mjm, "nflexedge", 0))),
                               dtype=bool)
+  strain_neig = {s["eq"]: s["neig"] for s in _strain_entries(mjm)}
   for i in range(mjm.neq):
     t = EqType(mjm.eq_type[i])
     if t == EqType.FLEX:
@@ -1022,6 +1092,13 @@ def _efc_meta(mjm: Any, con: ContactMeta, cone: int) -> EfcMeta:
           continue
         eq_id.append(i)
         eq_row.append(e)
+      continue
+    if t == EqType.FLEXSTRAIN:
+      # one row per retained eigenmode of the element's stiffness
+      # (engine_core_constraint.c:2451-2510); eq_row = eigenmode index
+      for r in range(strain_neig.get(i, 0)):
+        eq_id.append(i)
+        eq_row.append(r)
       continue
     nrow = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
             EqType.TENDON: 1}.get(t)

@@ -76,6 +76,8 @@ class EqType(enum.IntEnum):
   JOINT = 2
   TENDON = 3
   FLEX = 4
+  FLEXVERT = 5
+  FLEXSTRAIN = 6
 
 
 class TrnType(enum.IntEnum):
@@ -436,6 +438,12 @@ class FlexMeta:
   vert_nodew: np.ndarray = static_field()   # (nvert, 8) trilinear weights
   interp_stiffadr: np.ndarray = static_field()  # (nflex,) -1 when none
   interp_cell_active: Tuple = static_field()    # per-flex bool arrays
+  # mjEQ_FLEXSTRAIN static tables (engine_core_constraint.c:806-980): one
+  # entry per strain equality = one interpolated cell; each is a dict with
+  # eq (equality id), flex, order, npe, gind (npe,) node indices into the
+  # flex's node block, neig, eigvecs (neig, 3*npe) sqrt(λ)-scaled, and
+  # diaga (avg node body invweight0). Empty tuple when no strain rows.
+  strain: Tuple = static_field()
 
 
 @pytree_dataclass

@@ -271,6 +271,22 @@ def _equality_rows(m: Model, d: Data):
       rows_solimp.append(m.eq_solimp[i])
       rows_imp_pos.append(cpos)
 
+    elif et == EqType.FLEXSTRAIN:
+      # one row per retained eigenmode of the cell stiffness (mjEQ_FLEXSTRAIN,
+      # engine_core_constraint.c:806-980); diagA = avg node invweight0
+      # (:1809)
+      from mujoco_tpu.ops import flex as flex_mod
+      ent = next(s for s in m.flx.strain if s["eq"] == i)
+      k = ent["neig"]
+      if k:
+        pos_blk, J_blk = flex_mod.strain_rows(m, d, ent)
+        rows_J.append(J_blk)                                   # (k, nv)
+        rows_pos.append(pos_blk)
+        rows_active.append(jnp.broadcast_to(jnp.asarray(active), (k,)))
+        rows_diaga.append(jnp.full((k,), ent["diaga"], dtype=dtype))
+        rows_solref.append(jnp.broadcast_to(m.eq_solref[i], (k, 2)))
+        rows_solimp.append(jnp.broadcast_to(m.eq_solimp[i], (k, 5)))
+        rows_imp_pos.append(pos_blk)
     elif et == EqType.FLEX:
       # one row per non-rigid edge: pos = length − length0, J = edge
       # Jacobian, diagA = flexedge_invweight0 (mjEQ_FLEX,

@@ -399,6 +399,66 @@ def _center_grad(order: int) -> np.ndarray:
   return np.asarray(g)
 
 
+def node_positions(m: Model, d: Data):
+  """(nnode, 3) world node positions (mju_flexGatherState,
+  engine_core_util.c:1022): body origin for centered/zero-offset nodes,
+  body-frame offset otherwise."""
+  flx = m.flx
+  nb = flx.nodebodyid
+  node_flexid = np.repeat(np.arange(flx.nflex), flx.nodenum)
+  nbase = d.xpos[nb]
+  noff = jnp.einsum('nij,nj->ni', d.xmat[nb], m.flex_node)
+  ncent = flx.centered[node_flexid] | flx.node_iszero
+  return jnp.where(jnp.asarray(ncent)[:, None], nbase, nbase + noff)
+
+
+def node_point_jacobians(m: Model, d: Data, gmat: np.ndarray, node_xp):
+  """(k, nv, 3) translational point Jacobians of the nodes with global ids
+  `gmat` at their current positions, ancestor-masked (mj_jacSparse over the
+  node bodies, cell_pos_and_jac, engine_core_constraint.c:51-103)."""
+  dtype = node_xp.dtype
+  bid = np.asarray(m.flx.nodebodyid)[gmat]
+  anc = m.tree.ancestor_mask
+  o = d.subtree_com[m.body_rootid[m.dof_bodyid]]
+  angd = d.cdof[:, :3]
+  lind = d.cdof[:, 3:]
+  mask = jnp.asarray(anc[bid], dtype=dtype)           # (k, nv)
+  jac = lind[None] + jnp.cross(
+      jnp.broadcast_to(angd[None], (len(gmat),) + angd.shape),
+      node_xp[:, None, :] - o[None])
+  return jac * mask[..., None]
+
+
+def strain_rows(m: Model, d: Data, ent: dict):
+  """mjEQ_FLEXSTRAIN rows for one strain equality = one interpolated cell
+  (engine_core_constraint.c:806-980, volume mode).
+
+  Returns (pos (neig,), J (neig, nv)): residual_e = eigvec_e · displ with
+  displ the corotational-frame displacement from flex_node0, and
+  J_e = Σ_n rot(eigvec_e[n], elem_quat⁻¹) · jac_node_n (the corotational
+  rotation treated as constant, matching the reference)."""
+  dtype = d.qpos.dtype
+  f, order, npe = ent["flex"], ent["order"], ent["npe"]
+  gmat = int(m.flx.nodeadr[f]) + ent["gind"]
+  node_xp = node_positions(m, d)
+  xp = node_xp[gmat]                                   # (npe, 3)
+  x0 = m.flex_node0[gmat].astype(dtype)
+  g = jnp.asarray(_center_grad(order), dtype=dtype)    # (npe, 3)
+  fmat = jnp.einsum('na,nb->ab', xp, g)                # deformation grad
+  quat = mjm.mat_to_rot_quat(fmat)
+  qrot = mjm.conj_quat(quat)                           # elem_quat
+  xr = mjm.rot_vec_quat(xp, qrot[None, :])
+  displ = (xr - x0).reshape(-1)                        # (ndof,)
+  eig = jnp.asarray(ent["eigvecs"], dtype=dtype)       # (neig, ndof)
+  pos = eig @ displ
+  # dS/dx in world frame: rotate each node triple by elem_quat⁻¹ (= quat)
+  eig3 = eig.reshape(ent["neig"], npe, 3)
+  dsdx = mjm.rot_vec_quat(eig3, quat[None, None, :])   # (neig, npe, 3)
+  jac = node_point_jacobians(m, d, gmat, xp)           # (npe, nv, 3)
+  J = jnp.einsum('enc,nvc->ev', dsdx, jac)
+  return pos, J
+
+
 def interp_passive(m: Model, d: Data, enbl_spring: bool, enbl_damper: bool):
   """Corotational FEM passive forces for interpolated flexes →
   (qfrc_spring_add, qfrc_damper_add).
@@ -420,10 +480,8 @@ def interp_passive(m: Model, d: Data, enbl_spring: bool, enbl_damper: bool):
   # engine_core_util.c:1022)
   nb = flx.nodebodyid
   node_flexid = np.repeat(np.arange(flx.nflex), flx.nodenum)
-  nbase = d.xpos[nb]
-  noff = jnp.einsum('nij,nj->ni', d.xmat[nb], m.flex_node)
   ncent = flx.centered[node_flexid] | flx.node_iszero
-  node_xpos = jnp.where(jnp.asarray(ncent)[:, None], nbase, nbase + noff)
+  node_xpos = node_positions(m, d)
   ang = d.cvel[nb, :3]
   node_vel = (d.cvel[nb, 3:]
               + jnp.cross(ang, node_xpos

@@ -34,12 +34,16 @@ TPU-first redesign — fixed shapes, no threads:
     the reference's per-island tolerance scale (1/island_inertia,
     engine_solver.c:2383-2391).
 
-Scope (documented): Newton solver + pyramidal cone + no flex, mirroring
-the reference's own exclusion of flex-CG models from islands
-(engine_forward.c:1190 `islands_supported`). Everything else solves
-monolithically. Equality types beyond connect/weld/joint (tendon/distance
-equalities) also fall back: their tree coupling is not represented in the
-runtime labels.
+Scope (documented): Newton and CG solvers + pyramidal cone + no flex,
+mirroring the reference's own exclusion of flex-CG models from islands
+(engine_forward.c:1190 `islands_supported`). PGS solves monolithically by
+design, not as a gap: the dual matrix A = J M⁻¹ Jᵀ + R is exactly
+block-diagonal across islands (different islands touch disjoint dof sets
+and M⁻¹ is tree-block-diagonal), so the monolithic deterministic sweep IS
+the island sweep — the reference's island PGS differs only in threading,
+which XLA replaces. Elliptic cones and equality types beyond connect/weld/
+joint (tendon/distance equalities) also fall back: the cone's contact-block
+coupling is not represented in the gathered row layout.
 """
 
 from __future__ import annotations
@@ -214,7 +218,7 @@ def use_islands(m: Model) -> bool:
   """Static dispatch test (islands_supported, engine_forward.c:1190)."""
   if m.disabled(DisableBit.ISLAND) or m.disabled(DisableBit.CONSTRAINT):
     return False
-  if int(m.opt.solver) != int(SolverType.NEWTON):
+  if int(m.opt.solver) not in (int(SolverType.NEWTON), int(SolverType.CG)):
     return False
   if int(m.opt.cone) != int(ConeType.PYRAMIDAL):
     return False
@@ -283,11 +287,16 @@ def _bin(ids, n_slots: int, budget: int, sentinel: int):
 # ---------------------------------------------------------------------------
 
 
-def _island_newton(m: Model, p, iterations: int, ls_iter: int, tol_opt):
-  """Newton over one gathered island problem `p` (dict); vmapped by caller.
+def _island_newton(m: Model, p, iterations: int, ls_iter: int, tol_opt,
+                   use_newton: bool = True):
+  """Newton or Polak-Ribière CG over one gathered island problem `p`
+  (dict); vmapped by caller (mj_solNewton_island / mj_solCG per island,
+  solveIslandTask, engine_forward.c:1196-1216).
 
-  Follows solver.solve()'s newton path minus the elliptic cone. Per-island
-  tolerance scale 1/island_inertia (engine_solver.c:2383-2391)."""
+  Follows solver.solve()'s newton/cg paths minus the elliptic cone. CG
+  preconditions with the island's dense M (the reference's tree-factor
+  solve restricted to the island dofs). Per-island tolerance scale
+  1/island_inertia (engine_solver.c:2383-2391)."""
   dtype = p["M"].dtype
   M, J, aref = p["M"], p["J"], p["aref"]
   a_s, D, fl = p["a_s"], p["D"], p["fl"]
@@ -365,9 +374,32 @@ def _island_newton(m: Model, p, iterations: int, ls_iter: int, tol_opt):
     alpha = linesearch(jar, jp, gx0, pmp)
     return x + alpha * pdir, cost_x
 
+  def cg_step(x, g_prev, dir_prev, first):
+    """Preconditioned Polak-Ribière step (mj_solCG, engine_solver.c),
+    island-local M as the preconditioner."""
+    jar = J @ x - aref
+    force, ccost, _ = update(jar)
+    cost_x = ccost + 0.5 * jnp.dot(x - a_s, M @ (x - a_s))
+    grad = M @ (x - a_s) - J.T @ force
+    mgrad = linalg_tpu.spd_solve(M, grad)
+    beta = jnp.maximum(
+        0.0, jnp.dot(grad - g_prev, mgrad)
+        / jnp.maximum(jnp.dot(g_prev, linalg_tpu.spd_solve(M, g_prev)),
+                      mjm.MINVAL))
+    pdir = jnp.where(first, -mgrad, -mgrad + beta * dir_prev)
+    jp = J @ pdir
+    gx0 = jnp.dot(pdir, M @ (x - a_s))
+    pmp = jnp.dot(pdir, M @ pdir)
+    alpha = linesearch(jar, jp, gx0, pmp)
+    return x + alpha * pdir, cost_x, grad, pdir
+
   def scan_body(carry, _):
-    x, prev_cost, it, live = carry
-    x_new, _ = newton_step(x)
+    x, prev_cost, it, live, g_prev, dir_prev, first = carry
+    if use_newton:
+      x_new, _ = newton_step(x)
+      g_new, dir_new = g_prev, dir_prev
+    else:
+      x_new, _, g_new, dir_new = cg_step(x, g_prev, dir_prev, first)
     cost = cost_of(x_new)
     improvement = prev_cost - cost
     x_out = jnp.where(live, x_new, x)
@@ -375,12 +407,17 @@ def _island_newton(m: Model, p, iterations: int, ls_iter: int, tol_opt):
     it_out = it + jnp.where(live, 1, 0)
     live_out = live & (improvement > tol)
     stat = jnp.where(live, jnp.stack([improvement, cost]), 0.0)
-    return (x_out, cost_out, it_out, live_out), stat
+    g_out = jnp.where(live, g_new, g_prev)
+    dir_out = jnp.where(live, dir_new, dir_prev)
+    return (x_out, cost_out, it_out, live_out, g_out, dir_out,
+            jnp.zeros((), bool)), stat
 
   x0 = p["x0"]
-  carry = (x0, cost_of(x0), jnp.zeros((), jnp.int32), jnp.ones((), bool))
-  (x, _, niter, _), stats = jax.lax.scan(scan_body, carry, None,
-                                         length=iterations)
+  zv = jnp.zeros_like(x0)
+  carry = (x0, cost_of(x0), jnp.zeros((), jnp.int32), jnp.ones((), bool),
+           zv, zv, jnp.ones((), bool))
+  (x, _, niter, *_), stats = jax.lax.scan(scan_body, carry, None,
+                                          length=iterations)
   force, _, _ = update(J @ x - aref)
   return x, force, niter, stats
 
@@ -487,9 +524,12 @@ def solve_core(m: Model, d: Data):
   ls_iter = int(m.opt.ls_iterations)
   tol_opt = m.opt.tolerance
 
+  use_newton = int(m.opt.solver) == int(SolverType.NEWTON)
+
   def run_islands(_):
     xi, fi, niter_i, stats_i = jax.vmap(
-        lambda p: _island_newton(m, p, iterations, ls_iter, tol_opt))(probs)
+        lambda p: _island_newton(m, p, iterations, ls_iter, tol_opt,
+                                 use_newton=use_newton))(probs)
     # scatter back; sentinel indices all land on the dropped pad slot
     x = jnp.zeros((nv + 1,), dtype=dtype).at[idx_d.reshape(-1)].set(
         xi.reshape(-1))[:nv]

@@ -10,6 +10,8 @@ points: x has shape (..., 3).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -298,9 +300,147 @@ PLUGIN_SDF = {
 }
 
 
+MESH_GRID = "__meshgrid__"       # kind tag for mesh-backed grid SDFs
+
+
+def _point_tri_dist_sq(p, v0, v1, v2):
+  """Squared point-triangle distances, p (P, 3) vs one triangle batch
+  (T, 3) each — vectorized Ericson closest-point (numpy, compile time)."""
+  ab = v1 - v0
+  ac = v2 - v0
+  ap = p[:, None, :] - v0[None, :, :]                      # (P, T, 3)
+  d1 = np.einsum('ptk,tk->pt', ap, ab)
+  d2 = np.einsum('ptk,tk->pt', ap, ac)
+  bp = p[:, None, :] - v1[None, :, :]
+  d3 = np.einsum('ptk,tk->pt', bp, ab)
+  d4 = np.einsum('ptk,tk->pt', bp, ac)
+  cp = p[:, None, :] - v2[None, :, :]
+  d5 = np.einsum('ptk,tk->pt', cp, ab)
+  d6 = np.einsum('ptk,tk->pt', cp, ac)
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+  denom = np.maximum(va + vb + vc, 1e-30)
+  v = np.clip(vb / denom, 0.0, 1.0)
+  w = np.clip(vc / denom, 0.0, 1.0)
+  # interior projection
+  proj = (v0[None] + v[..., None] * ab[None] + w[..., None] * ac[None])
+  # edge/vertex regions handled by clamping barycentrics per edge
+  t_ab = np.clip(d1 / np.maximum(np.einsum('tk,tk->t', ab, ab)[None],
+                                 1e-30), 0.0, 1.0)
+  p_ab = v0[None] + t_ab[..., None] * ab[None]
+  t_ac = np.clip(d2 / np.maximum(
+      np.einsum('tk,tk->t', ac, ac)[None], 1e-30), 0.0, 1.0)
+  p_ac = v0[None] + t_ac[..., None] * ac[None]
+  bc = v2 - v1
+  t_bc = np.clip(np.einsum('ptk,tk->pt', bp, bc)
+                 / np.maximum(np.einsum('tk,tk->t', bc, bc)[None], 1e-30),
+                 0.0, 1.0)
+  p_bc = v1[None] + t_bc[..., None] * bc[None]
+  cands = np.stack([proj, p_ab, p_ac, p_bc], axis=0)       # (4, P, T, 3)
+  dsq = np.sum((p[None, :, None, :] - cands) ** 2, axis=-1)
+  # interior candidate only valid when inside the face region
+  inside = (vb / denom >= 0) & (vc / denom >= 0) & \
+      ((vb + vc) / denom <= 1)
+  dsq[0] = np.where(inside, dsq[0], np.inf)
+  return dsq.min(axis=0)                                   # (P, T)
+
+
+def _winding(p, v0, v1, v2):
+  """Generalized winding number per point (van Oosterom–Strackee solid
+  angles summed over triangles), vectorized numpy."""
+  a = v0[None, :, :] - p[:, None, :]
+  b = v1[None, :, :] - p[:, None, :]
+  c = v2[None, :, :] - p[:, None, :]
+  la = np.linalg.norm(a, axis=-1)
+  lb = np.linalg.norm(b, axis=-1)
+  lc = np.linalg.norm(c, axis=-1)
+  det = np.einsum('ptk,ptk->pt', a, np.cross(b, c))
+  denom = (la * lb * lc + np.einsum('ptk,ptk->pt', a, b) * lc
+           + np.einsum('ptk,ptk->pt', b, c) * la
+           + np.einsum('ptk,ptk->pt', a, c) * lb)
+  return np.sum(np.arctan2(det, denom), axis=1) / (2.0 * np.pi)
+
+
+def mesh_grid_sdf(verts: np.ndarray, faces: np.ndarray, res: int = None,
+                  pad: float = 0.08):
+  """Dense signed-distance grid for a watertight mesh — the TPU-first
+  analog of the reference's per-mesh octree
+  (/root/reference/src/user/user_mesh.cc:488,784 SetOctree): instead of a
+  pointer-chasing tree, a fixed (res³) grid over the padded AABB with
+  runtime trilinear sampling (one gather + lerp, vectorizes on the VPU).
+  Sign from generalized winding numbers (robust to slivers). Resolution
+  via MJTPU_SDF_GRID (default 32)."""
+  if res is None:
+    res = int(os.environ.get("MJTPU_SDF_GRID", "32"))
+  verts = np.asarray(verts, dtype=np.float64)
+  v0 = verts[faces[:, 0]]
+  v1 = verts[faces[:, 1]]
+  v2 = verts[faces[:, 2]]
+  lo = verts.min(axis=0)
+  hi = verts.max(axis=0)
+  extent = hi - lo
+  lo = lo - pad * np.maximum(extent, 1e-6)
+  hi = hi + pad * np.maximum(extent, 1e-6)
+  spacing = (hi - lo) / (res - 1)
+  axes = [lo[k] + spacing[k] * np.arange(res) for k in range(3)]
+  pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+  grid = np.empty(pts.shape[0])
+  chunk = max(1, int(4e6 // max(len(faces), 1)))
+  for s in range(0, pts.shape[0], chunk):
+    p = pts[s:s + chunk]
+    dist = np.sqrt(_point_tri_dist_sq(p, v0, v1, v2).min(axis=1))
+    wind = _winding(p, v0, v1, v2)
+    grid[s:s + chunk] = np.where(np.abs(wind) > 0.5, -dist, dist)
+  return dict(grid=grid.reshape(res, res, res), lower=lo, spacing=spacing)
+
+
+def _grid_sample(x, grid, lower, spacing):
+  """Trilinear sample of a (R, R, R) grid at local points x (..., 3);
+  clamped at the boundary (queries outside the padded AABB are clamped —
+  the narrowphase only descends inside the intersected AABBs)."""
+  res = grid.shape[0]
+  u_raw = (x - lower) / spacing
+  u = jnp.clip(u_raw, 0.0, res - 1 - 1e-6)
+  # queries beyond the padded AABB: boundary sample + the clamped excess
+  # (keeps the far field a valid lower-bound distance)
+  excess = jnp.sqrt(jnp.maximum(
+      jnp.sum(((u_raw - u) * spacing) ** 2, axis=-1), 1e-30))
+  i0 = jnp.floor(u).astype(jnp.int32)
+  f = u - i0
+  i1 = jnp.minimum(i0 + 1, res - 1)
+
+  def g(ix, iy, iz):
+    return grid[ix[..., 0], iy[..., 1], iz[..., 2]]
+
+  c000 = g(i0, i0, i0)
+  c100 = g(i1, i0, i0)
+  c010 = g(i0, i1, i0)
+  c110 = g(i1, i1, i0)
+  c001 = g(i0, i0, i1)
+  c101 = g(i1, i0, i1)
+  c011 = g(i0, i1, i1)
+  c111 = g(i1, i1, i1)
+  fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+  c00 = c000 * (1 - fx) + c100 * fx
+  c10 = c010 * (1 - fx) + c110 * fx
+  c01 = c001 * (1 - fx) + c101 * fx
+  c11 = c011 * (1 - fx) + c111 * fx
+  c0 = c00 * (1 - fy) + c10 * fy
+  c1 = c01 * (1 - fy) + c11 * fy
+  return c0 * (1 - fz) + c1 * fz + excess
+
+
 def dist_fn(kind, size_or_params):
   """Return x ↦ sdf(x) for a static shape: `kind` is an int GeomType for
-  primitives or a plugin name string; size/params close over statically."""
+  primitives, a plugin name string, or MESH_GRID with a grid dict."""
+  if kind == MESH_GRID:
+    grid = jnp.asarray(size_or_params["grid"])
+    lower = jnp.asarray(size_or_params["lower"])
+    spacing = jnp.asarray(size_or_params["spacing"])
+    return lambda x: _grid_sample(x, grid.astype(x.dtype),
+                                  lower.astype(x.dtype),
+                                  spacing.astype(x.dtype))
   if isinstance(kind, str):
     fn = PLUGIN_SDF[kind][0]
     params = np.asarray(size_or_params, dtype=np.float64)

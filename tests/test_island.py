@@ -160,3 +160,41 @@ def test_island_dispatch_exclusions():
 
   m1 = zoo.humanoid(dtype=jnp.float64)
   assert m1.ntree == 1 and not island.use_islands(m1)
+
+
+def test_island_cg():
+  """CG islands (mj_solCG per island, engine_forward.c:1210): the
+  decoupled two-box scene island-solves under CG, matches the monolithic
+  CG solve and the oracle at convergence."""
+  xml = TWO_BOX_EXCLUDED.replace('solver="Newton"', 'solver="CG"')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm, dtype=jnp.float64)
+  from mujoco_tpu.models.types import SolverType
+  assert int(m.opt.solver) == int(SolverType.CG)
+  assert island.use_islands(m)
+
+  qv0 = np.zeros(m.nv)
+  qv0[0], qv0[7] = 0.3, -0.2
+  qpos_isl = _run(m, 200, qv0)
+  qpos_mono = _run(_mono(m), 200, qv0)
+  np.testing.assert_allclose(qpos_isl, qpos_mono, atol=1e-8)
+
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[:] = qv0
+  for _ in range(200):
+    mujoco.mj_step(mjm, mjd)
+  assert mjd.ncon > 0
+  np.testing.assert_allclose(qpos_isl, mjd.qpos, atol=1e-7)
+
+
+def test_island_cg_multi_humanoid():
+  """CG islands on the multi-robot scene class."""
+  m0 = zoo.multi_humanoid(2)
+  from mujoco_tpu.models.types import SolverType
+  m = m0.replace(opt=m0.opt.replace(solver=int(SolverType.CG),
+                                    iterations=30))
+  assert island.use_islands(m)
+  qpos_isl = _run(m, 30)
+  qpos_mono = _run(_mono(m), 30)
+  assert np.isfinite(qpos_isl).all()
+  np.testing.assert_allclose(qpos_isl, qpos_mono, atol=1e-7)

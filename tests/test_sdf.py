@@ -172,3 +172,51 @@ def test_torus_on_plane_resting_height():
   # the oracle's mesh discretization
   assert abs(float(d.qpos[2]) - 0.15) < 5e-3, float(d.qpos[2])
   assert abs(mjd.qpos[2] - 0.15) < 5e-3, mjd.qpos[2]
+
+
+def test_mesh_grid_sdf_accuracy():
+  """Dense-grid mesh SDF (ops/sdf.mesh_grid_sdf — the TPU analog of the
+  reference's per-mesh octree, user_mesh.cc:488,784): samples of a unit
+  cube mesh match the analytic box SDF to grid resolution."""
+  v = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                for z in (-0.5, 0.5)])
+  f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+  from mujoco_tpu.ops import sdf as sdfmod
+  g = sdfmod.mesh_grid_sdf(v, f, res=33)
+  fn = sdfmod.dist_fn(sdfmod.MESH_GRID, g)
+  pts = jnp.asarray([[0.0, 0, 0], [0.45, 0, 0], [0, 0, 0.55],
+                     [0.3, 0.3, 0.3], [-0.2, 0.1, 0.0]])
+  got = np.asarray(fn(pts))
+  expect = np.array([-0.5, -0.05, 0.05, -0.2, -0.3])
+  np.testing.assert_allclose(got, expect, atol=0.04)
+  # far-field query outside the padded grid stays a sane lower bound
+  far = float(np.asarray(fn(jnp.asarray([[2.0, 0, 0]]))[0]))
+  assert far > 1.0, far
+
+
+def test_sphere_rests_on_mesh_sdf():
+  """Mesh-backed SDF geom (type="sdf" with a mesh, no plugin): sphere
+  dropped on a cube mesh rests at the analytic height. Spec-only (the pip
+  3.10 oracle loads but does not collide octree-less mesh SDFs)."""
+  xml = """
+<mujoco>
+  <asset>
+    <mesh name="cube" vertex="-.3 -.3 -.3  .3 -.3 -.3  -.3 .3 -.3  .3 .3 -.3
+                              -.3 -.3 .3  .3 -.3 .3  -.3 .3 .3  .3 .3 .3"/>
+  </asset>
+  <worldbody>
+    <geom type="sdf" mesh="cube"/>
+    <body pos="0 0 1"><freejoint/><geom type="sphere" size=".1"/></body>
+  </worldbody>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  assert len(m.con.sdfgroups) == 1
+  d = io.make_data(m)
+  step = jax.jit(lambda dd: forward.step(m, dd))
+  for _ in range(800):
+    d = step(d)
+  z = float(np.asarray(d.qpos)[2])
+  assert 0.36 < z < 0.44, z  # cube top 0.3 + radius 0.1
