@@ -21,17 +21,22 @@ Structure:
                _lane_step, store state.
   scan_batch   batch-leading Data API used by parallel.rollout.scan_steps.
 
-Supported model class (supported(m)): free/hinge/slide joints, plane-sphere
-and plane-capsule contacts with condim 3, joint limits, motor actuators,
-joint springs/dampers, Newton + pyramidal with iterations <= 4, Euler
-without eulerdamp, no tendons/sensors/equality/flex/sleep/history. Models
-outside the class run the general XLA path unchanged.
+Supported model class (supported(m)): free/hinge/slide joints;
+plane-sphere, plane-capsule, plane-box, sphere-sphere, sphere-capsule,
+sphere-box and capsule-capsule contacts with condim 3; joint limits; motor
+actuators; joint springs/dampers; Newton + pyramidal with iterations <= 4;
+Euler including implicit joint damping (eulerdamp); no tendons/sensors/
+equality/flex/sleep/history; monolithic solve only (models the XLA path
+would island-decompose stay on the XLA path — disable islands to opt in).
+Models outside the class run the general XLA path unchanged.
 
 Reference counterparts: mj_step (engine_forward.c:1849) stage for stage;
 the solve is mj_solNewton (engine_solver.c:1975) in the static-unroll
-regime; collision mjraw_PlaneSphere / mjc_PlaneCapsule
+regime; collision mjraw_PlaneSphere / mjc_PlaneCapsule / mjc_PlaneBox /
+mjraw_SphereSphere / mjraw_CapsuleCapsule / mjraw_SphereBox
 (engine_collision_primitive.c); assembly mj_instantiateContact /
-mj_makeImpedance (engine_core_constraint.c).
+mj_makeImpedance (engine_core_constraint.c); damped Euler
+(engine_forward.c:1401).
 """
 
 from __future__ import annotations
@@ -103,11 +108,15 @@ def supported(m: Model) -> bool:
       return False
     if float(opt.viscosity) != 0.0 or float(opt.density) != 0.0:
       return False
-    # eulerdamp: only the undamped update is implemented
-    if m.has_dof_damping and not m.disabled(DisableBit.EULERDAMP):
-      return False
     if (m.nsensor or m.ntendon or m.neq or m.nmocap or m.nhistory
         or m.has_flex or m.na):
+      return False
+    # the kernel is the MONOLITHIC Newton solve; when the XLA path would
+    # island-decompose (multi-tree scenes), linesearch differs per island
+    # and trajectories diverge — keep the two dispatch paths equivalent.
+    # Multi-tree models opt in by disabling islands (mjDSBL_ISLAND).
+    from mujoco_tpu.ops import island as _island
+    if _island.use_islands(m):
       return False
     if int(opt.enableflags) & int(EnableBit.SLEEP):
       return False
@@ -139,12 +148,20 @@ def supported(m: Model) -> bool:
         return False
       if np.any(np.asarray(con.condim) != 3):
         return False
+      ok_pairs = (
+          (int(GeomType.PLANE), int(GeomType.SPHERE)),
+          (int(GeomType.PLANE), int(GeomType.CAPSULE)),
+          (int(GeomType.PLANE), int(GeomType.BOX)),
+          (int(GeomType.SPHERE), int(GeomType.SPHERE)),
+          (int(GeomType.SPHERE), int(GeomType.CAPSULE)),
+          (int(GeomType.SPHERE), int(GeomType.BOX)),
+          (int(GeomType.CAPSULE), int(GeomType.CAPSULE)),
+      )
       for c in range(con.ncon):
         if not con.con_first[c]:
           continue
         t1, t2 = int(con.pair_type[c, 0]), int(con.pair_type[c, 1])
-        if (t1, t2) not in ((int(GeomType.PLANE), int(GeomType.SPHERE)),
-                            (int(GeomType.PLANE), int(GeomType.CAPSULE))):
+        if (t1, t2) not in ok_pairs:
           return False
     # actuators: plain joint motors
     for i in range(m.nu):
@@ -215,6 +232,7 @@ class _Meta:
     self.dof_bodyid = i(m.dof_bodyid)
     self.dof_armature = f(m.dof_armature)
     self.dof_damping = f(m.dof_damping)
+    self.has_damping = bool(np.any(self.dof_damping > 0))
     self.dof_invweight0 = f(m.dof_invweight0)
 
     self.anc_dof = np.asarray(m.tree.ancestor_mask, dtype=np.float64)
@@ -672,6 +690,7 @@ def make_consts(mt: _Meta, dtype):
       armature=(np.eye(nv) * mt.dof_armature)[:, :, None],
       grav6=np.concatenate([np.zeros(3), -mt.gravity])[:, None],
       damping=mt.dof_damping[:, None],
+      dampdiag=(np.eye(nv) * mt.dof_damping)[:, :, None],
       limitJ=limitJ[:, :, None],
       conmask=conmask[:, :, None],
       fresh_qpos=mt.fresh_qpos[:, None],
@@ -681,8 +700,8 @@ def make_consts(mt: _Meta, dtype):
   return {k: jnp.asarray(v, dtype=dtype) for k, v in c.items()}
 
 
-_CONST_NAMES = ("danc", "stranc", "armature", "grav6", "damping", "limitJ",
-                "conmask", "fresh_qpos", "fresh_qvel", "fresh_ctrl")
+_CONST_NAMES = ("danc", "stranc", "armature", "grav6", "damping", "dampdiag",
+                "limitJ", "conmask", "fresh_qpos", "fresh_qvel", "fresh_ctrl")
 
 
 def _lane_step(mt: _Meta, consts, qpos, qvel, ctrl, warm, qfrc_applied, xfrc,
@@ -998,13 +1017,39 @@ def _lane_step(mt: _Meta, consts, qpos, qvel, ctrl, warm, qfrc_applied, xfrc,
       D_rows.append(act_f / r_row)
       R_rows.append(r_row)
 
-    # contacts (plane-sphere k=1, plane-capsule k=2)
+    # contacts: per-pair-type lane narrowphase, replicating the XLA path's
+    # ops/collision_primitive.py formulas exactly (the dispatch differential
+    # test pins lane_step == forward.step at 1e-9)
     contact_enabled = not off(DisableBit.CONTACT)
+
+    # per-dof root CoM for point Jacobians (the XLA path's
+    # o = subtree_com[body_rootid[dof_bodyid]]): cross-tree contacts
+    # (e.g. capsule-capsule between two free bodies) involve dofs of BOTH
+    # trees, each measured about its OWN root com
+    comdof = jnp.stack(
+        [jnp.stack(subtree_com[int(mt.body_rootid[int(mt.dof_bodyid[v])])],
+                   axis=0) for v in range(nv)], axis=0)      # (nv, 3, L)
+
+    def sphere_sphere_lane(c1, r1, c2, r2, ax1, ax2):
+      """(_sphere_sphere_pts): dist, pos, normal with coincident-center
+      fallback normal = normalize(ax1 x ax2)."""
+      dif = [c2[k] - c1[k] for k in range(3)]
+      len_ = jnp.sqrt(jnp.maximum(_dot3(dif, dif), _MINVAL * _MINVAL))
+      nrm = [dif[k] / len_ for k in range(3)]
+      alt = _cross3(ax1, ax2)
+      alt, _ = _norm3(alt)
+      use_alt = len_ < 1e-9
+      nrm = [jnp.where(use_alt, alt[k], nrm[k]) for k in range(3)]
+      dist = len_ - r1 - r2
+      pos = [c1[k] + nrm[k] * (r1 + dist / 2.0) for k in range(3)]
+      return dist, pos, nrm
+
     slot = 0
     group = 0
     while slot < mt.ncon:
       g1 = int(mt.con_geom1[slot])
       g2 = int(mt.con_geom2[slot])
+      t1 = int(mt.con_pair_type[slot, 0])
       t2 = int(mt.con_pair_type[slot, 1])
       b1 = int(mt.geom_bodyid[g1])
       b2 = int(mt.geom_bodyid[g2])
@@ -1015,15 +1060,204 @@ def _lane_step(mt: _Meta, consts, qpos, qvel, ctrl, warm, qfrc_applied, xfrc,
       gp2r = _qrot([_c(mt.geom_pos[g2][k], zero) for k in range(3)], xq[b2])
       p1 = [xp[b1][k] + gp1r[k] for k in range(3)]
       p2 = [xp[b2][k] + gp2r[k] for k in range(3)]
-      n_ = _qrot([zero, zero, one], gq1)         # plane normal (z col)
+      size1 = mt.geom_size[g1]
       size2 = mt.geom_size[g2]
-      if t2 == int(GeomType.SPHERE):
-        cand = [(p2, float(size2[0]), None)]
-      else:  # CAPSULE: two end spheres, tangent = axis
+      SPH, CAP, BOX = (int(GeomType.SPHERE), int(GeomType.CAPSULE),
+                       int(GeomType.BOX))
+      # candidates: (dist, cpos, normal, tangent_or_None) per group slot
+      if t1 == int(GeomType.PLANE):
+        n_ = _qrot([zero, zero, one], gq1)       # plane normal (z col)
+        if t2 == SPH or t2 == CAP:
+          if t2 == SPH:
+            pts = [(p2, float(size2[0]), None)]
+          else:                                  # two end spheres
+            axis = _qrot([zero, zero, one], gq2)
+            seg = [axis[k] * float(size2[1]) for k in range(3)]
+            pts = [([p2[k] + seg[k] for k in range(3)], float(size2[0]),
+                    axis),
+                   ([p2[k] - seg[k] for k in range(3)], float(size2[0]),
+                    axis)]
+          cand = []
+          for center, radius, tangent in pts:
+            cdist = _dot3([center[k] - p1[k] for k in range(3)], n_)
+            dist = cdist - radius
+            cpos = [center[k] + n_[k] * (-dist / 2.0 - radius)
+                    for k in range(3)]
+            cand.append((dist, cpos, n_, tangent))
+        elif t2 == BOX:
+          # all 8 corners, 4 deepest kept in stable-argsort order
+          # (plane_box, collision_primitive.py:59)
+          corners = []
+          cdists = []
+          for sx in (-1, 1):
+            for sy in (-1, 1):
+              for sz in (-1, 1):
+                off_l = [sx * float(size2[0]), sy * float(size2[1]),
+                         sz * float(size2[2])]
+                offw = _qrot([_c(off_l[k], zero) for k in range(3)], gq2)
+                corner = [p2[k] + offw[k] for k in range(3)]
+                corners.append(corner)
+                cdists.append(_dot3(
+                    [corner[k] - p1[k] for k in range(3)], n_))
+          # stable rank: rank_i = #{j: d_j < d_i or (d_j == d_i and j < i)}
+          ranks = []
+          for i in range(8):
+            r_ = jnp.zeros_like(cdists[0])
+            for j_ in range(8):
+              if j_ < i:
+                r_ = r_ + (cdists[j_] <= cdists[i]).astype(dtype)
+              elif j_ > i:
+                r_ = r_ + (cdists[j_] < cdists[i]).astype(dtype)
+            ranks.append(r_)
+          cand = []
+          for s_ in range(4):
+            dist = jnp.zeros_like(cdists[0])
+            cpos = [jnp.zeros_like(cdists[0]) for _ in range(3)]
+            for i in range(8):
+              sel = (ranks[i] == float(s_)).astype(dtype)
+              dist = dist + sel * cdists[i]
+              for k in range(3):
+                cpos[k] = cpos[k] + sel * (corners[i][k]
+                                           - 0.5 * cdists[i] * n_[k])
+            cand.append((dist, cpos, n_, None))
+        else:
+          raise NotImplementedError((t1, t2))
+      elif (t1, t2) == (SPH, SPH):
+        ax1 = _qrot([zero, zero, one], gq1)
+        ax2 = _qrot([zero, zero, one], gq2)
+        dist, cpos, n_ = sphere_sphere_lane(p1, float(size1[0]), p2,
+                                            float(size2[0]), ax1, ax2)
+        cand = [(dist, cpos, n_, None)]
+      elif (t1, t2) == (SPH, CAP):
+        ax1 = _qrot([zero, zero, one], gq1)
         axis = _qrot([zero, zero, one], gq2)
-        seg = [axis[k] * float(size2[1]) for k in range(3)]
-        cand = [([p2[k] + seg[k] for k in range(3)], float(size2[0]), axis),
-                ([p2[k] - seg[k] for k in range(3)], float(size2[0]), axis)]
+        x = jnp.clip(_dot3(axis, [p1[k] - p2[k] for k in range(3)]),
+                     -float(size2[1]), float(size2[1]))
+        nearest = [p2[k] + axis[k] * x for k in range(3)]
+        dist, cpos, n_ = sphere_sphere_lane(p1, float(size1[0]), nearest,
+                                            float(size2[0]), ax1, axis)
+        cand = [(dist, cpos, n_, None)]
+      elif (t1, t2) == (SPH, BOX):
+        # closest point on box to sphere center; deep-penetration pushes
+        # out along the shallowest face (sphere_box,
+        # collision_primitive.py:180)
+        r1f = float(size1[0])
+        half = [float(size2[k]) for k in range(3)]
+        dp = [p1[k] - p2[k] for k in range(3)]
+        qc = [gq2[0], -gq2[1], -gq2[2], -gq2[3]]     # world -> box frame
+        c = _qrot(dp, qc)
+        cl = [jnp.clip(c[k], -half[k], half[k]) for k in range(3)]
+        inside = ((jnp.abs(c[0]) < half[0]) & (jnp.abs(c[1]) < half[1])
+                  & (jnp.abs(c[2]) < half[2]))
+        dif = [c[k] - cl[k] for k in range(3)]
+        len_out = jnp.sqrt(jnp.maximum(_dot3(dif, dif), _MINVAL * _MINVAL))
+        n_out = [dif[k] / len_out for k in range(3)]
+        dist_out = len_out - r1f
+        fd = [half[k] - jnp.abs(c[k]) for k in range(3)]
+        ax0 = (fd[0] <= fd[1]) & (fd[0] <= fd[2])    # argmin first-index
+        ax1 = (~ax0) & (fd[1] <= fd[2])
+        ax2 = (~ax0) & (~ax1)
+        axm = [ax0, ax1, ax2]
+        sgn = [jnp.sign(c[k]) for k in range(3)]
+        n_in = [jnp.where(axm[k], sgn[k], 0.0) for k in range(3)]
+        fd_min = jnp.where(ax0, fd[0], jnp.where(ax1, fd[1], fd[2]))
+        dist_in = -(fd_min + r1f)
+        pos_in = [jnp.where(axm[k], sgn[k] * half[k], c[k])
+                  for k in range(3)]
+        dist = jnp.where(inside, dist_in, dist_out)
+        n_box = [jnp.where(inside, n_in[k], n_out[k]) for k in range(3)]
+        pos_box = [jnp.where(inside, pos_in[k], cl[k]) for k in range(3)]
+        nw = _qrot(n_box, gq2)
+        n_c = [-nw[k] for k in range(3)]             # sphere -> box
+        cpos = [p1[k] + n_c[k] * (r1f + dist / 2.0) for k in range(3)]
+        cand = [(dist, cpos, n_c, None)]
+      elif (t1, t2) == (CAP, CAP):
+        # segment-segment closest points; parallel case emits 2 contacts
+        # (capsule_capsule, collision_primitive.py:106)
+        ax1 = _qrot([zero, zero, one], gq1)
+        ax2 = _qrot([zero, zero, one], gq2)
+        r1f, hl1 = float(size1[0]), float(size1[1])
+        r2f, hl2 = float(size2[0]), float(size2[1])
+        a1 = [ax1[k] * hl1 for k in range(3)]
+        a2 = [ax2[k] * hl2 for k in range(3)]
+        dif = [p1[k] - p2[k] for k in range(3)]
+        ma = _dot3(a1, a1)
+        mb = -_dot3(a1, a2)
+        mc = _dot3(a2, a2)
+        u_ = -_dot3(a1, dif)
+        v_ = _dot3(a2, dif)
+        det = ma * mc - mb * mb
+        parallel = jnp.abs(det) < _MINVAL
+        safe_det = jnp.where(parallel, 1.0, det)
+        x1 = (mc * u_ - mb * v_) / safe_det
+        x2 = (ma * v_ - mb * u_) / safe_det
+        x2 = jnp.where(x1 > 1, (v_ - mb) / mc,
+                       jnp.where(x1 < -1, (v_ + mb) / mc, x2))
+        x1 = jnp.clip(x1, -1, 1)
+        x1 = jnp.where(x2 > 1, jnp.clip((u_ - mb) / ma, -1, 1),
+                       jnp.where(x2 < -1, jnp.clip((u_ + mb) / ma, -1, 1),
+                                 x1))
+        x2 = jnp.clip(x2, -1, 1)
+        g_d, g_p, g_n = sphere_sphere_lane(
+            [p1[k] + a1[k] * x1 for k in range(3)], r1f,
+            [p2[k] + a2[k] * x2 for k in range(3)], r2f, ax1, ax2)
+        # parallel candidates (reference early-exit emulation)
+        x2a = jnp.clip((v_ - mb) / mc, -1, 1)
+        x2b = jnp.clip((v_ + mb) / mc, -1, 1)
+        x1c = jnp.clip((u_ - mb) / ma, -1, 1)
+        x1d = jnp.clip((u_ + mb) / ma, -1, 1)
+        cands4 = [
+            sphere_sphere_lane([p1[k] + a1[k] for k in range(3)], r1f,
+                               [p2[k] + a2[k] * x2a for k in range(3)],
+                               r2f, ax1, ax2),
+            sphere_sphere_lane([p1[k] - a1[k] for k in range(3)], r1f,
+                               [p2[k] + a2[k] * x2b for k in range(3)],
+                               r2f, ax1, ax2),
+            sphere_sphere_lane([p1[k] + a1[k] * x1c for k in range(3)],
+                               r1f, [p2[k] + a2[k] for k in range(3)],
+                               r2f, ax1, ax2),
+            sphere_sphere_lane([p1[k] + a1[k] * x1d for k in range(3)],
+                               r1f, [p2[k] - a2[k] for k in range(3)],
+                               r2f, ax1, ax2),
+        ]
+        acts = [(cd < 0).astype(dtype) for cd, _, _ in cands4]
+        csum = []
+        run = jnp.zeros_like(acts[0])
+        for a_i in acts:
+          run = run + a_i
+          csum.append(run)  # cumulative count INCLUDING current
+        big = jnp.full_like(acts[0], 1e10)
+        par = [None, None]
+        for s_ in range(2):
+          dist_s = big if s_ == 1 else cands4[0][0]
+          pos_s = [jnp.zeros_like(acts[0]) for _ in range(3)]
+          nrm_s = [jnp.zeros_like(acts[0]) for _ in range(3)]
+          got = jnp.zeros_like(acts[0])
+          for ci, (cd, cp, cn) in enumerate(cands4):
+            sel = ((acts[ci] > 0) & (csum[ci] == float(s_ + 1))
+                   & (got == 0)).astype(dtype)
+            got = got + sel
+            dist_s = jnp.where(sel > 0, cd, dist_s)
+            for k in range(3):
+              pos_s[k] = pos_s[k] + sel * cp[k]
+              nrm_s[k] = nrm_s[k] + sel * cn[k]
+          # slots with no s_-th active candidate keep argmax-0 fallback
+          # (XLA: pos/normal from candidate sel index, dist cd[0]/_BIG)
+          for k in range(3):
+            pos_s[k] = jnp.where(got > 0, pos_s[k], cands4[0][1][k])
+            nrm_s[k] = jnp.where(got > 0, nrm_s[k], cands4[0][2][k])
+          par[s_] = (dist_s, pos_s, nrm_s)
+        cand = []
+        for s_ in range(2):
+          dist = jnp.where(parallel, par[s_][0], g_d if s_ == 0 else big)
+          cpos = [jnp.where(parallel, par[s_][1][k], g_p[k])
+                  for k in range(3)]
+          nrm = [jnp.where(parallel, par[s_][2][k], g_n[k])
+                 for k in range(3)]
+          cand.append((dist, cpos, nrm, None))
+      else:
+        raise NotImplementedError((t1, t2))
+
       # contact params for this slot (static)
       incmargin = float(mt.con_includemargin[slot])
       fri = mt.con_friction[slot]
@@ -1037,23 +1271,16 @@ def _lane_step(mt: _Meta, consts, qpos, qvel, ctrl, warm, qfrc_applied, xfrc,
       # (equivalent to masking jacp: the frame projection is per-dof linear)
       cmask2 = consts["conmask"][group]                          # (nv, 1)
       group += 1
-      root = int(mt.body_rootid[b2 if b2 else b1])
-      comr = subtree_com[root]
-      for center, radius, tangent in cand:
-        cdist = _dot3([center[k] - p1[k] for k in range(3)], n_)
-        dist = cdist - radius
-        cpos = [center[k] + n_[k] * (-dist / 2.0 - radius) for k in range(3)]
-        fn, ft1, ft2 = _make_frame_lane(n_, tangent, tangent is not None)
+      for dist, cpos, n_c, tangent in cand:
+        fn, ft1, ft2 = _make_frame_lane(n_c, tangent, tangent is not None)
         active = (dist < incmargin) if contact_enabled else jnp.zeros(
             (L,), dtype=bool)
         act_f = active.astype(dtype)
-        # jacp (nv, 3, L): lin + ang x (pos - com_root); chain mask applied
-        # after the frame projection
-        rel = jnp.stack([cpos[k] - comr[k] for k in range(3)],
-                        axis=0)[None, :, :]       # (1, 3, L)
-        jacp = (cdof[:, 3:6, :]
-                + _vcross(cdof[:, 0:3, :],
-                          jnp.broadcast_to(rel, (nv, 3, L))))
+        # jacp (nv, 3, L): lin + ang x (pos - com_root(dof)); chain mask
+        # applied after the frame projection
+        rel = (jnp.stack([cpos[k] for k in range(3)], axis=0)[None, :, :]
+               - comdof)                          # (nv, 3, L)
+        jacp = cdof[:, 3:6, :] + _vcross(cdof[:, 0:3, :], rel)
         fnj = jnp.stack(fn, axis=0)[None, :, :]
         ft1j = jnp.stack(ft1, axis=0)[None, :, :]
         ft2j = jnp.stack(ft2, axis=0)[None, :, :]
@@ -1095,9 +1322,20 @@ def _lane_step(mt: _Meta, consts, qpos, qvel, ctrl, warm, qfrc_applied, xfrc,
     qacc = x
   else:
     qacc = a_s
+    qfrc_c = jnp.zeros((nv, L), dtype=dtype)
 
-  # ---- Euler advance (no eulerdamp by gate)
-  qvel_new = qvel + h * qacc
+  # ---- Euler advance; with dof damping the velocity update is implicit:
+  # (M + h*diag(damping))^-1 (qfrc_smooth + qfrc_constraint)
+  # (mj_Euler, engine_forward.c:1401). d.qacc / the warmstart keep the
+  # constraint-solver acceleration, as in forward._advance.
+  use_damp = (mt.has_damping and not off(DisableBit.EULERDAMP)
+              and not off(DisableBit.DAMPER))
+  if use_damp:
+    qMd = qM + h * consts["dampdiag"]
+    qacc_adv = _ldl_solve_value(qMd, qfrc_smooth + qfrc_c)
+  else:
+    qacc_adv = qacc
+  qvel_new = qvel + h * qacc_adv
   # linear qpos rows
   qrows = [qpos[k] for k in range(nq)]
   for v in range(nv):

@@ -9,8 +9,10 @@ mj_step (engine_forward.c:1849) for the supported model class.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mujoco_tpu.models import io, zoo
+from mujoco_tpu.models.types import DisableBit
 from mujoco_tpu.ops import forward, megastep_tpu as mega
 from mujoco_tpu.parallel import rollout as par
 
@@ -27,6 +29,58 @@ def _perturbed_batch(m, B, qscale=0.05, vscale=0.5, cscale=0.3):
   return d
 
 
+# slide joints + joint springs + sphere-sphere/sphere-capsule/
+# capsule-capsule contacts + ctrl/force clamps: the supported()-class
+# branches no zoo model exercises
+_MIXED_XML = """
+<mujoco>
+  <option timestep="0.004" solver="Newton" iterations="2" ls_iterations="6"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1" contype="1" conaffinity="3"/>
+    <body pos="0 0 0.6">
+      <freejoint/>
+      <geom type="capsule" size=".06 .15" euler="20 30 0"/>
+      <body pos="0.05 0 0.3">
+        <joint type="slide" axis="0 0 1" stiffness="80" damping="2"
+               range="-.2 .2" springref="0.05"/>
+        <geom type="sphere" size=".07"/>
+      </body>
+    </body>
+    <body pos="0.12 0.03 1.1">
+      <freejoint/>
+      <geom type="capsule" size=".05 .12"/>
+    </body>
+    <body pos="-0.25 0 0.9">
+      <freejoint/>
+      <geom type="sphere" size=".08"/>
+    </body>
+    <body pos="0.5 0 0.5">
+      <freejoint/>
+      <!-- box collides only with the plane (sphere-box / capsule-box are
+           outside the megastep class) -->
+      <geom type="box" size=".1 .08 .06" euler="5 10 20"
+            contype="2" conaffinity="2"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="{j}" ctrlrange="-1 1" ctrllimited="true"
+           forcerange="-50 50" gear="30"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _mixed_model(disable=0):
+  import mujoco
+  xml = _MIXED_XML.replace('joint="{j}"', 'joint="slider"').replace(
+      '<joint type="slide"', '<joint name="slider" type="slide"')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  # single kinematic chain per body: multi-tree -> disable islands so the
+  # XLA path is monolithic like the kernel
+  mjm.opt.disableflags |= int(DisableBit.ISLAND) | int(disable)
+  return io.put_model(mjm)
+
+
 def test_supported_gate():
   m = zoo.humanoid()
   assert mega.supported(m)
@@ -34,10 +88,64 @@ def test_supported_gate():
   from mujoco_tpu.models.types import Integrator
   m2 = m.replace(opt=m.opt.replace(integrator=int(Integrator.RK4)))
   assert not mega.supported(m2)
+  # island-decomposed multi-tree scenes stay on the XLA path (the kernel is
+  # the monolithic solve); disabling islands re-admits them
+  m3 = zoo.multi_humanoid(2)
+  assert not mega.supported(m3)
+  m4 = m3.replace(opt=m3.opt.replace(
+      disableflags=int(m3.opt.disableflags) | int(DisableBit.ISLAND)))
+  assert mega.supported(m4)
+  # the widened class admits the quadruped (plane-box + eulerdamp)
+  assert mega.supported(zoo.quadruped())
+  assert mega.supported(_mixed_model())
 
 
-def test_lane_step_matches_forward_step():
-  m = zoo.humanoid()
+def _islands_off(m):
+  return m.replace(opt=m.opt.replace(
+      disableflags=int(m.opt.disableflags) | int(DisableBit.ISLAND)))
+
+
+# sphere dropped onto a free box on the plane: sphere-box + plane-box
+_SPHEREBOX_XML = """
+<mujoco>
+  <option timestep="0.004" solver="Newton" iterations="2" ls_iterations="6"/>
+  <worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <body pos="0 0 0.2">
+      <freejoint/>
+      <geom type="box" size=".15 .12 .1" euler="0 0 15"/>
+    </body>
+    <body pos="0.05 0.02 0.6">
+      <freejoint/>
+      <geom type="sphere" size=".08"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _spherebox_model():
+  import mujoco
+  mjm = mujoco.MjModel.from_xml_string(_SPHEREBOX_XML)
+  mjm.opt.disableflags |= int(DisableBit.ISLAND)
+  return io.put_model(mjm)
+
+
+@pytest.mark.parametrize("name", [
+    "humanoid", "quadruped", "multi_humanoid", "mixed", "spherebox",
+    "mixed_nolimit", "mixed_noclampctrl", "mixed_nogravity"])
+def test_lane_step_matches_forward_step(name):
+  m = {
+      "humanoid": zoo.humanoid,
+      "quadruped": zoo.quadruped,
+      "multi_humanoid": lambda: _islands_off(zoo.multi_humanoid(2)),
+      "mixed": _mixed_model,
+      "spherebox": _spherebox_model,
+      "mixed_nolimit": lambda: _mixed_model(DisableBit.LIMIT),
+      "mixed_noclampctrl": lambda: _mixed_model(DisableBit.CLAMPCTRL),
+      "mixed_nogravity": lambda: _mixed_model(DisableBit.GRAVITY),
+  }[name]()
+  assert mega.supported(m), name
   B = 8
   d = _perturbed_batch(m, B)
   d1 = jax.vmap(lambda dd: forward.step(m, dd))(d)
