@@ -215,7 +215,17 @@ def _budgets(m: Model):
 
 
 def use_islands(m: Model) -> bool:
-  """Static dispatch test (islands_supported, engine_forward.c:1190)."""
+  """Static dispatch test (islands_supported, engine_forward.c:1190).
+
+  TPU deviation (measured, see ROADMAP round-5 island note): below
+  MJTPU_ISLAND_MIN_NV total dofs (default 256) the monolithic lane-dense
+  solve beats the island decomposition on-chip (0.94x at nv=108 on a v5e:
+  XLA's batched small-matrix solves waste the MXU and the gather/scatter
+  framing exceeds the cubic savings), so islands engage only for larger
+  scenes. Set MJTPU_ISLAND_MIN_NV=0 for the reference's always-on
+  dispatch semantics."""
+  if m.nv < int(os.environ.get("MJTPU_ISLAND_MIN_NV", "256")):
+    return False
   if m.disabled(DisableBit.ISLAND) or m.disabled(DisableBit.CONSTRAINT):
     return False
   if int(m.opt.solver) not in (int(SolverType.NEWTON), int(SolverType.CG)):

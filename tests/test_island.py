@@ -8,6 +8,12 @@ the tight-budget path with runtime-separate islands, and the lax.cond
 monolithic fallback when runtime islands outgrow the budget.
 """
 
+import os
+
+# exercise the island machinery regardless of the TPU size gate
+# (use_islands' MJTPU_ISLAND_MIN_NV default, measured in ROADMAP round 5)
+os.environ["MJTPU_ISLAND_MIN_NV"] = "0"
+
 import jax
 import jax.numpy as jnp
 import mujoco

@@ -81,20 +81,26 @@ def _mixed_model(disable=0):
   return io.put_model(mjm)
 
 
-def test_supported_gate():
+def test_supported_gate(monkeypatch):
   m = zoo.humanoid()
   assert mega.supported(m)
   # outside the class: RK4 integrator
   from mujoco_tpu.models.types import Integrator
   m2 = m.replace(opt=m.opt.replace(integrator=int(Integrator.RK4)))
   assert not mega.supported(m2)
-  # island-decomposed multi-tree scenes stay on the XLA path (the kernel is
-  # the monolithic solve); disabling islands re-admits them
+  # island-decomposed scenes stay on the XLA path (the kernel is the
+  # monolithic solve); with the TPU size gate at 0 the multi-tree scene
+  # islands by default and is excluded — disabling islands re-admits it.
+  # At the default gate (islands only engage for nv >= 256) the same
+  # model is kernel-admissible as-is.
   m3 = zoo.multi_humanoid(2)
+  monkeypatch.setenv("MJTPU_ISLAND_MIN_NV", "0")
   assert not mega.supported(m3)
   m4 = m3.replace(opt=m3.opt.replace(
       disableflags=int(m3.opt.disableflags) | int(DisableBit.ISLAND)))
   assert mega.supported(m4)
+  monkeypatch.setenv("MJTPU_ISLAND_MIN_NV", "256")
+  assert mega.supported(m3)    # default gate: monolithic -> kernel-class
   # the widened class admits the quadruped (plane-box + eulerdamp)
   assert mega.supported(zoo.quadruped())
   assert mega.supported(_mixed_model())
